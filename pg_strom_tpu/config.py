@@ -1,0 +1,118 @@
+"""Runtime configuration ("GUC") system.
+
+TPU-native analog of PG-Strom's GUC variables (reference: main.c:104-199 and the
+full GUC list catalogued in SURVEY.md §5).  Same taxonomy, same defaults where
+they still make sense on TPU hardware:
+
+  behavior : enabled, enable_gpuscan/gpuhashjoin/gpupreagg/gpusort,
+             debug_force_gpupreagg  (reference main.c:104-131, gpupreagg.c:2947)
+  sizing   : chunk_size (reference default 15MB -> here expressed in rows),
+             min/max_async_chunks (reference main.c:132-161)
+  cost     : tpu_setup_cost / tpu_operator_cost / tpu_tuple_cost
+             (reference gpu_setup_cost=500*seq_page, gpu_operator_cost=cpu/100,
+              gpu_tuple_cost=cpu/32, main.c:167-198)
+  codegen  : show_device_kernel, perfmon (reference main.c:399-439, 441-660)
+
+Values are plain attributes; `set_config`/`get_config`/`show_all` give a
+SQL-SET-like surface, and `override(...)` is a context manager used by tests
+(the analog of `SET pg_strom.debug_force_gpupreagg TO on` in the regression
+corpus, input/enable.conf).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import threading
+from typing import Any, Iterator
+
+
+@dataclasses.dataclass
+class _Config:
+    # --- behavior -----------------------------------------------------------
+    enabled: bool = True                  # master switch (pg_strom.enabled)
+    enable_tpuscan: bool = True           # enable_gpuscan
+    enable_tpuhashjoin: bool = True       # enable_gpuhashjoin
+    enable_tpupreagg: bool = True         # enable_gpupreagg
+    enable_tpusort: bool = True           # gpusort (deadcode in reference; first-class here)
+    debug_force_tpupreagg: bool = False   # pg_strom.debug_force_gpupreagg
+    debug_force_offload: bool = False     # force TPU plan regardless of cost (test determinism)
+
+    # --- sizing -------------------------------------------------------------
+    chunk_rows: int = 1 << 20             # rows per streamed columnar chunk (15MB analog)
+    min_async_chunks: int = 2             # pipeline low-water mark (main.c:142-151)
+    max_async_chunks: int = 3             # pipeline high-water mark (main.c:152-161)
+    max_groups_device: int = 1 << 12      # per-chunk device group-table slots (preagg)
+    join_max_bucket_probe: int = 16       # bounded probe-chain length before fallback
+    mqueue_timeout_ms: int = 60_000       # reference pg_strom.mqueue_timeout
+    loader_threads: int = 0               # 0 = #CPUs (reference opencl_num_threads)
+
+    # --- cost model ---------------------------------------------------------
+    cpu_tuple_cost: float = 0.01          # PostgreSQL defaults, for the cost model
+    cpu_operator_cost: float = 0.0025
+    seq_page_cost: float = 1.0
+    tpu_setup_cost: float = 500.0         # gpu_setup_cost = 500 * seq_page_cost
+    tpu_operator_cost: float = 0.0025 / 100.0   # gpu_operator_cost = cpu/100
+    tpu_tuple_cost: float = 0.01 / 32.0   # gpu_tuple_cost = cpu/32
+
+    # --- observability ------------------------------------------------------
+    perfmon: bool = False                 # collect+show per-node perf counters
+    show_device_kernel: bool = False      # dump lowered HLO/jaxpr in EXPLAIN VERBOSE
+    client_min_messages: str = "notice"
+
+    # --- numeric device format limits (mirrors reference opencl_numeric.h:
+    #     sign(1) + exponent(6, signed, [-32,31]) + mantissa(57) packed 64-bit;
+    #     values outside are CpuReCheck'd, which reproduces the recheck_agg
+    #     corpus behavior: 1E+48/1E-32 on-device, 1E+49/1E-33 rechecked) ------
+    numeric_max_mantissa: int = (1 << 57) - 1
+    numeric_min_exponent: int = -32
+    numeric_max_exponent: int = 31
+
+    # --- distributed --------------------------------------------------------
+    shuffle_partitions_per_device: int = 1
+    skew_sample_rows: int = 4096          # rows sampled for heavy-hitter detection
+    skew_heavy_threshold: float = 0.10    # key freq above this => broadcast side
+
+
+config = _Config()
+_lock = threading.Lock()
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(_Config)}
+
+
+def get_config(name: str) -> Any:
+    if name not in _FIELD_NAMES:
+        raise KeyError(f'unrecognized configuration parameter "{name}"')
+    return getattr(config, name)
+
+
+def set_config(name: str, value: Any) -> None:
+    if name not in _FIELD_NAMES:
+        raise KeyError(f'unrecognized configuration parameter "{name}"')
+    cur = getattr(config, name)
+    if isinstance(cur, bool) and isinstance(value, str):
+        value = value.strip().lower() in ("on", "true", "yes", "1", "t")
+    elif isinstance(cur, int) and not isinstance(cur, bool):
+        value = int(value)
+    elif isinstance(cur, float):
+        value = float(value)
+    with _lock:
+        setattr(config, name, value)
+
+
+def show_all() -> dict[str, Any]:
+    return dataclasses.asdict(config)
+
+
+@contextlib.contextmanager
+def override(**kwargs: Any) -> Iterator[None]:
+    """Temporarily override config values (test fixture analog of SET/RESET)."""
+    saved = {k: getattr(config, k) for k in kwargs}
+    for k, v in kwargs.items():
+        set_config(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            with _lock:
+                setattr(config, k, v)

@@ -1,0 +1,288 @@
+"""Columnar data store.
+
+TPU-native replacement for the reference's kern_data_store / datastore.c
+(three row-ish layouts over 8KB heap pages, opencl_common.h:276-434).  On TPU
+the native data model is struct-of-arrays, so the store IS columnar:
+
+  Column      — host-resident planes (data / valid / extra numeric planes /
+                string dictionary), append-friendly.
+  Table       — named columns + row count, plus the fixture loaders that
+                replace testdb.sql / agg_init.sql.
+  Chunk       — a fixed-capacity slice of a table, padded to a static shape
+                (XLA wants static shapes), carrying nrows + per-row recheck
+                flags.  The analog of one pgstrom_data_store (~15MB chunk,
+                main.c:132-141); produced by Table.chunks() for the streaming
+                executor (gpuscan.c:1065-1163 async window analog).
+
+Text columns are dictionary-encoded with a bytewise-sorted dictionary, so
+device int32 code comparisons implement C-collation strcmp (the only collation
+the reference allows on device, codegen.c:152-164).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from decimal import Decimal
+from typing import Any, Iterator, Sequence
+
+import numpy as np
+
+from .config import config
+from .sqltypes import (
+    T, STORAGE_DTYPE, INT_BOUNDS, numeric_from_decimal, numeric_to_decimal,
+)
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@dataclasses.dataclass
+class Column:
+    """One column: host planes. data under NULL lanes is 0."""
+
+    type: T
+    data: np.ndarray                       # primary plane (see STORAGE_DTYPE)
+    valid: np.ndarray                      # bool
+    # numeric extra planes
+    num_exp: np.ndarray | None = None      # int32, value = mant * 10**exp
+    num_dscale: np.ndarray | None = None   # int32 display scale
+    recheck: np.ndarray | None = None      # bool: device can't represent row
+    # string dictionary (sorted, code -> bytes); shared per column
+    dictionary: list[str] | None = None
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def nrows(self) -> int:
+        return len(self.data)
+
+    def get(self, i: int) -> Any:
+        """Exact python value of row i (None when NULL)."""
+        if not self.valid[i]:
+            return None
+        t = self.type
+        if t is T.NUMERIC:
+            return numeric_to_decimal(
+                int(self.data[i]), int(self.num_exp[i]), int(self.num_dscale[i])
+            ) if not self.recheck[i] else self._exact[i]
+        if t in (T.TEXT, T.BPCHAR):
+            return self.dictionary[int(self.data[i])]
+        if t is T.BOOL:
+            return bool(self.data[i])
+        if t in (T.FLOAT4, T.FLOAT8):
+            return float(self.data[i])
+        return int(self.data[i])
+
+    # exact-value side store for numeric rows outside the device window
+    @property
+    def _exact(self) -> dict[int, Decimal]:
+        if not hasattr(self, "_exact_store"):
+            self._exact_store: dict[int, Decimal] = {}
+        return self._exact_store
+
+
+def column_from_values(t: T, values: Sequence[Any]) -> Column:
+    """Build a Column from python values (None = NULL). Exact semantics."""
+    n = len(values)
+    dt = STORAGE_DTYPE[t]
+    data = np.zeros(n, dtype=dt)
+    valid = np.zeros(n, dtype=np.bool_)
+    col = Column(type=t, data=data, valid=valid)
+
+    if t is T.NUMERIC:
+        col.num_exp = np.zeros(n, dtype=np.int32)
+        col.num_dscale = np.zeros(n, dtype=np.int32)
+        col.recheck = np.zeros(n, dtype=np.bool_)
+        for i, v in enumerate(values):
+            if v is None:
+                continue
+            valid[i] = True
+            d = v if isinstance(v, Decimal) else Decimal(v)
+            mant, exp, dscale, ok = numeric_from_decimal(d)
+            if ok:
+                data[i] = mant
+                col.num_exp[i] = exp
+                col.num_dscale[i] = dscale
+            else:
+                col.recheck[i] = True
+                col.num_dscale[i] = dscale
+                col._exact[i] = d
+        return col
+
+    if t in (T.TEXT, T.BPCHAR):
+        # order-preserving dictionary: sorted bytewise (C collation)
+        present = sorted({v for v in values if v is not None})
+        codes = {s: i for i, s in enumerate(present)}
+        col.dictionary = present
+        for i, v in enumerate(values):
+            if v is None:
+                continue
+            valid[i] = True
+            data[i] = codes[v]
+        return col
+
+    for i, v in enumerate(values):
+        if v is None:
+            continue
+        valid[i] = True
+        if t in INT_BOUNDS:
+            iv = int(v)
+            lo, hi = INT_BOUNDS[t]
+            if not (lo <= iv <= hi):
+                raise OverflowError(f"{t.value} out of range: {iv}")
+            data[i] = iv
+        elif t is T.BOOL:
+            data[i] = bool(v)
+        else:
+            data[i] = v
+    return col
+
+
+def column_from_numpy(t: T, arr: np.ndarray, valid: np.ndarray | None = None) -> Column:
+    dt = STORAGE_DTYPE[t]
+    data = np.ascontiguousarray(arr, dtype=dt)
+    if valid is None:
+        valid = np.ones(len(data), dtype=np.bool_)
+    else:
+        valid = np.ascontiguousarray(valid, dtype=np.bool_)
+        data = np.where(valid, data, np.zeros((), dtype=dt))
+    col = Column(type=t, data=data, valid=valid)
+    if t is T.NUMERIC:
+        col.num_exp = np.zeros(len(data), dtype=np.int32)
+        col.num_dscale = np.zeros(len(data), dtype=np.int32)
+        col.recheck = np.zeros(len(data), dtype=np.bool_)
+    return col
+
+
+@dataclasses.dataclass
+class Table:
+    """Host table: ordered named columns, equal length."""
+
+    name: str
+    columns: dict[str, Column]
+
+    @property
+    def nrows(self) -> int:
+        if not self.columns:
+            return 0
+        return next(iter(self.columns.values())).nrows()
+
+    @property
+    def column_names(self) -> list[str]:
+        return list(self.columns.keys())
+
+    def column(self, name: str) -> Column:
+        if name not in self.columns:
+            raise KeyError(f'column "{name}" does not exist')
+        return self.columns[name]
+
+    def row(self, i: int) -> dict[str, Any]:
+        return {k: c.get(i) for k, c in self.columns.items()}
+
+    def chunks(self, chunk_rows: int | None = None) -> Iterator["Chunk"]:
+        """Stream fixed-capacity chunks (the 15MB-chunk analog).  The last
+        chunk is padded to the same static capacity so XLA compiles once."""
+        cap = chunk_rows or config.chunk_rows
+        n = self.nrows
+        if n == 0:
+            return
+        for start in range(0, n, cap):
+            stop = min(start + cap, n)
+            yield Chunk.from_table(self, start, stop, cap)
+
+    @staticmethod
+    def from_columns(name: str, cols: dict[str, Column]) -> "Table":
+        lens = {len(c) for c in cols.values()}
+        if len(lens) > 1:
+            raise ValueError(f"ragged columns in table {name}: {lens}")
+        return Table(name=name, columns=dict(cols))
+
+
+@dataclasses.dataclass
+class Chunk:
+    """A padded, fixed-capacity columnar slice ready for device transfer.
+
+    Equivalent of one pgstrom_data_store message payload.  `nrows` <= capacity;
+    rows beyond nrows have valid=False in every column.  `row_recheck` marks
+    rows the device cannot evaluate exactly (numeric out of window); the
+    executor routes them to the host-exact path (CpuReCheck analog)."""
+
+    table_name: str
+    start: int                  # global row offset of this chunk
+    nrows: int
+    capacity: int
+    columns: dict[str, Column]
+    row_recheck: np.ndarray     # bool[capacity]
+
+    @staticmethod
+    def from_table(tbl: Table, start: int, stop: int, cap: int) -> "Chunk":
+        n = stop - start
+        out: dict[str, Column] = {}
+        recheck = np.zeros(cap, dtype=np.bool_)
+        for name, c in tbl.columns.items():
+            data = np.zeros(cap, dtype=c.data.dtype)
+            valid = np.zeros(cap, dtype=np.bool_)
+            data[:n] = c.data[start:stop]
+            valid[:n] = c.valid[start:stop]
+            cc = Column(type=c.type, data=data, valid=valid,
+                        dictionary=c.dictionary)
+            if c.type is T.FLOAT8:
+                # TPU f64 is software-emulated with a narrower exponent range
+                # than IEEE double; route out-of-window rows to the host-exact
+                # path (same CpuReCheck mechanism the reference uses for
+                # unrepresentable numerics, opencl_numeric.h)
+                a = np.abs(data[:n])
+                recheck[:n] |= valid[:n] & ((a > 1e37) | ((a != 0) & (a < 1e-37)))
+            if c.type is T.NUMERIC:
+                cc.num_exp = np.zeros(cap, dtype=np.int32)
+                cc.num_dscale = np.zeros(cap, dtype=np.int32)
+                cc.recheck = np.zeros(cap, dtype=np.bool_)
+                cc.num_exp[:n] = c.num_exp[start:stop]
+                cc.num_dscale[:n] = c.num_dscale[start:stop]
+                cc.recheck[:n] = c.recheck[start:stop]
+                recheck[:n] |= cc.recheck[:n]
+            out[name] = cc
+        return Chunk(table_name=tbl.name, start=start, nrows=n, capacity=cap,
+                     columns=out, row_recheck=recheck)
+
+    def device_arrays(self) -> dict[str, Any]:
+        """Flat dict of ndarray planes for jax transfer: name -> plane."""
+        planes: dict[str, Any] = {}
+        for name, c in self.columns.items():
+            planes[f"{name}.data"] = c.data
+            planes[f"{name}.valid"] = c.valid
+            if c.type is T.NUMERIC:
+                planes[f"{name}.exp"] = c.num_exp
+                planes[f"{name}.dscale"] = c.num_dscale
+        planes["__nrows__"] = np.int32(self.nrows)
+        planes["__recheck__"] = self.row_recheck
+        return planes
+
+
+# ---------------------------------------------------------------------------
+# Catalog: a tiny in-memory database of named tables
+# ---------------------------------------------------------------------------
+
+class Database:
+    def __init__(self) -> None:
+        self.tables: dict[str, Table] = {}
+
+    def create(self, tbl: Table, replace: bool = True) -> None:
+        if not replace and tbl.name in self.tables:
+            raise KeyError(f'relation "{tbl.name}" already exists')
+        self.tables[tbl.name] = tbl
+
+    def drop(self, name: str, missing_ok: bool = True) -> None:
+        if name in self.tables:
+            del self.tables[name]
+        elif not missing_ok:
+            raise KeyError(f'table "{name}" does not exist')
+
+    def get(self, name: str) -> Table:
+        if name not in self.tables:
+            raise KeyError(f'relation "{name}" does not exist')
+        return self.tables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.tables

@@ -1,0 +1,32 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (multi-chip sharding is validated
+without TPU hardware; the driver separately dry-runs the real multi-chip
+path via __graft_entry__.dryrun_multichip).  This mirrors the reference's
+trick of using CPU OpenCL platforms as the no-GPU test backend
+(opencl_devinfo.c:1066-1096, pg_strom.opencl_device_types=cpu).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_ENABLE_X64"] = "1"
+
+import jax  # noqa: E402
+
+# The axon TPU plugin force-sets jax_platforms="axon,cpu" and ignores the
+# JAX_PLATFORMS env var; selecting cpu through jax.config is what sticks.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(20140601)  # reference v0 era
