@@ -242,6 +242,11 @@ class Chunk:
                 cc.num_dscale[:n] = c.num_dscale[start:stop]
                 cc.recheck[:n] = c.recheck[start:stop]
                 recheck[:n] |= cc.recheck[:n]
+                if cc.recheck.any():
+                    # carry the exact-value side store for out-of-window rows
+                    src = c._exact
+                    for gi in np.flatnonzero(cc.recheck[:n]):
+                        cc._exact[int(gi)] = src[start + int(gi)]
             out[name] = cc
         return Chunk(table_name=tbl.name, start=start, nrows=n, capacity=cap,
                      columns=out, row_recheck=recheck)

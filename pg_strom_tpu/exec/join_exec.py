@@ -1,0 +1,255 @@
+"""Hash-join executor: device build once, streamed probe, exact fallback.
+
+The execution shape mirrors the reference (§3.4 call stack): the inner
+(build) relation is hashed once and kept device-resident across every outer
+chunk (gpuhashjoin.c:4497-4555 DMA-once pattern); outer chunks stream through
+the probe kernel with the same bounded async window as scans; result overflow
+re-dispatches with a doubled output buffer (the DataStoreNoSpace regrow,
+gpuhashjoin.c:4323-4425); flagged chunks fall back to an exact host hash join
+(gpuhashjoin_next_tuple CPU recheck analog, gpuhashjoin.c:2706-2772).
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import jax
+
+from ..config import config
+from ..datastore import Table, Chunk, Column, column_from_values
+from ..sqltypes import T, STORAGE_DTYPE
+from ..expr.ir import Expr, ColumnRef
+from ..expr.catalog import device_expression_supported
+from ..expr.eval_cpu import eval_expr_cpu
+from ..expr.lower_jax import schema_from_chunk_columns, planes_of_column
+from ..ops.hashjoin import build_hash_table, build_probe_fn, _next_pow2
+from .hostexec import canon_group_key
+from ..utils.perfmon import Perfmon
+
+_JIT_CACHE: dict[Any, Any] = {}
+
+
+def _cached_jit(key, builder):
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(builder())
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+class HashJoinExecutor:
+    """Inner equi-join: outer (probe) x inner (build).
+
+    probe_keys / build_keys: bound exprs over the respective table layouts.
+    Output: a host Table with columns "<alias>.<col>" for the requested
+    (side, column) pairs; round-1 materializes, the planner fuses
+    join->aggregate device-side where possible."""
+
+    def __init__(self, probe: Table, build: Table,
+                 probe_keys: Sequence[Expr], build_keys: Sequence[Expr],
+                 out_probe_cols: Sequence[str], out_build_cols: Sequence[str],
+                 probe_pred: Optional[Expr] = None,
+                 build_pred: Optional[Expr] = None,
+                 probe_alias: str = "o", build_alias: str = "i",
+                 perfmon: Perfmon | None = None):
+        self.probe = probe
+        self.build = build
+        self.probe_keys = list(probe_keys)
+        self.build_keys = list(build_keys)
+        self.out_probe_cols = list(out_probe_cols)
+        self.out_build_cols = list(out_build_cols)
+        self.probe_pred = probe_pred
+        self.build_pred = build_pred
+        self.probe_alias = probe_alias
+        self.build_alias = build_alias
+        self.perfmon = perfmon or Perfmon()
+        self._host_ht: dict | None = None
+
+    # -- device build --------------------------------------------------------
+
+    def _device_ok(self) -> bool:
+        exprs = self.probe_keys + self.build_keys
+        if self.probe_pred is not None:
+            exprs.append(self.probe_pred)
+        if self.build_pred is not None:
+            exprs.append(self.build_pred)
+        if any(not device_expression_supported(e) for e in exprs):
+            return False
+        # text join keys need a shared dictionary; round-1 routes them host
+        if any(k.type in (T.TEXT, T.BPCHAR)
+               for k in self.probe_keys + self.build_keys):
+            return False
+        return True
+
+    def run(self) -> Table:
+        out_rows_np: list[dict[str, list]] = []
+        collected = {f"{self.probe_alias}.{c}": [] for c in self.out_probe_cols}
+        collected.update({f"{self.build_alias}.{c}": [] for c in self.out_build_cols})
+
+        use_device = (config.enabled and config.enable_tpuhashjoin
+                      and self._device_ok() and self.build.nrows > 0)
+        if not use_device:
+            self._host_join_all(collected)
+            return self._to_table(collected)
+
+        pm = self.perfmon
+        bl = self.build.column_names
+        bcap = _next_pow2(max(self.build.nrows, 16))
+        bchunk = next(iter(self.build.chunks(bcap)))
+        if bchunk.row_recheck.any():
+            self._host_join_all(collected)
+            return self._to_table(collected)
+        bschema = schema_from_chunk_columns(bl, [bchunk.columns[n] for n in bl])
+        bplanes = tuple(planes_of_column(bchunk.columns[n]) for n in bl)
+        build_fn = _cached_jit(
+            ("build", tuple((m.name, m.type, m.dict_id) for m in bschema),
+             tuple(self.build_keys), self.build_pred, bcap),
+            lambda: build_hash_table(bschema, self.build_keys, self.build_pred))
+        with pm.timer("build_hash"):
+            ht = build_fn(bplanes, np.int32(bchunk.nrows))
+        if int(ht["err"]) != 0:
+            self._host_join_all(collected)
+            return self._to_table(collected)
+        nbuckets = int(ht["bucket_start"].shape[0]) - 1
+        key_types = tuple(k.type for k in self.build_keys)
+
+        # build-side output planes for materialization
+        bplanes_by_name = {n: planes_of_column(bchunk.columns[n]) for n in bl}
+
+        pl = self.probe.column_names
+        pcap = min(config.chunk_rows, _next_pow2(max(self.probe.nrows, 1024)))
+        pschema = None
+        probe_fns: dict[int, Any] = {}
+        out_cap = max(2 * pcap, 1024)
+        max_chain = config.join_max_bucket_probe
+
+        for chunk in self.probe.chunks(pcap):
+            if chunk.row_recheck.any():
+                with pm.timer("cpu_fallback"):
+                    self._host_join_chunk(chunk, collected)
+                continue
+            if pschema is None:
+                pschema = schema_from_chunk_columns(
+                    pl, [chunk.columns[n] for n in pl])
+            planes = tuple(planes_of_column(chunk.columns[n]) for n in pl)
+            cap_now = out_cap
+            while True:
+                fn = probe_fns.get(cap_now)
+                if fn is None:
+                    fn = _cached_jit(
+                        ("probe", tuple((m.name, m.type, m.dict_id) for m in pschema),
+                         tuple(self.probe_keys), self.probe_pred,
+                         nbuckets, max_chain, cap_now, pcap),
+                        lambda c=cap_now: build_probe_fn(
+                            pschema, self.probe_keys, key_types, nbuckets,
+                            max_chain, c, self.probe_pred))
+                    probe_fns[cap_now] = fn
+                with pm.timer("dispatch"):
+                    probe_idx, build_row, nout, err = fn(ht, planes,
+                                                         np.int32(chunk.nrows))
+                nout_i = int(nout)
+                if int(err) != 0:
+                    pm.bump("recheck_chunks")
+                    with pm.timer("cpu_fallback"):
+                        self._host_join_chunk(chunk, collected)
+                    break
+                if nout_i > cap_now:
+                    # DataStoreNoSpace analog: regrow and re-dispatch
+                    pm.bump("regrow_retries")
+                    cap_now = _next_pow2(nout_i)
+                    continue
+                with pm.timer("materialize"):
+                    self._materialize(chunk, planes, bplanes_by_name,
+                                      np.asarray(probe_idx[:nout_i]) if nout_i else np.empty(0, np.int32),
+                                      np.asarray(build_row[:nout_i]) if nout_i else np.empty(0, np.int32),
+                                      collected)
+                pm.bump("device_chunks")
+                break
+        return self._to_table(collected)
+
+    # -- materialization -----------------------------------------------------
+
+    def _materialize(self, chunk: Chunk, pplanes, bplanes_by_name,
+                     probe_idx: np.ndarray, build_row: np.ndarray,
+                     collected: dict[str, list]) -> None:
+        pl = self.probe.column_names
+        for c in self.out_probe_cols:
+            col = chunk.columns[c]
+            vals = _gather_host(col, probe_idx)
+            collected[f"{self.probe_alias}.{c}"].append((col, vals))
+        for c in self.out_build_cols:
+            col = self.build.columns[c]
+            vals = _gather_host_build(col, build_row)
+            collected[f"{self.build_alias}.{c}"].append((col, vals))
+
+    def _to_table(self, collected: dict[str, list]) -> Table:
+        cols: dict[str, Column] = {}
+        for name, pieces in collected.items():
+            side_alias, cname = name.split(".", 1)
+            src = (self.probe if side_alias == self.probe_alias else self.build)
+            ctype = src.columns[cname].type
+            values: list = []
+            for piece in pieces:
+                if isinstance(piece, tuple):
+                    values.extend(piece[1])
+                else:
+                    values.extend(piece)
+            cols[name] = column_from_values(ctype, values)
+        return Table.from_columns("join_result", cols)
+
+    # -- host exact path -----------------------------------------------------
+
+    def _host_hash_table(self) -> dict:
+        if self._host_ht is not None:
+            return self._host_ht
+        ht: dict = {}
+        bl = self.build.column_names
+        for i in range(self.build.nrows):
+            row = lambda s: self.build.columns[bl[s]].get(i)
+            if self.build_pred is not None and \
+                    eval_expr_cpu(self.build_pred, row) is not True:
+                continue
+            kv = tuple(eval_expr_cpu(k, row) for k in self.build_keys)
+            if any(v is None for v in kv):
+                continue
+            ht.setdefault(tuple(canon_group_key(v) for v in kv), []).append(i)
+        self._host_ht = ht
+        return ht
+
+    def _host_join_chunk(self, chunk: Chunk, collected: dict[str, list]) -> None:
+        ht = self._host_hash_table()
+        pl = self.probe.column_names
+        pvals = {c: [] for c in self.out_probe_cols}
+        bvals = {c: [] for c in self.out_build_cols}
+        for i in range(chunk.nrows):
+            row = lambda s: chunk.columns[pl[s]].get(i)
+            if self.probe_pred is not None and \
+                    eval_expr_cpu(self.probe_pred, row) is not True:
+                continue
+            kv = tuple(eval_expr_cpu(k, row) for k in self.probe_keys)
+            if any(v is None for v in kv):
+                continue
+            matches = ht.get(tuple(canon_group_key(v) for v in kv), ())
+            for bi in matches:
+                for c in self.out_probe_cols:
+                    pvals[c].append(chunk.columns[c].get(i))
+                for c in self.out_build_cols:
+                    bvals[c].append(self.build.columns[c].get(bi))
+        for c in self.out_probe_cols:
+            collected[f"{self.probe_alias}.{c}"].append((None, pvals[c]))
+        for c in self.out_build_cols:
+            collected[f"{self.build_alias}.{c}"].append((None, bvals[c]))
+
+    def _host_join_all(self, collected: dict[str, list]) -> None:
+        for chunk in self.probe.chunks():
+            self._host_join_chunk(chunk, collected)
+
+
+def _gather_host(col: Column, idx: np.ndarray) -> list:
+    return [col.get(int(i)) for i in idx]
+
+
+def _gather_host_build(col: Column, idx: np.ndarray) -> list:
+    return [col.get(int(i)) for i in idx]

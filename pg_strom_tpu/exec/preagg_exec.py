@@ -1,0 +1,212 @@
+"""Streaming pre-aggregation executor.
+
+The end-to-end GpuPreAgg pipeline (reference call stack §3.5): stream chunks,
+dispatch the device partial-aggregation kernel with a bounded async window
+(min/max_async_chunks analog, gpuscan.c:1087-1125), merge partials on the
+host, finalize exactly.  Chunks the device flags (err != 0) or that carry
+unrepresentable rows are replayed host-exactly (CpuReCheck tier).
+"""
+
+from __future__ import annotations
+
+import collections
+from decimal import Decimal
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import jax
+
+from ..config import config
+from ..datastore import Table, Chunk
+from ..sqltypes import T, numeric_to_decimal
+from ..errors import SqlError
+from ..expr.ir import Expr, ColumnRef, referenced_columns, walk
+from ..expr.catalog import device_expression_supported
+from ..expr.lower_jax import ColMeta, schema_from_chunk_columns, planes_of_column
+from ..ops.preagg import (
+    AggInstance, build_preagg_fn, extract_partials, merge_partials,
+)
+from .hostexec import replay_chunk_preagg, canon_group_key, new_state
+from ..utils.perfmon import Perfmon
+
+_JIT_CACHE: dict[Any, Any] = {}
+
+
+def _plan_key(schema: Sequence[ColMeta], group_exprs, aggs, pred, G, cap):
+    ssig = tuple((m.name, m.type, m.dict_id) for m in schema)
+    return (ssig, tuple(group_exprs), tuple(aggs), pred, G, cap)
+
+
+def _get_jitted(schema, group_exprs, aggs, pred, G, cap):
+    key = _plan_key(schema, group_exprs, aggs, pred, G, cap)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(build_preagg_fn(schema, group_exprs, aggs, pred, G))
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+def _device_supported(pred, group_exprs, aggs) -> bool:
+    for e in ([] if pred is None else [pred]) + list(group_exprs):
+        if not device_expression_supported(e):
+            return False
+    for inst in aggs:
+        for a in inst.args:
+            if not device_expression_supported(a):
+                return False
+            # numeric agg args must be plain columns so the display-scale
+            # lane is available; computed numerics go host-exact
+            if a.type is T.NUMERIC and not isinstance(a, ColumnRef):
+                return False
+    return True
+
+
+def _key_value_from_planes(t: T, planes, g: int, meta: ColMeta | None):
+    data, valid = planes[0], planes[1]
+    if not bool(valid[g]):
+        return None
+    if t is T.NUMERIC:
+        return numeric_to_decimal(int(data[g]), int(planes[2][g]), int(planes[3][g]))
+    if t in (T.TEXT, T.BPCHAR):
+        return meta.dictionary[int(data[g])] if meta and meta.dictionary else None
+    if t is T.FLOAT8 and len(planes) >= 3:
+        # exact value from the IEEE-bits plane (the f64 lane is emulated)
+        return float(np.int64(planes[2][g]).view(np.float64))
+    if t in (T.FLOAT4, T.FLOAT8):
+        return float(data[g])
+    if t is T.BOOL:
+        return bool(data[g])
+    return int(data[g])
+
+
+class PreAggExecutor:
+    """Aggregate `table` with optional filter and GROUP BY.
+
+    pred / group_exprs / agg args are exprs bound to table.column_names."""
+
+    def __init__(self, table: Table, pred: Optional[Expr],
+                 group_exprs: Sequence[Expr], aggs: Sequence[AggInstance],
+                 perfmon: Perfmon | None = None):
+        self.table = table
+        self.pred = pred
+        self.group_exprs = list(group_exprs)
+        self.aggs = list(aggs)
+        self.layout_names = table.column_names
+        self.perfmon = perfmon or Perfmon()
+
+    def run(self) -> list[tuple]:
+        """Returns rows: (key_values..., agg_values...) in no defined order."""
+        states: dict[tuple, list[dict]] = {}
+        displays: dict[tuple, tuple] = {}
+
+        use_device = (config.enabled and config.enable_tpupreagg
+                      and _device_supported(self.pred, self.group_exprs, self.aggs))
+        pm = self.perfmon
+
+        if self.table.nrows == 0:
+            return self._finalize(states, displays)
+
+        if not use_device:
+            for chunk in self.table.chunks():
+                with pm.timer("cpu_fallback"):
+                    self._replay(chunk, states, displays)
+            return self._finalize(states, displays)
+
+        G = config.max_groups_device
+        cap = min(config.chunk_rows, _next_pow2(self.table.nrows))
+        window: collections.deque = collections.deque()
+        fn = None
+        schema = None
+        key_metas = self._key_metas()
+
+        for chunk in self.table.chunks(cap):
+            if schema is None:
+                cols = [chunk.columns[nm] for nm in self.layout_names]
+                schema = schema_from_chunk_columns(self.layout_names, cols)
+                fn = _get_jitted(schema, tuple(self.group_exprs),
+                                 tuple(self.aggs), self.pred, G, cap)
+            if chunk.row_recheck.any():
+                with pm.timer("cpu_fallback"):
+                    self._replay(chunk, states, displays)
+                continue
+            planes = tuple(planes_of_column(chunk.columns[nm])
+                           for nm in self.layout_names)
+            with pm.timer("dispatch"):
+                out = fn(planes, np.int32(chunk.nrows))
+            pm.add_bytes("h2d", sum(p.nbytes for ps in planes for p in ps))
+            window.append((chunk, out))
+            if len(window) >= config.max_async_chunks:
+                self._consume(*window.popleft(), states, displays, key_metas)
+        while window:
+            self._consume(*window.popleft(), states, displays, key_metas)
+        return self._finalize(states, displays)
+
+    # ------------------------------------------------------------------
+
+    def _key_metas(self) -> list[ColMeta | None]:
+        metas = []
+        for g in self.group_exprs:
+            m = None
+            if isinstance(g, ColumnRef) and g.type in (T.TEXT, T.BPCHAR):
+                c = self.table.columns.get(g.name)
+                if c is not None:
+                    m = ColMeta(name=g.name, type=g.type,
+                                dictionary=tuple(c.dictionary or ()),
+                                dict_id=id(c.dictionary))
+            metas.append(m)
+        return metas
+
+    def _replay(self, chunk: Chunk, states, displays) -> None:
+        replay_chunk_preagg(chunk, self.layout_names, self.pred,
+                            self.group_exprs, self.aggs, states, displays)
+
+    def _consume(self, chunk: Chunk, out, states, displays, key_metas) -> None:
+        pm = self.perfmon
+        with pm.timer("device_wait"):
+            err = int(out["err"])
+        if err != 0:
+            pm.bump("recheck_chunks")
+            with pm.timer("cpu_fallback"):
+                self._replay(chunk, states, displays)
+            return
+        with pm.timer("materialize"):
+            ngroups = int(out["ngroups"])
+            keys = [tuple(np.asarray(p) for p in planes) for planes in out["keys"]]
+            slots = [{k: np.asarray(v) for k, v in d.items()} for d in out["slots"]]
+        pm.bump("device_chunks")
+        pm.add_bytes("d2h", sum(a.nbytes for d in slots for a in d.values()))
+        for g in range(ngroups if self.group_exprs else 1):
+            kvals = tuple(
+                _key_value_from_planes(ge.type, planes, g, meta)
+                for ge, planes, meta in zip(self.group_exprs, keys, key_metas))
+            ck = tuple(canon_group_key(v) for v in kvals)
+            parts = [extract_partials(inst, d, g)
+                     for inst, d in zip(self.aggs, slots)]
+            if ck not in states:
+                states[ck] = parts
+                displays[ck] = kvals
+            else:
+                st = states[ck]
+                states[ck] = [merge_partials(inst, a, b)
+                              for inst, a, b in zip(self.aggs, st, parts)]
+
+    def _finalize(self, states, displays) -> list[tuple]:
+        # ungrouped aggregate over zero rows still yields one all-NULL row
+        if not self.group_exprs and not states:
+            states[()] = [new_state(inst) for inst in self.aggs]
+            displays[()] = ()
+        from ..ops.preagg import AGG_CATALOG
+        rows = []
+        for ck, st in states.items():
+            kvals = displays[ck]
+            avals = tuple(AGG_CATALOG[(inst.aggname, inst.family)].final(s)
+                          for inst, s in zip(self.aggs, st))
+            rows.append(kvals + avals)
+        return rows
+
+
+def _next_pow2(n: int) -> int:
+    p = 1024
+    while p < n:
+        p <<= 1
+    return p

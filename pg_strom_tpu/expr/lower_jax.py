@@ -101,8 +101,14 @@ class Lowerer:
             planes = self.cols[e.index]
             meta = self.schema[e.index]
             if meta.type is T.NUMERIC:
-                return DVal(T.NUMERIC, planes[0], planes[1], planes[2])
-            return DVal(meta.type, planes[0], planes[1])
+                v = DVal(T.NUMERIC, planes[0], planes[1], planes[2])
+                if len(planes) >= 4:  # display-scale plane (aggregation uses it)
+                    v.dscale_lane = planes[3]
+                return v
+            v = DVal(meta.type, planes[0], planes[1])
+            if meta.type is T.FLOAT8 and len(planes) >= 3:
+                v.bits = planes[2]  # exact IEEE bits (see planes_of_column)
+            return v
         if isinstance(e, FuncExpr):
             return self._lower_func(e, live)
         if isinstance(e, BoolExpr):
@@ -431,11 +437,26 @@ class Lowerer:
             mb = b.data * jnp.where(exact, pb, jnp.int64(1))
             d = _cmp_from_lt_eq(tag, ma < mb, ma == mb)
             return DVal(T.BOOL, d, valid)
-        x, y = a.data, b.data
-        if x.dtype != y.dtype:
-            ct = jnp.promote_types(x.dtype, y.dtype)
-            x = x.astype(ct)
-            y = y.astype(ct)
+        # float8: when both sides carry exact IEEE bits (plain columns /
+        # consts), compare via the integer total-order map — bit-exact even
+        # though device f64 values are emulated and lossy
+        ab = getattr(a, "bits", None)
+        bb = getattr(b, "bits", None)
+        if a.t is T.FLOAT8 and ab is not None and bb is not None:
+            x, y = _f64_orderkey(ab), _f64_orderkey(bb)
+        else:
+            x, y = a.data, b.data
+            if x.dtype != y.dtype:
+                ct = jnp.promote_types(x.dtype, y.dtype)
+                x = x.astype(ct)
+                y = y.astype(ct)
+            if a.t in (T.FLOAT4, T.FLOAT8):
+                # PG float comparison (float8_cmp_internal): NaN == NaN and
+                # NaN > everything — emulate on value lanes
+                xn, yn = jnp.isnan(x), jnp.isnan(y)
+                lt = jnp.where(xn | yn, (~xn) & yn, x < y)
+                eq = jnp.where(xn | yn, xn & yn, x == y)
+                return DVal(T.BOOL, _cmp_from_lt_eq(tag, lt, eq), valid)
         d = {"eq": x == y, "ne": x != y, "lt": x < y, "le": x <= y,
              "gt": x > y, "ge": x >= y}[tag]
         return DVal(T.BOOL, d, valid)
@@ -608,6 +629,20 @@ class Lowerer:
         return DVal(t, x >> sh, valid)
 
 
+def _f64_orderkey(bits: jnp.ndarray) -> jnp.ndarray:
+    """Map IEEE-754 double bits (int64) to int64 keys with PG float ordering:
+    total order, -0 == +0, NaN equal to NaN and greater than everything."""
+    b = bits.astype(jnp.int64)
+    # canonicalize -0.0 -> +0.0 and all NaNs -> +quiet-NaN bit pattern
+    b = jnp.where(b == jnp.int64(-(1 << 63)), jnp.int64(0), b)
+    expmask = jnp.int64(0x7FF0000000000000)
+    frac = b & jnp.int64(0x000FFFFFFFFFFFFF)
+    is_nan = ((b & expmask) == expmask) & (frac != 0)
+    b = jnp.where(is_nan, jnp.int64(0x7FF8000000000000), b)
+    neg = b < 0
+    return jnp.where(neg, jnp.int64(-1) - (b & jnp.int64(0x7FFFFFFFFFFFFFFF)), b)
+
+
 def _select(mask: jnp.ndarray, a: DVal, b: DVal) -> DVal:
     """where(mask, a, b) lane-wise; a and b must share type."""
     exp = None
@@ -637,9 +672,17 @@ def schema_from_chunk_columns(names: Sequence[str], cols) -> list[ColMeta]:
 
 
 def planes_of_column(c) -> tuple:
-    """Runtime plane tuple for one datastore Column (host ndarrays)."""
+    """Runtime plane tuple for one datastore Column (host ndarrays).
+
+    FLOAT8 carries a third plane: the raw IEEE-754 bits as int64.  TPU f64 is
+    double-float *emulation* with ~47-bit precision and float32 exponent
+    range, so the f64 value plane is lossy; the bits plane lets comparisons,
+    grouping, join keys and min/max run bit-exactly via integer ordering
+    (sign-flip trick) while arithmetic uses the emulated value lanes."""
     if c.type is T.NUMERIC:
-        return (c.data, c.valid, c.num_exp)
+        return (c.data, c.valid, c.num_exp, c.num_dscale)
+    if c.type is T.FLOAT8:
+        return (c.data, c.valid, c.data.view(np.int64))
     return (c.data, c.valid)
 
 

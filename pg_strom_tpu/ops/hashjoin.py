@@ -1,0 +1,192 @@
+"""Equi hash join: device build + streamed probe.
+
+The GpuHashJoin/MultiHash analog (reference gpuhashjoin.c 5073 LoC +
+opencl_hashjoin.h).  Architecture mapping:
+
+  reference                                  TPU-native
+  -----------------------------------        ----------------------------------
+  host-side CRC32 chained-bucket build       device sorted-bucket build: sort
+  (multihash_preload_khashtable,             build rows by bucket id, bucket
+   gpuhashjoin.c:3614-3816)                  offsets via searchsorted — no
+                                             chains, no atomics
+  hash table DMA'd once per device, reused   build arrays live in HBM across
+  across in-flight chunks (4497-4555)        all probe chunks (jax arrays)
+  two-phase kernel: count matches ->         same two phases, vectorized:
+  stairlike prefix sum -> write              bounded-chain gather loop, cumsum,
+  (opencl_hashjoin.h:284-416)                scatter
+  StromError_DataStoreNoSpace -> server      nout > out-capacity -> executor
+  regrows dest KDS and re-enqueues           re-dispatches with 2x capacity
+  (gpuhashjoin.c:4323-4425)                  (compile cached per capacity)
+
+Bucket chains longer than `max_chain` (config.join_max_bucket_probe) flag
+CPU_RECHECK and the chunk falls back to the exact host join — same
+graceful-degradation contract as everything else.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..sqltypes import T
+from ..errors import ERR_CPU_RECHECK
+from ..expr.ir import Expr
+from ..expr.lower_jax import Lowerer, DVal, ColMeta
+from .hashing import hash_column, combine_hashes
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+@dataclasses.dataclass
+class HashTable:
+    """Device-resident sorted-bucket hash table over the build side."""
+    nbuckets: int
+    bucket_start: jnp.ndarray      # int32[nbuckets+1]
+    order: jnp.ndarray             # int32[cap]: sorted position -> build row
+    key_planes: tuple              # sorted key DVal planes per key expr
+    key_types: tuple[T, ...]
+    nbuild: int                    # live build rows
+
+
+def build_hash_table(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
+                     pred: Optional[Expr] = None) -> Callable:
+    """Build-side kernel: f(cols, nrows) -> pytree of table arrays.
+
+    Rows with NULL in any join key never match (SQL equi-join semantics), so
+    they are excluded from buckets entirely."""
+    key_exprs = list(key_exprs)
+
+    def f(cols: tuple, nrows):
+        n = cols[0][0].shape[0] if cols else 0
+        nbuckets = _next_pow2(max(2 * n, 16))
+        live = jnp.arange(n, dtype=jnp.int32) < nrows
+        lw = Lowerer(schema, cols, live)
+        mask = live
+        if pred is not None:
+            pv = lw.lower(pred, live)
+            mask = live & pv.valid & pv.data.astype(jnp.bool_)
+        keys = [lw.lower(k, mask) for k in key_exprs]
+        allvalid = mask
+        for k in keys:
+            allvalid = allvalid & k.valid
+        hs = [hash_column(k.t, k.data, k.valid,
+                          k.exp if k.t is T.NUMERIC else None) for k in keys]
+        h = combine_hashes(hs)
+        bucket = (h & jnp.uint64(nbuckets - 1)).astype(jnp.int32)
+        bucket = jnp.where(allvalid, bucket, jnp.int32(nbuckets))
+        order = jnp.argsort(bucket, stable=True).astype(jnp.int32)
+        bsorted = bucket[order]
+        edges = jnp.arange(nbuckets + 1, dtype=jnp.int32)
+        bucket_start = jnp.searchsorted(bsorted, edges, side="left").astype(jnp.int32)
+        key_planes = []
+        for k in keys:
+            planes = [k.data[order], k.valid[order]]
+            if k.t is T.NUMERIC:
+                planes.append(k.exp[order])
+            key_planes.append(tuple(planes))
+        return {"bucket_start": bucket_start, "order": order,
+                "key_planes": tuple(key_planes),
+                "nbuild": jnp.sum(allvalid.astype(jnp.int32)),
+                "err": jnp.max(jnp.where(live, lw.err, jnp.uint8(0)))}
+
+    return f
+
+
+def _keys_match(probe_keys: list[DVal], ht_key_planes: tuple,
+                key_types: tuple, j: jnp.ndarray) -> jnp.ndarray:
+    """probe row lanes vs build rows at sorted positions j (lane-wise)."""
+    ok = None
+    for pk, planes, t in zip(probe_keys, ht_key_planes, key_types):
+        bdata = planes[0][j]
+        bvalid = planes[1][j]
+        pd = pk.data
+        if t in (T.FLOAT4, T.FLOAT8):
+            pd0 = jnp.where(pd == 0, jnp.zeros_like(pd), pd)
+            bd0 = jnp.where(bdata == 0, jnp.zeros_like(bdata), bdata)
+            same = pd0 == bd0  # NaN != NaN: SQL '=' semantics (no match)
+        else:
+            same = pd == bdata
+        if t is T.NUMERIC:
+            same = same & (pk.exp == planes[2][j])
+        e = pk.valid & bvalid & same
+        ok = e if ok is None else (ok & e)
+    return ok
+
+
+def build_probe_fn(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
+                   key_types: tuple, nbuckets: int, max_chain: int,
+                   out_cap: int, pred: Optional[Expr] = None) -> Callable:
+    """Probe kernel: f(ht_arrays, cols, nrows) ->
+       (probe_idx[out_cap], build_row[out_cap], nout, err).
+
+    Two-phase count-then-write with a bounded per-bucket scan; chains longer
+    than max_chain or nout > out_cap are flagged (executor grows/falls back).
+    """
+    key_exprs = list(key_exprs)
+
+    def f(ht: dict, cols: tuple, nrows):
+        n = cols[0][0].shape[0] if cols else 0
+        live = jnp.arange(n, dtype=jnp.int32) < nrows
+        lw = Lowerer(schema, cols, live)
+        mask = live
+        if pred is not None:
+            pv = lw.lower(pred, live)
+            mask = live & pv.valid & pv.data.astype(jnp.bool_)
+        keys = [lw.lower(k, mask) for k in key_exprs]
+        allvalid = mask
+        for k in keys:
+            allvalid = allvalid & k.valid
+        hs = [hash_column(k.t, k.data, k.valid,
+                          k.exp if k.t is T.NUMERIC else None) for k in keys]
+        h = combine_hashes(hs)
+        bucket = (h & jnp.uint64(nbuckets - 1)).astype(jnp.int32)
+        bucket = jnp.where(allvalid, bucket, jnp.int32(nbuckets - 1))
+        start = ht["bucket_start"][bucket]
+        end = ht["bucket_start"][bucket + 1]
+        blen = jnp.where(allvalid, end - start, 0)
+        # chains longer than the bounded scan: defer chunk to host
+        too_long = jnp.any(blen > max_chain)
+        err = jnp.maximum(jnp.max(jnp.where(live, lw.err, jnp.uint8(0))),
+                          jnp.where(too_long, jnp.uint8(ERR_CPU_RECHECK),
+                                    jnp.uint8(0)))
+
+        bs_max = ht["order"].shape[0]
+
+        def match_at(k: int):
+            j = jnp.clip(start + k, 0, max(bs_max - 1, 0))
+            in_b = allvalid & (k < blen)
+            return in_b & _keys_match(keys, ht["key_planes"], key_types, j), j
+
+        # phase 1: count
+        counts = jnp.zeros(n, dtype=jnp.int32)
+        for k in range(max_chain):
+            m, _ = match_at(k)
+            counts = counts + m.astype(jnp.int32)
+        pos = jnp.cumsum(counts) - counts      # exclusive prefix
+        nout = jnp.sum(counts)
+
+        # phase 2: write pairs
+        probe_idx = jnp.full(out_cap, n, dtype=jnp.int32)
+        build_row = jnp.full(out_cap, bs_max, dtype=jnp.int32)
+        written = jnp.zeros(n, dtype=jnp.int32)
+        src = jnp.arange(n, dtype=jnp.int32)
+        for k in range(max_chain):
+            m, j = match_at(k)
+            w = pos + written
+            tgt = jnp.where(m & (w < out_cap), w, out_cap)
+            probe_idx = probe_idx.at[tgt].set(src, mode="drop")
+            build_row = build_row.at[tgt].set(ht["order"][j], mode="drop")
+            written = written + m.astype(jnp.int32)
+
+        return probe_idx, build_row, nout, err
+
+    return f

@@ -192,6 +192,16 @@ def cmp_values(a: Any, b: Any) -> int:
     if isinstance(a, str) and isinstance(b, str):
         ab, bb = a.encode(), b.encode()  # C collation: bytewise
         return -1 if ab < bb else (1 if ab > bb else 0)
+    # PG float/numeric ordering: NaN equals NaN and sorts above everything
+    # (float8_cmp_internal / numeric comparison semantics)
+    a_nan = (isinstance(a, float) and math.isnan(a)) or \
+            (isinstance(a, Decimal) and a.is_nan())
+    b_nan = (isinstance(b, float) and math.isnan(b)) or \
+            (isinstance(b, Decimal) and b.is_nan())
+    if a_nan or b_nan:
+        if a_nan and b_nan:
+            return 0
+        return 1 if a_nan else -1
     if a < b:
         return -1
     if a > b:

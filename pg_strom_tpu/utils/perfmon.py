@@ -1,0 +1,67 @@
+"""Per-query performance counters.
+
+The pgstrom_perfmon analog (reference pg_strom.h:174-213, harvested from
+OpenCL event profiling in every respond callback and printed under
+EXPLAIN ANALYZE when pg_strom.perfmon=on, main.c:441-660).  Here the phases
+are: host chunk prep, device dispatch, device wait (async window drain),
+result materialization, CPU-fallback replay; byte counters track logical
+H2D/D2H traffic.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Iterator
+
+from ..config import config
+
+
+class Perfmon:
+    def __init__(self) -> None:
+        self.times: dict[str, float] = defaultdict(float)
+        self.counts: dict[str, int] = defaultdict(int)
+        self.bytes: dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def timer(self, phase: str) -> Iterator[None]:
+        if not config.perfmon:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.times[phase] += time.perf_counter() - t0
+            self.counts[phase] += 1
+
+    def bump(self, counter: str, n: int = 1) -> None:
+        self.counts[counter] += n
+
+    def add_bytes(self, channel: str, n: int) -> None:
+        if config.perfmon:
+            self.bytes[channel] += n
+
+    def merge(self, other: "Perfmon") -> None:
+        for k, v in other.times.items():
+            self.times[k] += v
+        for k, v in other.counts.items():
+            self.counts[k] += v
+        for k, v in other.bytes.items():
+            self.bytes[k] += v
+
+    def report_lines(self) -> list[str]:
+        out = []
+        for phase, t in sorted(self.times.items()):
+            n = self.counts.get(phase, 0)
+            avg = t / n if n else 0.0
+            out.append(f"{phase}: total {t*1e3:.3f}ms, calls {n}, avg {avg*1e3:.3f}ms")
+        for ch, b in sorted(self.bytes.items()):
+            t = self.times.get("dispatch" if ch == "h2d" else "device_wait", 0.0)
+            bw = (b / t / 1e9) if t > 0 else 0.0
+            out.append(f"{ch}: {b/1e6:.2f}MB" + (f", {bw:.2f}GB/s" if bw else ""))
+        for c in ("device_chunks", "recheck_chunks"):
+            if self.counts.get(c):
+                out.append(f"{c}: {self.counts[c]}")
+        return out
