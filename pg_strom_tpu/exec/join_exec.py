@@ -52,8 +52,11 @@ class HashJoinExecutor:
                  out_probe_cols: Sequence[str], out_build_cols: Sequence[str],
                  probe_pred: Optional[Expr] = None,
                  build_pred: Optional[Expr] = None,
-                 probe_alias: str = "o", build_alias: str = "i",
+                 probe_alias: Optional[str] = "o",
+                 build_alias: Optional[str] = "i",
                  perfmon: Perfmon | None = None):
+        # alias=None => output columns keep their source names (planner
+        # pre-renames tables to "alias.col", so names are already unique)
         self.probe = probe
         self.build = build
         self.probe_keys = list(probe_keys)
@@ -66,6 +69,12 @@ class HashJoinExecutor:
         self.build_alias = build_alias
         self.perfmon = perfmon or Perfmon()
         self._host_ht: dict | None = None
+
+    def _pname(self, c: str) -> str:
+        return c if self.probe_alias is None else f"{self.probe_alias}.{c}"
+
+    def _bname(self, c: str) -> str:
+        return c if self.build_alias is None else f"{self.build_alias}.{c}"
 
     # -- device build --------------------------------------------------------
 
@@ -85,8 +94,8 @@ class HashJoinExecutor:
 
     def run(self) -> Table:
         out_rows_np: list[dict[str, list]] = []
-        collected = {f"{self.probe_alias}.{c}": [] for c in self.out_probe_cols}
-        collected.update({f"{self.build_alias}.{c}": [] for c in self.out_build_cols})
+        collected = {self._pname(c): [] for c in self.out_probe_cols}
+        collected.update({self._bname(c): [] for c in self.out_build_cols})
 
         use_device = (config.enabled and config.enable_tpuhashjoin
                       and self._device_ok() and self.build.nrows > 0)
@@ -178,18 +187,21 @@ class HashJoinExecutor:
         for c in self.out_probe_cols:
             col = chunk.columns[c]
             vals = _gather_host(col, probe_idx)
-            collected[f"{self.probe_alias}.{c}"].append((col, vals))
+            collected[self._pname(c)].append((col, vals))
         for c in self.out_build_cols:
             col = self.build.columns[c]
             vals = _gather_host_build(col, build_row)
-            collected[f"{self.build_alias}.{c}"].append((col, vals))
+            collected[self._bname(c)].append((col, vals))
 
     def _to_table(self, collected: dict[str, list]) -> Table:
         cols: dict[str, Column] = {}
+        probe_names = {self._pname(c): c for c in self.out_probe_cols}
         for name, pieces in collected.items():
-            side_alias, cname = name.split(".", 1)
-            src = (self.probe if side_alias == self.probe_alias else self.build)
-            ctype = src.columns[cname].type
+            if name in probe_names:
+                ctype = self.probe.columns[probe_names[name]].type
+            else:
+                bname = {self._bname(c): c for c in self.out_build_cols}[name]
+                ctype = self.build.columns[bname].type
             values: list = []
             for piece in pieces:
                 if isinstance(piece, tuple):
@@ -238,9 +250,9 @@ class HashJoinExecutor:
                 for c in self.out_build_cols:
                     bvals[c].append(self.build.columns[c].get(bi))
         for c in self.out_probe_cols:
-            collected[f"{self.probe_alias}.{c}"].append((None, pvals[c]))
+            collected[self._pname(c)].append((None, pvals[c]))
         for c in self.out_build_cols:
-            collected[f"{self.build_alias}.{c}"].append((None, bvals[c]))
+            collected[self._bname(c)].append((None, bvals[c]))
 
     def _host_join_all(self, collected: dict[str, list]) -> None:
         for chunk in self.probe.chunks():

@@ -1,0 +1,101 @@
+"""Streaming scan executor: device filter + row materialization.
+
+The GpuScan execution path (reference §3.3): chunked load -> device qual
+kernel -> compacted row indexes -> materialize matching rows.  Chunks whose
+error lane fires are replayed with exact host predicate evaluation
+(gpuscan_next_tuple negative-rindex CPU recheck analog, gpuscan.c:999-1056).
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import jax
+
+from ..config import config
+from ..datastore import Table, Chunk
+from ..expr.ir import Expr
+from ..expr.catalog import device_expression_supported
+from ..expr.eval_cpu import eval_expr_cpu
+from ..expr.lower_jax import schema_from_chunk_columns, planes_of_column
+from ..ops.filter import build_filter_compact_fn
+from ..utils.perfmon import Perfmon
+
+_JIT_CACHE: dict[Any, Any] = {}
+
+
+class ScanExecutor:
+    """Yields global row indexes of `table` passing `pred` (None = all)."""
+
+    def __init__(self, table: Table, pred: Optional[Expr],
+                 perfmon: Perfmon | None = None):
+        self.table = table
+        self.pred = pred
+        self.perfmon = perfmon or Perfmon()
+
+    def row_indexes(self) -> list[int]:
+        t = self.table
+        if t.nrows == 0:
+            return []
+        if self.pred is None:
+            return list(range(t.nrows))
+        use_device = (config.enabled and config.enable_tpuscan
+                      and device_expression_supported(self.pred))
+        out: list[int] = []
+        pm = self.perfmon
+        if not use_device:
+            for chunk in t.chunks():
+                with pm.timer("cpu_fallback"):
+                    out.extend(self._replay(chunk))
+            return out
+        names = t.column_names
+        fn = None
+        window: collections.deque = collections.deque()
+        for chunk in t.chunks():
+            if chunk.row_recheck.any():
+                with pm.timer("cpu_fallback"):
+                    out.extend(self._replay(chunk))
+                continue
+            if fn is None:
+                schema = schema_from_chunk_columns(
+                    names, [chunk.columns[n] for n in names])
+                key = ("scan", tuple((m.name, m.type, m.dict_id) for m in schema),
+                       self.pred, chunk.capacity)
+                fn = _JIT_CACHE.get(key)
+                if fn is None:
+                    fn = jax.jit(build_filter_compact_fn(self.pred, schema))
+                    _JIT_CACHE[key] = fn
+            planes = tuple(planes_of_column(chunk.columns[n]) for n in names)
+            with pm.timer("dispatch"):
+                res = fn(planes, np.int32(chunk.nrows))
+            window.append((chunk, res))
+            if len(window) >= config.max_async_chunks:
+                out.extend(self._consume(*window.popleft()))
+        while window:
+            out.extend(self._consume(*window.popleft()))
+        return out
+
+    def _consume(self, chunk: Chunk, res) -> list[int]:
+        pm = self.perfmon
+        with pm.timer("device_wait"):
+            row_ids, nmatch, err = res
+            err = int(err)
+        if err != 0:
+            pm.bump("recheck_chunks")
+            with pm.timer("cpu_fallback"):
+                return self._replay(chunk)
+        pm.bump("device_chunks")
+        n = int(nmatch)
+        ids = np.asarray(row_ids[:n])
+        return [chunk.start + int(i) for i in ids]
+
+    def _replay(self, chunk: Chunk) -> list[int]:
+        names = self.table.column_names
+        cols = [chunk.columns[n] for n in names]
+        out = []
+        for i in range(chunk.nrows):
+            if eval_expr_cpu(self.pred, lambda s: cols[s].get(i)) is True:
+                out.append(chunk.start + i)
+        return out

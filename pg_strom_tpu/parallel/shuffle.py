@@ -1,0 +1,244 @@
+"""SPMD shuffle hash-join + grouped aggregation over a device mesh.
+
+Dataflow of one distributed step (everything inside one jitted shard_map —
+XLA schedules the all_to_alls on ICI and overlaps them with local compute):
+
+  per device: local probe shard, local build shard
+    1. partition: bucket rows by hash(key) mod ndev (sort + searchsorted,
+       the same sorted-bucket machinery as the local hash join)
+    2. exchange:  lax.all_to_all both sides -> every key now lives on
+       exactly one device
+    3. local join: sorted-bucket build + bounded-chain probe (ops/hashjoin
+       algorithm, re-instantiated on the received shards)
+    4. local partial aggregate: segment reductions by group key
+    5. re-aggregate: second (tiny) all_to_all shuffling group partials by
+       hash(group) so each group's total lands on one device
+
+Fixed-capacity partition buckets keep shapes static; overflowing a bucket
+sets the per-device `ovf` flag (the executor repartitions with a larger
+factor — the distributed analog of the DataStoreNoSpace regrow).  Key skew
+beyond bucket capacity is detected the same way.
+
+This layer works on pre-projected key/payload lanes (int64 keys — any SQL
+key type reduces to canonical int64 bits via the hashing/orderkey machinery).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from .mesh import get_mesh  # noqa: F401  (re-export convenience)
+
+
+def _mix64(x):
+    x = x.astype(jnp.uint64)
+    x = (x ^ (x >> 30)) * jnp.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> 27)) * jnp.uint64(0x94D049BB133111EB)
+    return x ^ (x >> 31)
+
+
+def _partition_lanes(lanes: tuple, key: jnp.ndarray, valid: jnp.ndarray,
+                     ndev: int, bucket_cap: int):
+    """Sort local rows into ndev fixed-capacity buckets by hash(key)%ndev.
+
+    Returns (bucketed lanes each [ndev, bucket_cap], counts [ndev], ovf)."""
+    n = key.shape[0]
+    part = (_mix64(key) % jnp.uint64(ndev)).astype(jnp.int32)
+    part = jnp.where(valid, part, jnp.int32(ndev))     # dead rows to the end
+    order = jnp.argsort(part, stable=True)
+    psorted = part[order]
+    edges = jnp.arange(ndev + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(psorted, edges, side="left").astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]
+    ovf = jnp.any(counts > bucket_cap)
+    # position within bucket
+    pos_in_bucket = jnp.arange(n, dtype=jnp.int32) - starts[jnp.clip(psorted, 0, ndev - 1)]
+    dest = jnp.where((psorted < ndev) & (pos_in_bucket < bucket_cap),
+                     psorted * bucket_cap + pos_in_bucket,
+                     ndev * bucket_cap)
+    out = []
+    for lane in lanes:
+        src = lane[order]
+        buf = jnp.zeros(ndev * bucket_cap, dtype=lane.dtype).at[dest].set(
+            src, mode="drop")
+        out.append(buf.reshape(ndev, bucket_cap))
+    vb = jnp.zeros(ndev * bucket_cap, dtype=jnp.bool_).at[dest].set(
+        valid[order], mode="drop").reshape(ndev, bucket_cap)
+    return tuple(out), vb, counts, ovf
+
+
+def _local_hash_join(pkey, pval, pvalid, bkey, bpay, bvalid, nbuckets: int,
+                     max_chain: int):
+    """Sorted-bucket join on local shards.  Returns per-probe-row first-match
+    fan-out lanes: (matched mask [n, max_chain], build payload [n, max_chain])
+    flattened — join output = all (probe, build) matched pairs."""
+    nb = bkey.shape[0]
+    bucket = (_mix64(bkey) % jnp.uint64(nbuckets)).astype(jnp.int32)
+    bucket = jnp.where(bvalid, bucket, jnp.int32(nbuckets))
+    order = jnp.argsort(bucket, stable=True)
+    bsorted = bucket[order]
+    bkey_s = bkey[order]
+    bpay_s = bpay[order]
+    edges = jnp.arange(nbuckets + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(bsorted, edges, side="left").astype(jnp.int32)
+
+    pb = (_mix64(pkey) % jnp.uint64(nbuckets)).astype(jnp.int32)
+    pb = jnp.where(pvalid, pb, jnp.int32(nbuckets - 1))
+    s = starts[pb]
+    e = starts[pb + 1]
+    blen = jnp.where(pvalid, e - s, 0)
+    ovf = jnp.any(blen > max_chain)
+
+    ms, pays = [], []
+    for k in range(max_chain):
+        j = jnp.clip(s + k, 0, max(nb - 1, 0))
+        m = pvalid & (k < blen) & (pkey == bkey_s[j])
+        ms.append(m)
+        pays.append(bpay_s[j])
+    matched = jnp.stack(ms, axis=1)        # [n, max_chain]
+    paym = jnp.stack(pays, axis=1)
+    return matched, paym, ovf
+
+
+def _local_group_partials(gkey, val, valid, G: int):
+    """Segment partial aggregation by key into G slots: count / sum / min /
+    max per group; returns (keys[G], kvalid[G], count[G], sum[G], ...)."""
+    n = gkey.shape[0]
+    hk = _mix64(gkey).astype(jnp.int64) & ((1 << 62) - 1)
+    hk = jnp.where(valid, hk, jnp.int64(1 << 62))
+    order = jnp.argsort(hk, stable=True)
+    ks = gkey[order]
+    vs = val[order]
+    ok = valid[order]
+    same = jnp.concatenate([jnp.zeros(1, dtype=jnp.bool_),
+                            (ks[1:] == ks[:-1]) & ok[1:] & ok[:-1]])
+    new_seg = ok & ~same
+    seg = jnp.clip(jnp.cumsum(new_seg.astype(jnp.int32)) - 1, 0, G - 1)
+    ngroups = jnp.sum(new_seg.astype(jnp.int32))
+    ovf = ngroups > G
+    cnt = jax.ops.segment_sum(ok.astype(jnp.int64), seg, num_segments=G)
+    sm = jax.ops.segment_sum(jnp.where(ok, vs, 0.0), seg, num_segments=G)
+    pos = jnp.where(new_seg, jnp.arange(n, dtype=jnp.int64), jnp.int64(1 << 62))
+    first = jnp.clip(jax.ops.segment_min(pos, seg, num_segments=G),
+                     0, max(n - 1, 0)).astype(jnp.int32)
+    gkeys = ks[first]
+    gvalid = jnp.arange(G, dtype=jnp.int32) < ngroups
+    return gkeys, gvalid, cnt, sm, ovf
+
+
+def build_shuffle_join_agg_step(mesh: Mesh, axis: str = "dp",
+                                bucket_cap: int = 1024,
+                                nbuckets: int = 4096,
+                                max_chain: int = 8,
+                                G: int = 512) -> Callable:
+    """Jitted distributed step over `mesh`:
+
+      f(probe_key[Np], probe_val[Np], probe_valid[Np],
+        build_key[Nb], build_pay[Nb], build_valid[Nb])
+        -> (group_keys [ndev*G], group_valid, count, sum, ovf)
+
+    Inputs are sharded on their leading axis; outputs are the per-device
+    disjoint group partials after the re-aggregation shuffle (each group's
+    total lives on exactly one device)."""
+    ndev = mesh.shape[axis]
+
+    def step(pkey, pval, pvalid, bkey, bpay, bvalid):
+        # ---- phase 1+2: partition and exchange both sides over ICI -------
+        (pk_b, pv_b), pvalid_b, _, povf = _partition_lanes(
+            (pkey, pval), pkey, pvalid, ndev, bucket_cap)
+        (bk_b, bp_b), bvalid_b, _, bovf = _partition_lanes(
+            (bkey, bpay), bkey, bvalid, ndev, bucket_cap)
+        pk_x = jax.lax.all_to_all(pk_b, axis, 0, 0, tiled=False)
+        pv_x = jax.lax.all_to_all(pv_b, axis, 0, 0, tiled=False)
+        pva_x = jax.lax.all_to_all(pvalid_b, axis, 0, 0, tiled=False)
+        bk_x = jax.lax.all_to_all(bk_b, axis, 0, 0, tiled=False)
+        bp_x = jax.lax.all_to_all(bp_b, axis, 0, 0, tiled=False)
+        bva_x = jax.lax.all_to_all(bvalid_b, axis, 0, 0, tiled=False)
+        pk_l = pk_x.reshape(-1)
+        pv_l = pv_x.reshape(-1)
+        pva_l = pva_x.reshape(-1)
+        bk_l = bk_x.reshape(-1)
+        bp_l = bp_x.reshape(-1)
+        bva_l = bva_x.reshape(-1)
+
+        # ---- phase 3: local join ----------------------------------------
+        matched, pay_m, jovf = _local_hash_join(
+            pk_l, pv_l, pva_l, bk_l, bp_l, bva_l, nbuckets, max_chain)
+        # join output lanes: probe val + build payload per matched pair
+        n, mc = matched.shape
+        jkey = jnp.broadcast_to(pk_l[:, None], (n, mc)).reshape(-1)
+        # aggregate value uses both sides (sum of probe_val * build_payload)
+        jval = (jnp.broadcast_to(pv_l[:, None], (n, mc)) *
+                pay_m.astype(jnp.float64)).reshape(-1)
+        jvalid = matched.reshape(-1)
+
+        # ---- phase 4: local partial aggregate by join key ----------------
+        gk, gv, cnt, sm, govf = _local_group_partials(jkey, jval, jvalid, G)
+
+        # ---- phase 5: re-aggregate partials across devices ---------------
+        # shuffle group partials by hash(group key) so totals are exact
+        (gk_b, cnt_b, sm_b), gvb, _, rovf = _partition_lanes(
+            (gk, cnt, sm), gk, gv, ndev, G)
+        gk_x = jax.lax.all_to_all(gk_b, axis, 0, 0).reshape(-1)
+        cnt_x = jax.lax.all_to_all(cnt_b, axis, 0, 0).reshape(-1)
+        sm_x = jax.lax.all_to_all(sm_b, axis, 0, 0).reshape(-1)
+        gv_x = jax.lax.all_to_all(gvb, axis, 0, 0).reshape(-1)
+        fk, fv, fcnt, fsum_cnt, fovf = _local_group_partials(
+            gk_x, cnt_x.astype(jnp.float64), gv_x, G)
+        _, _, _, fsum_val, _ = _local_group_partials(gk_x, sm_x, gv_x, G)
+
+        ovf = povf | bovf | jovf | govf | rovf | fovf
+        return fk, fv, fsum_cnt.astype(jnp.int64), fsum_val, ovf.reshape(1)
+
+    specs = P(axis)
+    f = shard_map(step, mesh=mesh,
+                  in_specs=(specs,) * 6,
+                  out_specs=(specs, specs, specs, specs, P(axis)))
+    return jax.jit(f)
+
+
+def pad_shards(arr: np.ndarray, ndev: int, fill=0) -> np.ndarray:
+    """Pad the leading axis to a multiple of ndev (shard_map requirement)."""
+    n = arr.shape[0]
+    m = (-n) % ndev
+    if m == 0:
+        return arr
+    pad = np.full((m,) + arr.shape[1:], fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def run_shuffle_join_agg(step, ndev: int, pkey, pval, pvalid,
+                         bkey, bpay, bvalid):
+    """Pad inputs to ndev multiples (padding rows valid=False) and run."""
+    return step(pad_shards(np.asarray(pkey), ndev),
+                pad_shards(np.asarray(pval, dtype=np.float64), ndev),
+                pad_shards(np.asarray(pvalid, dtype=bool), ndev, fill=False),
+                pad_shards(np.asarray(bkey), ndev),
+                pad_shards(np.asarray(bpay), ndev),
+                pad_shards(np.asarray(bvalid, dtype=bool), ndev, fill=False))
+
+
+def host_merge_group_partials(fk, fv, fcnt, fsum):
+    """Collect the per-device disjoint partials into {key: (count, sum)}."""
+    fk = np.asarray(fk)
+    fv = np.asarray(fv)
+    fcnt = np.asarray(fcnt)
+    fsum = np.asarray(fsum)
+    out: dict[int, tuple[int, float]] = {}
+    for k, v, c, s in zip(fk, fv, fcnt, fsum):
+        if not v or c == 0:
+            continue
+        kk = int(k)
+        if kk in out:  # only if a group straddled devices (shouldn't happen)
+            c0, s0 = out[kk]
+            out[kk] = (c0 + int(c), s0 + float(s))
+        else:
+            out[kk] = (int(c), float(s))
+    return out

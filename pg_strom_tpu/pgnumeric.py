@@ -51,7 +51,12 @@ def _weight_base10000(d: Decimal) -> int:
 def round_to_scale(d: Decimal, scale: int) -> Decimal:
     """PG numeric rounding: half away from zero at the given scale."""
     q = Decimal(1).scaleb(-scale)
-    return d.quantize(q, rounding=ROUND_HALF_UP)
+    # PG numeric spans up to 131072 digits before the point; size the
+    # context to the value instead of failing on huge magnitudes
+    need = max(d.adjusted() + scale + 20, 40) if d.is_finite() else 40
+    with localcontext() as ctx:
+        ctx.prec = min(max(need, ctx.prec), 200_000)
+        return d.quantize(q, rounding=ROUND_HALF_UP)
 
 
 def num_add(a: Decimal, b: Decimal) -> Decimal:

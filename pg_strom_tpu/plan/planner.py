@@ -1,0 +1,582 @@
+"""Query planner: bound AST -> physical plan -> execution.
+
+Mirrors the reference's planning decisions in standalone form:
+  qual split           dev_quals vs host_quals per relation
+                       (gpuscan.c:196-205 via codegen availability)
+  join planning        left-deep chains, equi-clauses pulled from WHERE for
+                       comma joins (gpuhashjoin.c clause split, 736-751)
+  aggregate rewrite    Aggrefs -> partial slots + host finalization
+                       (gpupreagg.c:1033+ catalog rewrite)
+  cost model           tpu_setup/operator/tuple cost vs cpu costs
+                       (main.c:167-198), debug_force flags override
+  EXPLAIN              plan-shape text (explain_agg corpus analog)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence
+
+from ..config import config
+from ..sqltypes import T
+from ..datastore import Table, Database, Column
+from ..errors import SqlError
+from ..expr.ir import (
+    Expr, Const, ColumnRef, FuncExpr, BoolExpr, NullTest, BooleanTest,
+    CaseExpr, CoalesceExpr, Aggref, Param, bind_columns, referenced_columns,
+    walk,
+)
+from ..expr.catalog import device_expression_supported
+from ..expr.eval_cpu import eval_expr_cpu
+from ..ops.preagg import AggInstance, lookup_agg
+from ..ops.sort import SortSpec
+from ..exec.preagg_exec import PreAggExecutor
+from ..exec.join_exec import HashJoinExecutor
+from ..exec.scan_exec import ScanExecutor
+from ..utils.perfmon import Perfmon
+from ..pgops import cmp_values
+from ..sql import parser as ast
+from .binder import Scope, bind_expr, BindError
+
+
+def rename_table(tbl: Table, alias: str) -> Table:
+    """View of tbl with columns named '<alias>.<col>' (shares Column data)."""
+    return Table(name=alias, columns={f"{alias}.{c}": col
+                                      for c, col in tbl.columns.items()})
+
+
+# ---------------------------------------------------------------------------
+# expression utilities
+# ---------------------------------------------------------------------------
+
+def conjuncts(e: Optional[Expr]) -> list[Expr]:
+    if e is None:
+        return []
+    if isinstance(e, BoolExpr) and e.op == "and":
+        out = []
+        for a in e.args:
+            out.extend(conjuncts(a))
+        return out
+    return [e]
+
+
+def and_all(es: Sequence[Expr]) -> Optional[Expr]:
+    es = list(es)
+    if not es:
+        return None
+    if len(es) == 1:
+        return es[0]
+    return BoolExpr(type=T.BOOL, op="and", args=tuple(es))
+
+
+def rels_of(e: Expr) -> set[str]:
+    return {c.split(".", 1)[0] for c in referenced_columns(e)}
+
+
+def contains_agg(e: Expr) -> bool:
+    return any(isinstance(n, Aggref) for n in walk(e))
+
+
+def replace_subtrees(e: Expr, mapping: dict[Expr, int]) -> Expr:
+    """Replace mapped subtrees with Param(idx) (for final projection eval)."""
+    if e in mapping:
+        return Param(type=e.type, index=mapping[e])
+    if isinstance(e, (FuncExpr, BoolExpr, CoalesceExpr)):
+        return dataclasses.replace(
+            e, args=tuple(replace_subtrees(a, mapping) for a in e.args))
+    if isinstance(e, (NullTest, BooleanTest)):
+        return dataclasses.replace(e, arg=replace_subtrees(e.arg, mapping))
+    if isinstance(e, CaseExpr):
+        return dataclasses.replace(
+            e,
+            whens=tuple((replace_subtrees(c, mapping), replace_subtrees(r, mapping))
+                        for c, r in e.whens),
+            orelse=None if e.orelse is None else replace_subtrees(e.orelse, mapping))
+    return e
+
+
+# ---------------------------------------------------------------------------
+# physical plan nodes (for EXPLAIN and execution)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PlanNode:
+    kind: str                   # TpuScan | SeqScan | TpuHashJoin | TpuPreAgg |
+                                # HostAgg | Sort | Limit | Result | Subquery
+    detail: dict
+    children: list["PlanNode"]
+
+    def render(self, indent: int = 0, verbose: bool = False) -> list[str]:
+        pad = " " * indent
+        arrow = "" if indent == 0 else "->  "
+        lines = [f"{pad}{arrow}{self.kind}" + self._head()]
+        for k, v in self.detail.items():
+            if k.startswith("_"):
+                continue
+            if not verbose and k in ("output",):
+                continue
+            lines.append(f"{pad}      {k}: {v}")
+        for c in self.children:
+            lines.extend(c.render(indent + 2, verbose))
+        return lines
+
+    def _head(self) -> str:
+        rel = self.detail.get("_rel")
+        return f" on {rel}" if rel else ""
+
+
+# ---------------------------------------------------------------------------
+# planned query
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PlannedQuery:
+    out_names: list[str]
+    out_types: list[T]
+    _run: Any               # () -> list[tuple]
+    root: PlanNode
+    perfmon: Perfmon
+
+    def execute(self) -> list[tuple]:
+        return self._run()
+
+    def explain(self, verbose: bool = False) -> str:
+        return "\n".join(self.root.render(0, verbose))
+
+
+def fmt_expr(e: Expr) -> str:
+    if isinstance(e, Const):
+        return "NULL" if e.value is None else repr(e.value)
+    if isinstance(e, ColumnRef):
+        return e.name
+    if isinstance(e, FuncExpr):
+        name = e.fname.split("::", 1)[0]
+        if name == "cast":
+            return f"({fmt_expr(e.args[0])})::{e.fname.split('::')[1]}"
+        if name == "neg":
+            return f"(- {fmt_expr(e.args[0])})"
+        if not name[0].isalpha():
+            return f"({fmt_expr(e.args[0])} {name} {fmt_expr(e.args[1])})"
+        return f"{name}({', '.join(fmt_expr(a) for a in e.args)})"
+    if isinstance(e, BoolExpr):
+        if e.op == "not":
+            return f"(NOT {fmt_expr(e.args[0])})"
+        return "(" + f" {e.op.upper()} ".join(fmt_expr(a) for a in e.args) + ")"
+    if isinstance(e, NullTest):
+        return f"({fmt_expr(e.arg)} IS {'NULL' if e.isnull else 'NOT NULL'})"
+    if isinstance(e, Aggref):
+        inner = "*" if e.star else ", ".join(fmt_expr(a) for a in e.args)
+        return f"{e.aggname}({inner})"
+    if isinstance(e, CaseExpr):
+        return "CASE ... END"
+    if isinstance(e, Param):
+        return f"$({e.index})"
+    if isinstance(e, CoalesceExpr):
+        return f"COALESCE({', '.join(fmt_expr(a) for a in e.args)})"
+    if isinstance(e, BooleanTest):
+        return f"({fmt_expr(e.arg)} {e.test.replace('_', ' ').upper()})"
+    return repr(e)
+
+
+# ---------------------------------------------------------------------------
+# planning
+# ---------------------------------------------------------------------------
+
+def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
+    perfmon = Perfmon()
+
+    # ---- FROM: resolve relations (subqueries planned recursively) ---------
+    rels: list[tuple[str, Any]] = []   # (alias, Table | thunk for subquery)
+    sub_plans: dict[str, PlannedQuery] = {}
+
+    def add_ref(tr: ast.TableRef):
+        if tr.subquery is not None:
+            alias = tr.alias or f"subquery{len(rels)}"
+            sub = plan_select(tr.subquery, db)
+            sub_plans[alias] = sub
+            rels.append((alias, sub))
+        else:
+            alias = tr.alias or tr.name
+            rels.append((alias, db.get(tr.name)))
+
+    for tr in stmt.frm:
+        add_ref(tr)
+    join_ons: list[Optional[Expr]] = []
+    for jc in stmt.joins:
+        add_ref(jc.table)
+
+    if not rels:
+        return _plan_table_less(stmt, db, perfmon)
+
+    def materialize_rel(alias, obj) -> Table:
+        if isinstance(obj, PlannedQuery):
+            rows = obj.execute()
+            cols = {}
+            for i, (nm, t) in enumerate(zip(obj.out_names, obj.out_types)):
+                from ..datastore import column_from_values
+                cols[nm] = column_from_values(t, [r[i] for r in rows])
+            return Table.from_columns(alias, cols)
+        return obj
+
+    # scope for binding uses (possibly un-executed) column layouts; for
+    # subqueries we need names/types only — build a shell table
+    def shell(alias, obj) -> Table:
+        if isinstance(obj, PlannedQuery):
+            from ..datastore import column_from_values
+            return Table.from_columns(alias, {
+                nm: column_from_values(t, [])
+                for nm, t in zip(obj.out_names, obj.out_types)})
+        return obj
+
+    scope = Scope(rels=[(a, shell(a, o)) for a, o in rels])
+
+    # ---- bind WHERE / JOIN ON / targets -----------------------------------
+    where = bind_expr(stmt.where, scope, allow_aggs=False) if stmt.where else None
+    if where is not None and where.type is not T.BOOL:
+        raise BindError("argument of WHERE must be type boolean")
+    on_conjs: list[Expr] = []
+    for jc in stmt.joins:
+        if jc.on is not None:
+            on_conjs.extend(conjuncts(bind_expr(jc.on, scope, allow_aggs=False)))
+
+    group_exprs = [bind_expr(g, scope, allow_aggs=False) for g in stmt.group_by]
+    items: list[tuple[str, Expr]] = []
+    for it in stmt.items:
+        if isinstance(it.expr, ast.AStar):
+            for nm, t in scope.all_columns(getattr(it.expr, "rel", None)):
+                items.append((nm.split(".", 1)[1], ColumnRef(type=t, name=nm)))
+            continue
+        e = bind_expr(it.expr, scope, allow_aggs=True)
+        name = it.alias or _default_name(it.expr, e)
+        items.append((name, e))
+    having = bind_expr(stmt.having, scope, allow_aggs=True) if stmt.having else None
+
+    has_aggs = (any(contains_agg(e) for _, e in items)
+                or bool(group_exprs)
+                or (having is not None and contains_agg(having)))
+
+    # group by ordinal / alias
+    resolved_groups: list[Expr] = []
+    for g, ga in zip(group_exprs, stmt.group_by):
+        if isinstance(ga, ast.ALiteral) and isinstance(ga.value, int) \
+                and not ga.is_string:
+            resolved_groups.append(items[ga.value - 1][1])
+        else:
+            resolved_groups.append(g)
+    group_exprs = resolved_groups
+
+    # order by: may reference aliases or ordinals
+    order_specs: list[tuple[Expr, bool, Optional[bool]]] = []
+    alias_map = {nm: e for nm, e in items}
+    for oi in stmt.order_by:
+        if isinstance(oi.expr, ast.ALiteral) and isinstance(oi.expr.value, int) \
+                and not oi.expr.is_string:
+            oe = items[oi.expr.value - 1][1]
+        elif isinstance(oi.expr, ast.AName) and len(oi.expr.parts) == 1 \
+                and oi.expr.parts[0] in alias_map:
+            oe = alias_map[oi.expr.parts[0]]
+        else:
+            oe = bind_expr(oi.expr, scope, allow_aggs=has_aggs)
+        order_specs.append((oe, oi.descending, oi.nulls_first))
+
+    # ---- qual classification ----------------------------------------------
+    all_conjs = conjuncts(where) + on_conjs
+    per_rel: dict[str, list[Expr]] = {a: [] for a, _ in rels}
+    join_equis: list[Expr] = []
+    post_join: list[Expr] = []
+    for cj in all_conjs:
+        rs = rels_of(cj)
+        if len(rs) <= 1:
+            if rs:
+                per_rel[next(iter(rs))].append(cj)
+            else:
+                post_join.append(cj)  # pseudo-constant qual
+        elif (len(rs) == 2 and isinstance(cj, FuncExpr)
+              and cj.fname.startswith("=::")
+              and isinstance(cj.args[0], ColumnRef)
+              and isinstance(cj.args[1], ColumnRef)):
+            join_equis.append(cj)
+        else:
+            post_join.append(cj)
+
+    # ---- execution closure -------------------------------------------------
+    plan_children: list[PlanNode] = []
+
+    def run() -> list[tuple]:
+        tables = {a: rename_table(materialize_rel(a, o), a) for a, o in rels}
+        current_alias_set = {rels[0][0]}
+        cur = tables[rels[0][0]]
+        cur_pred = and_all(per_rel[rels[0][0]])
+        pending_equis = list(join_equis)
+        # left-deep join chain in FROM order
+        for alias, _ in rels[1:]:
+            keys_l, keys_r = [], []
+            rest = []
+            for cj in pending_equis:
+                a0 = cj.args[0].name.split(".", 1)[0]
+                a1 = cj.args[1].name.split(".", 1)[0]
+                if a0 in current_alias_set and a1 == alias:
+                    keys_l.append(cj.args[0])
+                    keys_r.append(cj.args[1])
+                elif a1 in current_alias_set and a0 == alias:
+                    keys_l.append(cj.args[1])
+                    keys_r.append(cj.args[0])
+                else:
+                    rest.append(cj)
+            pending_equis = rest
+            if not keys_l:
+                raise SqlError(f"cross join with {alias} is not supported")
+            right = tables[alias]
+            lp = {n: i for i, n in enumerate(cur.column_names)}
+            rp = {n: i for i, n in enumerate(right.column_names)}
+            jx = HashJoinExecutor(
+                cur, right,
+                [bind_columns(k, lp) for k in keys_l],
+                [bind_columns(k, rp) for k in keys_r],
+                out_probe_cols=cur.column_names,
+                out_build_cols=right.column_names,
+                probe_pred=bind_columns(cur_pred, lp) if cur_pred is not None else None,
+                build_pred=(bind_columns(and_all(per_rel[alias]), rp)
+                            if per_rel[alias] else None),
+                probe_alias=None, build_alias=None,  # names pre-qualified
+                perfmon=perfmon)
+            cur = jx.run()
+            cur_pred = None
+            current_alias_set.add(alias)
+        # leftover post-join quals
+        leftover = and_all(post_join + pending_equis)
+        if leftover is not None or cur_pred is not None:
+            pred = and_all([p for p in (cur_pred, leftover) if p is not None])
+            lp = {n: i for i, n in enumerate(cur.column_names)}
+            idxs = ScanExecutor(cur, bind_columns(pred, lp), perfmon).row_indexes()
+            cur = _subset_table(cur, idxs)
+            cur_pred = None
+
+        if has_aggs:
+            rows = _run_agg(cur, cur_pred, group_exprs, items, having,
+                            order_specs, perfmon)
+        else:
+            rows = _run_plain(cur, cur_pred, items, order_specs, perfmon)
+        if stmt.offset:
+            rows = rows[stmt.offset:]
+        if stmt.limit is not None:
+            rows = rows[:stmt.limit]
+        return rows
+
+    # ---- EXPLAIN tree ------------------------------------------------------
+    root = _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
+                            group_exprs, items, order_specs, stmt, sub_plans)
+
+    out_names = [nm for nm, _ in items]
+    out_types = [e.type for _, e in items]
+    return PlannedQuery(out_names, out_types, run, root, perfmon)
+
+
+def _default_name(a, e: Expr) -> str:
+    if isinstance(e, ColumnRef):
+        return e.name.split(".", 1)[-1]
+    if isinstance(e, Aggref):
+        return e.aggname
+    if isinstance(a, ast.AFunc):
+        return a.name
+    if isinstance(a, ast.ACast):
+        return _default_name(a.arg, e)
+    return "?column?"
+
+
+def _subset_table(tbl: Table, idxs: list[int]) -> Table:
+    import numpy as np
+    cols = {}
+    ii = np.asarray(idxs, dtype=np.int64)
+    for nm, c in tbl.columns.items():
+        nc = Column(type=c.type, data=c.data[ii], valid=c.valid[ii],
+                    dictionary=c.dictionary)
+        if c.type is T.NUMERIC:
+            nc.num_exp = c.num_exp[ii]
+            nc.num_dscale = c.num_dscale[ii]
+            nc.recheck = c.recheck[ii]
+            if nc.recheck.any():
+                for newpos, old in enumerate(idxs):
+                    if nc.recheck[newpos]:
+                        nc._exact[newpos] = c._exact[old]
+        cols[nm] = nc
+    return Table.from_columns(tbl.name, cols)
+
+
+def _run_agg(cur: Table, pred, group_exprs, items, having, order_specs,
+             perfmon) -> list[tuple]:
+    layout = {n: i for i, n in enumerate(cur.column_names)}
+    aggrefs: list[Aggref] = []
+    for _, e in items:
+        for n in walk(e):
+            if isinstance(n, Aggref) and n not in aggrefs:
+                aggrefs.append(n)
+    if having is not None:
+        for n in walk(having):
+            if isinstance(n, Aggref) and n not in aggrefs:
+                aggrefs.append(n)
+    insts = []
+    for ag in aggrefs:
+        d, fam = lookup_agg(ag.aggname, tuple(a.type for a in ag.args),
+                            star=ag.star)
+        insts.append(AggInstance(
+            aggname=ag.aggname, family=fam, slots=d.slots,
+            args=tuple(bind_columns(a, layout) for a in ag.args)))
+    bound_groups = [bind_columns(g, layout) for g in group_exprs]
+    bpred = bind_columns(pred, layout) if pred is not None else None
+    ex = PreAggExecutor(cur, bpred, bound_groups, insts, perfmon=perfmon)
+    raw = ex.run()   # rows: (group key vals..., agg vals...)
+
+    mapping: dict[Expr, int] = {}
+    for gi, g in enumerate(group_exprs):
+        mapping.setdefault(g, gi)
+    for ai, ag in enumerate(aggrefs):
+        mapping.setdefault(ag, len(group_exprs) + ai)
+    finals = [replace_subtrees(e, mapping) for _, e in items]
+    hav = replace_subtrees(having, mapping) if having is not None else None
+    orders = [(replace_subtrees(oe, mapping), d, nf)
+              for oe, d, nf in order_specs]
+
+    out = []
+    for row in raw:
+        if hav is not None and eval_expr_cpu(hav, _norow, row) is not True:
+            continue
+        vals = tuple(eval_expr_cpu(f, _norow, row) for f in finals)
+        okeys = tuple(eval_expr_cpu(o, _norow, row) for o, _, _ in orders)
+        out.append((okeys, vals))
+    return _order_and_strip(out, orders)
+
+
+def _norow(slot: int):
+    raise RuntimeError("unsubstituted column reference in final projection")
+
+
+def _run_plain(cur: Table, pred, items, order_specs, perfmon) -> list[tuple]:
+    layout = {n: i for i, n in enumerate(cur.column_names)}
+    bpred = bind_columns(pred, layout) if pred is not None else None
+    idxs = ScanExecutor(cur, bpred, perfmon).row_indexes()
+    bitems = [bind_columns(e, layout) for _, e in items]
+    borders = [(bind_columns(oe, layout), d, nf) for oe, d, nf in order_specs]
+    cols = list(cur.columns.values())
+    out = []
+    for i in idxs:
+        row = lambda s: cols[s].get(i)
+        vals = tuple(eval_expr_cpu(e, row) for e in bitems)
+        okeys = tuple(eval_expr_cpu(o, row) for o, _, _ in borders)
+        out.append((okeys, vals))
+    return _order_and_strip(out, borders)
+
+
+def _order_and_strip(rows: list[tuple], orders) -> list[tuple]:
+    if orders:
+        def cmp(a, b):
+            for i, (_, desc, nf) in enumerate(orders):
+                va, vb = a[0][i], b[0][i]
+                nulls_first = desc if nf is None else nf
+                if va is None and vb is None:
+                    continue
+                if va is None:
+                    return -1 if nulls_first else 1
+                if vb is None:
+                    return 1 if nulls_first else -1
+                c = cmp_values(va, vb)
+                if c:
+                    return -c if desc else c
+            return 0
+        rows = sorted(rows, key=functools.cmp_to_key(cmp))
+    return [v for _, v in rows]
+
+
+def _plan_table_less(stmt, db, perfmon) -> PlannedQuery:
+    """SELECT without FROM (e.g. `select sum(1E+48)` in recheck_agg —
+    aggregates over a single virtual row, scalar expressions otherwise)."""
+    scope = Scope(rels=[])
+    items = []
+    for it in stmt.items:
+        e = bind_expr(it.expr, scope, allow_aggs=True)
+        items.append((it.alias or _default_name(it.expr, e), e))
+    has_aggs = any(contains_agg(e) for _, e in items)
+
+    def run():
+        if not has_aggs:
+            return [tuple(eval_expr_cpu(e, _norow) for _, e in items)]
+        # one virtual row: aggregate transitions over exactly one tuple
+        from ..exec.hostexec import new_state, update_state
+        from ..ops.preagg import AGG_CATALOG
+        aggrefs = []
+        for _, e in items:
+            for n in walk(e):
+                if isinstance(n, Aggref) and n not in aggrefs:
+                    aggrefs.append(n)
+        insts = []
+        for ag in aggrefs:
+            d, fam = lookup_agg(ag.aggname, tuple(a.type for a in ag.args),
+                                star=ag.star)
+            insts.append(AggInstance(aggname=ag.aggname, family=fam,
+                                     slots=d.slots, args=tuple(ag.args)))
+        states = [new_state(i2) for i2 in insts]
+        for inst, s in zip(insts, states):
+            args = [eval_expr_cpu(a, _norow) for a in inst.args]
+            update_state(inst, s, args)
+        vals = [AGG_CATALOG[(i2.aggname, i2.family)].final(s)
+                for i2, s in zip(insts, states)]
+        mapping = {ag: i for i, ag in enumerate(aggrefs)}
+        finals = [replace_subtrees(e, mapping) for _, e in items]
+        return [tuple(eval_expr_cpu(f, _norow, vals) for f in finals)]
+
+    node = PlanNode("Result", {}, [])
+    return PlannedQuery([nm for nm, _ in items], [e.type for _, e in items],
+                        run, node, perfmon)
+
+
+def _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
+                     group_exprs, items, order_specs, stmt,
+                     sub_plans) -> PlanNode:
+    def scan_node(alias, obj):
+        if alias in sub_plans:
+            return PlanNode("Subquery", {"_rel": alias},
+                            [sub_plans[alias].root])
+        quals = per_rel.get(alias, [])
+        dev = [q for q in quals if device_expression_supported(q)]
+        host = [q for q in quals if not device_expression_supported(q)]
+        d = {"_rel": alias}
+        if dev:
+            d["Device Filter"] = " AND ".join(fmt_expr(q) for q in dev)
+        if host:
+            d["Filter"] = " AND ".join(fmt_expr(q) for q in host)
+        kind = "TpuScan" if (config.enabled and config.enable_tpuscan and dev) \
+            else ("TpuScan" if config.enabled and not quals else "SeqScan")
+        return PlanNode(kind, d, [])
+
+    node = scan_node(*rels[0])
+    for alias, obj in rels[1:]:
+        keys = [cj for cj in join_equis if alias in rels_of(cj)]
+        d = {"Hash Cond": " AND ".join(fmt_expr(k) for k in keys)}
+        kind = "TpuHashJoin" if config.enabled and config.enable_tpuhashjoin \
+            else "HashJoin"
+        node = PlanNode(kind, d, [node, scan_node(alias, obj)])
+    if post_join:
+        node = PlanNode("Result",
+                        {"Filter": " AND ".join(fmt_expr(q) for q in post_join)},
+                        [node])
+    if has_aggs:
+        d = {}
+        if group_exprs:
+            d["Group Key"] = ", ".join(fmt_expr(g) for g in group_exprs)
+        d["output"] = ", ".join(fmt_expr(e) for _, e in items)
+        kind = "TpuPreAgg" if config.enabled and config.enable_tpupreagg \
+            else "HashAggregate"
+        node = PlanNode(kind, d, [node])
+    else:
+        node = PlanNode("Result",
+                        {"output": ", ".join(fmt_expr(e) for _, e in items)},
+                        [node])
+    if order_specs:
+        d = {"Sort Key": ", ".join(
+            fmt_expr(oe) + (" DESC" if desc else "")
+            for oe, desc, _ in order_specs)}
+        node = PlanNode("Sort", d, [node])
+    if stmt.limit is not None:
+        node = PlanNode("Limit", {"Count": str(stmt.limit)}, [node])
+    return node

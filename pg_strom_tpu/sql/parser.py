@@ -1,0 +1,601 @@
+"""SQL lexer + recursive-descent parser.
+
+Produces an untyped AST (plain dataclasses); the binder (binder.py) resolves
+names/types against the catalog into the typed expression IR.  Operator
+precedence follows PostgreSQL:
+
+  OR < AND < NOT < IS/ISNULL < comparison (= <> < <= > >=) <
+  BETWEEN/IN/LIKE < + - < * / % < ^ < unary - < :: cast < . ( )
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from decimal import Decimal
+from typing import Any, Optional
+
+
+class ParseError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# lexer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+|--[^\n]*\n?|--[^\n]*$)
+  | (?P<num>(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<cast>::)
+  | (?P<op><=|>=|<>|!=|\|\||<<|>>|[=<>+\-*/%(),.;#&|~^\[\]])
+  | (?P<ident>[A-Za-z_][A-Za-z_0-9$]*|"(?:[^"]|"")*")
+""", re.VERBOSE)
+
+KEYWORDS = {
+    "select", "from", "where", "group", "by", "having", "order", "limit",
+    "offset", "as", "and", "or", "not", "is", "null", "true", "false",
+    "between", "in", "like", "case", "when", "then", "else", "end", "cast",
+    "asc", "desc", "nulls", "first", "last", "distinct", "join", "inner",
+    "left", "right", "full", "outer", "cross", "on", "using", "union",
+    "all", "coalesce", "exists", "explain", "verbose", "costs", "analyze",
+    "set", "to", "show", "isnull", "notnull",
+}
+
+
+@dataclasses.dataclass
+class Tok:
+    kind: str       # 'num' | 'str' | 'op' | 'ident' | 'kw' | 'cast' | 'eof'
+    value: str
+    pos: int
+
+
+def tokenize(sql: str) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    while i < len(sql):
+        m = _TOKEN_RE.match(sql, i)
+        if not m:
+            raise ParseError(f"syntax error at or near {sql[i:i+12]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        v = m.group()
+        if kind == "ident":
+            if v.startswith('"'):
+                out.append(Tok("ident", v[1:-1].replace('""', '"'), m.start()))
+            elif v.lower() in KEYWORDS:
+                out.append(Tok("kw", v.lower(), m.start()))
+            else:
+                out.append(Tok("ident", v.lower(), m.start()))
+        else:
+            out.append(Tok(kind, v, m.start()))
+    out.append(Tok("eof", "", len(sql)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# untyped AST
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ALiteral:
+    value: Any          # int | Decimal | str | bool | None
+    is_string: bool = False
+
+
+@dataclasses.dataclass
+class AName:
+    parts: tuple[str, ...]      # ("t","col") or ("col",)
+
+
+@dataclasses.dataclass
+class AStar:
+    rel: Optional[str] = None   # t.* has rel="t"
+
+
+@dataclasses.dataclass
+class AOp:
+    op: str
+    args: list
+
+
+@dataclasses.dataclass
+class AFunc:
+    name: str
+    args: list
+    star: bool = False
+    distinct: bool = False
+
+
+@dataclasses.dataclass
+class ACast:
+    arg: Any
+    typename: str
+
+
+@dataclasses.dataclass
+class ACase:
+    whens: list            # [(cond, result)]
+    orelse: Optional[Any]
+
+
+@dataclasses.dataclass
+class ANullTest:
+    arg: Any
+    isnull: bool
+
+
+@dataclasses.dataclass
+class ABool:
+    op: str                 # and/or/not
+    args: list
+
+
+@dataclasses.dataclass
+class ABetween:
+    arg: Any
+    lo: Any
+    hi: Any
+    negated: bool
+
+
+@dataclasses.dataclass
+class AIn:
+    arg: Any
+    items: list
+    negated: bool
+
+
+@dataclasses.dataclass
+class SelectItem:
+    expr: Any               # expression or AStar
+    alias: Optional[str]
+
+
+@dataclasses.dataclass
+class TableRef:
+    name: Optional[str]             # base table
+    subquery: Optional["SelectStmt"]
+    alias: Optional[str]
+
+
+@dataclasses.dataclass
+class JoinClause:
+    jointype: str                   # 'inner' | 'cross' (round 1)
+    table: TableRef
+    on: Optional[Any]
+
+
+@dataclasses.dataclass
+class OrderItem:
+    expr: Any
+    descending: bool = False
+    nulls_first: Optional[bool] = None
+
+
+@dataclasses.dataclass
+class SelectStmt:
+    items: list[SelectItem]
+    frm: list[TableRef]             # comma-joined refs
+    joins: list[JoinClause]
+    where: Optional[Any]
+    group_by: list
+    having: Optional[Any]
+    order_by: list[OrderItem]
+    limit: Optional[int]
+    offset: Optional[int]
+
+
+@dataclasses.dataclass
+class ExplainStmt:
+    query: SelectStmt
+    verbose: bool = False
+    costs: bool = True
+    analyze: bool = False
+
+
+@dataclasses.dataclass
+class SetStmt:
+    name: str
+    value: str
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.toks = tokenize(sql)
+        self.i = 0
+
+    # -- primitives ----------------------------------------------------------
+
+    def peek(self, k: int = 0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        if t.kind != "eof":
+            self.i += 1
+        return t
+
+    def accept_kw(self, *kws: str) -> Optional[str]:
+        t = self.peek()
+        if t.kind == "kw" and t.value in kws:
+            self.next()
+            return t.value
+        return None
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.accept_kw(kw):
+            raise ParseError(f'expected {kw.upper()} near {self.peek().value!r}')
+
+    def accept_op(self, *ops: str) -> Optional[str]:
+        t = self.peek()
+        if t.kind == "op" and t.value in ops:
+            self.next()
+            return t.value
+        return None
+
+    def expect_op(self, op: str) -> None:
+        if not self.accept_op(op):
+            raise ParseError(f'expected "{op}" near {self.peek().value!r}')
+
+    # -- entry ---------------------------------------------------------------
+
+    def parse_statement(self):
+        if self.accept_kw("explain"):
+            verbose = costs = False
+            analyze = False
+            costs = True
+            if self.accept_op("("):
+                while True:
+                    opt = self.next().value
+                    if opt == "verbose":
+                        verbose = True
+                    elif opt == "costs":
+                        nv = self.peek()
+                        if nv.kind in ("kw", "ident") and nv.value in ("off", "on", "false", "true"):
+                            costs = self.next().value in ("on", "true")
+                    elif opt == "analyze":
+                        analyze = True
+                    elif opt in ("timing",):
+                        if self.peek().value in ("off", "on", "false", "true"):
+                            self.next()
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+            else:
+                if self.accept_kw("verbose"):
+                    verbose = True
+            return ExplainStmt(self.parse_select(), verbose=verbose,
+                               costs=costs, analyze=analyze)
+        if self.accept_kw("set"):
+            name = self._qualified_name()
+            if not self.accept_kw("to"):
+                self.expect_op("=")
+            val_parts = []
+            while self.peek().kind != "eof" and self.peek().value != ";":
+                val_parts.append(self.next().value)
+            return SetStmt(".".join(name), " ".join(val_parts))
+        return self.parse_select()
+
+    def _qualified_name(self) -> list[str]:
+        parts = [self.next().value]
+        while self.accept_op("."):
+            parts.append(self.next().value)
+        return parts
+
+    # -- select --------------------------------------------------------------
+
+    def parse_select(self) -> SelectStmt:
+        self.expect_kw("select")
+        items = [self._select_item()]
+        while self.accept_op(","):
+            items.append(self._select_item())
+
+        frm: list[TableRef] = []
+        joins: list[JoinClause] = []
+        if self.accept_kw("from"):
+            frm.append(self._table_ref())
+            while True:
+                if self.accept_op(","):
+                    frm.append(self._table_ref())
+                    continue
+                jt = None
+                if self.accept_kw("join"):
+                    jt = "inner"
+                elif self.accept_kw("inner"):
+                    self.expect_kw("join")
+                    jt = "inner"
+                elif self.accept_kw("cross"):
+                    self.expect_kw("join")
+                    jt = "cross"
+                elif self.peek().kind == "kw" and self.peek().value in ("left", "right", "full"):
+                    raise ParseError("outer joins not supported yet")
+                if jt is None:
+                    break
+                tr = self._table_ref()
+                on = None
+                if jt != "cross":
+                    self.expect_kw("on")
+                    on = self.parse_expr()
+                joins.append(JoinClause(jt, tr, on))
+
+        where = self.parse_expr() if self.accept_kw("where") else None
+        group_by: list = []
+        if self.accept_kw("group"):
+            self.expect_kw("by")
+            group_by.append(self.parse_expr())
+            while self.accept_op(","):
+                group_by.append(self.parse_expr())
+        having = self.parse_expr() if self.accept_kw("having") else None
+        order_by: list[OrderItem] = []
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            order_by.append(self._order_item())
+            while self.accept_op(","):
+                order_by.append(self._order_item())
+        limit = offset = None
+        if self.accept_kw("limit"):
+            limit = int(self.next().value)
+        if self.accept_kw("offset"):
+            offset = int(self.next().value)
+        return SelectStmt(items, frm, joins, where, group_by, having,
+                          order_by, limit, offset)
+
+    def _select_item(self) -> SelectItem:
+        t = self.peek()
+        if t.kind == "op" and t.value == "*":
+            self.next()
+            return SelectItem(AStar(), None)
+        e = self.parse_expr()
+        alias = None
+        if self.accept_kw("as"):
+            alias = self.next().value
+        elif self.peek().kind == "ident":
+            alias = self.next().value
+        return SelectItem(e, alias)
+
+    def _table_ref(self) -> TableRef:
+        if self.accept_op("("):
+            sub = self.parse_select()
+            self.expect_op(")")
+            alias = None
+            if self.accept_kw("as"):
+                alias = self.next().value
+            elif self.peek().kind == "ident":
+                alias = self.next().value
+            return TableRef(None, sub, alias)
+        name = ".".join(self._qualified_name())
+        alias = None
+        if self.accept_kw("as"):
+            alias = self.next().value
+        elif self.peek().kind == "ident":
+            alias = self.next().value
+        return TableRef(name, None, alias)
+
+    def _order_item(self) -> OrderItem:
+        e = self.parse_expr()
+        desc = False
+        if self.accept_kw("asc"):
+            pass
+        elif self.accept_kw("desc"):
+            desc = True
+        nf = None
+        if self.accept_kw("nulls"):
+            if self.accept_kw("first"):
+                nf = True
+            else:
+                self.expect_kw("last")
+                nf = False
+        return OrderItem(e, desc, nf)
+
+    # -- expressions (precedence climbing) ------------------------------------
+
+    def parse_expr(self):
+        return self._or_expr()
+
+    def _or_expr(self):
+        left = self._and_expr()
+        args = [left]
+        while self.accept_kw("or"):
+            args.append(self._and_expr())
+        return args[0] if len(args) == 1 else ABool("or", args)
+
+    def _and_expr(self):
+        left = self._not_expr()
+        args = [left]
+        while self.accept_kw("and"):
+            args.append(self._not_expr())
+        return args[0] if len(args) == 1 else ABool("and", args)
+
+    def _not_expr(self):
+        if self.accept_kw("not"):
+            return ABool("not", [self._not_expr()])
+        return self._is_expr()
+
+    def _is_expr(self):
+        e = self._cmp_expr()
+        while True:
+            if self.accept_kw("is"):
+                neg = bool(self.accept_kw("not"))
+                if self.accept_kw("null"):
+                    e = ANullTest(e, isnull=not neg)
+                elif self.accept_kw("true"):
+                    e = AOp("is_true" if not neg else "is_not_true", [e])
+                elif self.accept_kw("false"):
+                    e = AOp("is_false" if not neg else "is_not_false", [e])
+                else:
+                    raise ParseError("expected NULL/TRUE/FALSE after IS")
+            elif self.accept_kw("isnull"):
+                e = ANullTest(e, isnull=True)
+            elif self.accept_kw("notnull"):
+                e = ANullTest(e, isnull=False)
+            else:
+                return e
+
+    def _cmp_expr(self):
+        e = self._btw_expr()
+        op = self.accept_op("=", "<>", "!=", "<", "<=", ">", ">=")
+        if op:
+            if op == "!=":
+                op = "<>"
+            return AOp(op, [e, self._btw_expr()])
+        return e
+
+    def _btw_expr(self):
+        e = self._add_expr()
+        neg = False
+        save = self.i
+        if self.accept_kw("not"):
+            neg = True
+        if self.accept_kw("between"):
+            lo = self._add_expr()
+            self.expect_kw("and")
+            hi = self._add_expr()
+            return ABetween(e, lo, hi, neg)
+        if self.accept_kw("in"):
+            self.expect_op("(")
+            items = [self.parse_expr()]
+            while self.accept_op(","):
+                items.append(self.parse_expr())
+            self.expect_op(")")
+            return AIn(e, items, neg)
+        if self.accept_kw("like"):
+            pat = self._add_expr()
+            node = AOp("like", [e, pat])
+            return ABool("not", [node]) if neg else node
+        if neg:
+            self.i = save
+        return e
+
+    def _add_expr(self):
+        e = self._mul_expr()
+        while True:
+            op = self.accept_op("+", "-", "||", "&", "|", "#", "<<", ">>")
+            if not op:
+                return e
+            e = AOp(op, [e, self._mul_expr()])
+
+    def _mul_expr(self):
+        e = self._unary_expr()
+        while True:
+            op = self.accept_op("*", "/", "%", "^")
+            if not op:
+                return e
+            e = AOp("pow" if op == "^" else op, [e, self._unary_expr()])
+
+    def _unary_expr(self):
+        if self.accept_op("-"):
+            return AOp("neg", [self._unary_expr()])
+        if self.accept_op("+"):
+            return self._unary_expr()
+        if self.accept_op("~"):
+            return AOp("~", [self._unary_expr()])
+        return self._cast_expr()
+
+    def _cast_expr(self):
+        e = self._primary()
+        while self.peek().kind == "cast":
+            self.next()
+            e = ACast(e, self._typename())
+        return e
+
+    def _typename(self) -> str:
+        parts = [self.next().value]
+        # double precision / character varying
+        while self.peek().kind in ("ident", "kw") and \
+                (parts + [self.peek().value])[0] in ("double", "character", "time", "timestamp"):
+            nxt = self.peek().value
+            if (parts[0] == "double" and nxt == "precision") or \
+               (parts[0] == "character" and nxt == "varying"):
+                parts.append(self.next().value)
+            else:
+                break
+        # numeric(p,s) / varchar(n): swallow parens
+        if self.accept_op("("):
+            depth = 1
+            while depth:
+                t = self.next()
+                if t.value == "(":
+                    depth += 1
+                elif t.value == ")":
+                    depth -= 1
+        return " ".join(parts)
+
+    def _primary(self):
+        t = self.peek()
+        if t.kind == "num":
+            self.next()
+            if re.fullmatch(r"\d+", t.value):
+                v = int(t.value)
+                return ALiteral(v)
+            return ALiteral(Decimal(t.value))
+        if t.kind == "str":
+            self.next()
+            return ALiteral(t.value[1:-1].replace("''", "'"), is_string=True)
+        if t.kind == "kw":
+            if self.accept_kw("null"):
+                return ALiteral(None)
+            if self.accept_kw("true"):
+                return ALiteral(True)
+            if self.accept_kw("false"):
+                return ALiteral(False)
+            if self.accept_kw("case"):
+                whens = []
+                while self.accept_kw("when"):
+                    c = self.parse_expr()
+                    self.expect_kw("then")
+                    r = self.parse_expr()
+                    whens.append((c, r))
+                orelse = self.parse_expr() if self.accept_kw("else") else None
+                self.expect_kw("end")
+                return ACase(whens, orelse)
+            if self.accept_kw("cast"):
+                self.expect_op("(")
+                e = self.parse_expr()
+                self.expect_kw("as")
+                tn = self._typename()
+                self.expect_op(")")
+                return ACast(e, tn)
+            if self.accept_kw("coalesce"):
+                self.expect_op("(")
+                args = [self.parse_expr()]
+                while self.accept_op(","):
+                    args.append(self.parse_expr())
+                self.expect_op(")")
+                return AFunc("coalesce", args)
+        if t.kind == "op" and t.value == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e
+        if t.kind == "ident":
+            name = self._qualified_name()
+            if self.accept_op("("):
+                distinct = bool(self.accept_kw("distinct"))
+                if self.accept_op("*"):
+                    self.expect_op(")")
+                    return AFunc(name[-1], [], star=True)
+                args = []
+                if not self.accept_op(")"):
+                    args.append(self.parse_expr())
+                    while self.accept_op(","):
+                        args.append(self.parse_expr())
+                    self.expect_op(")")
+                return AFunc(name[-1], args, distinct=distinct)
+            if self.peek().kind == "op" and self.peek().value == "." and False:
+                pass
+            # t.* handled at select-item level via AStar? keep simple:
+            return AName(tuple(name))
+        raise ParseError(f"syntax error at or near {t.value!r}")
+
+
+def parse(sql: str):
+    sql = sql.strip().rstrip(";")
+    p = Parser(sql)
+    stmt = p.parse_statement()
+    if p.peek().kind != "eof" and p.peek().value != ";":
+        raise ParseError(f"syntax error at or near {p.peek().value!r}")
+    return stmt

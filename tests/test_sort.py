@@ -1,0 +1,118 @@
+"""ORDER BY device sort vs PG-semantics python sort."""
+
+from decimal import Decimal
+import math
+
+import numpy as np
+import pytest
+
+import pg_strom_tpu  # noqa: F401
+import jax
+
+from pg_strom_tpu import T
+from pg_strom_tpu.datastore import column_from_values
+from pg_strom_tpu.expr.ir import ColumnRef, bind_columns
+from pg_strom_tpu.expr.lower_jax import (
+    schema_from_chunk_columns, planes_of_column,
+)
+from pg_strom_tpu.ops.sort import SortSpec, build_sort_fn
+from pg_strom_tpu.pgops import cmp_values
+import functools
+
+
+def pg_sort_key(specs_meta):
+    def cmp(ra, rb):
+        for i, (desc, nulls_first) in enumerate(specs_meta):
+            va, vb = ra[i], rb[i]
+            if va is None and vb is None:
+                continue
+            if va is None:
+                return -1 if nulls_first else 1
+            if vb is None:
+                return 1 if nulls_first else -1
+            c = cmp_values(va, vb)
+            if c:
+                return -c if desc else c
+        return 0
+    return functools.cmp_to_key(cmp)
+
+
+def run_sort(cols_spec, specs):
+    names = [n for n, _, _ in cols_spec]
+    cols = [column_from_values(t, vs) for _, t, vs in cols_spec]
+    n = len(cols_spec[0][2])
+    layout = {nm: i for i, nm in enumerate(names)}
+    bound = [SortSpec(bind_columns(s.expr, layout), s.descending, s.nulls_first)
+             for s in specs]
+    schema = schema_from_chunk_columns(names, cols)
+    fn = jax.jit(build_sort_fn(schema, bound))
+    planes = tuple(planes_of_column(c) for c in cols)
+    perm, err = fn(planes, np.int32(n))
+    assert int(err) == 0
+    perm = np.asarray(perm)[:n]
+
+    got = [tuple(cols[layout[s.expr.name]].get(int(p)) for s in specs)
+           for p in perm]
+    rows = [tuple(cols[layout[s.expr.name]].get(i) for s in specs)
+            for i in range(n)]
+    want = sorted(rows, key=pg_sort_key([(s.descending, s.nulls_go_first())
+                                         for s in specs]))
+    return got, want
+
+
+def norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+class TestSort:
+    def test_int_asc_nulls_last(self):
+        spec = [("a", T.INT4, [5, None, 3, 3, -7, None, 0])]
+        got, want = run_sort(spec, [SortSpec(ColumnRef(type=T.INT4, name="a"))])
+        assert got == want
+
+    def test_int_desc_nulls_first(self):
+        spec = [("a", T.INT4, [5, None, 3, 3, -7, None, 0])]
+        got, want = run_sort(spec, [SortSpec(ColumnRef(type=T.INT4, name="a"),
+                                             descending=True)])
+        assert got == want
+
+    def test_multikey(self):
+        rng = np.random.default_rng(5)
+        a = [int(rng.integers(0, 4)) if rng.random() > 0.1 else None
+             for _ in range(200)]
+        b = [float(rng.random()) if rng.random() > 0.1 else None
+             for _ in range(200)]
+        spec = [("a", T.INT4, a), ("b", T.FLOAT8, b)]
+        got, want = run_sort(spec, [
+            SortSpec(ColumnRef(type=T.INT4, name="a")),
+            SortSpec(ColumnRef(type=T.FLOAT8, name="b"), descending=True)])
+        assert got == want
+
+    def test_float8_nan_and_zeros(self):
+        vals = [1.5, -0.0, 0.0, float("nan"), -2.5, None, float("inf"),
+                float("-inf"), 1e-300]
+        spec = [("x", T.FLOAT8, vals)]
+        got, want = run_sort(spec, [SortSpec(ColumnRef(type=T.FLOAT8, name="x"))])
+        assert [norm(g[0]) for g in got] == [norm(w[0]) for w in want]
+
+    def test_numeric(self):
+        vals = [Decimal("1.5"), Decimal("-22"), None, Decimal("0.0001"),
+                Decimal("1.50"), Decimal("1e10"), Decimal("-1e10"), Decimal("0")]
+        spec = [("x", T.NUMERIC, vals)]
+        got, want = run_sort(spec, [SortSpec(ColumnRef(type=T.NUMERIC, name="x"))])
+        assert got == want
+
+    def test_text(self):
+        vals = ["pear", "apple", None, "Apple", "apple2", ""]
+        spec = [("s", T.TEXT, vals)]
+        got, want = run_sort(spec, [SortSpec(ColumnRef(type=T.TEXT, name="s"))])
+        assert got == want
+
+    def test_float4(self):
+        vals = [1.5, -0.0, 0.0, -2.5, None, 3.25]
+        spec = [("x", T.FLOAT4, vals)]
+        got, want = run_sort(spec, [SortSpec(ColumnRef(type=T.FLOAT4, name="x"),
+                                             descending=True)])
+        assert got == want
