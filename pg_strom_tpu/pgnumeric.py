@@ -37,15 +37,17 @@ def dscale_of(d: Decimal) -> int:
     return max(0, -exp)
 
 
-def _weight_base10000(d: Decimal) -> int:
-    """PG 'weight': position of the most significant base-10000 digit.
-    value ~= digit * 10000^weight for the leading digit."""
+def _weight_and_firstdigit(d: Decimal) -> tuple[int, int]:
+    """PG base-10000 normalized weight and first digit: |d| = f.xxx *
+    10000^w with f in [1,9999] (numeric.c digit representation)."""
     if d == 0:
-        return 0
+        return 0, 0
     ad = abs(d)
-    # decimal exponent of most significant digit
-    msd_exp = ad.adjusted()  # floor(log10(|d|))
-    return msd_exp // DEC_DIGITS if msd_exp >= 0 else -((-msd_exp + DEC_DIGITS - 1) // DEC_DIGITS)
+    w = ad.adjusted() // DEC_DIGITS  # python floor division handles negatives
+    with localcontext() as ctx:
+        ctx.prec = 60
+        f = int(ad.scaleb(-w * DEC_DIGITS).to_integral_value(rounding="ROUND_FLOOR"))
+    return w, f
 
 
 def round_to_scale(d: Decimal, scale: int) -> Decimal:
@@ -78,10 +80,14 @@ def num_mul(a: Decimal, b: Decimal) -> Decimal:
 
 
 def select_div_scale(a: Decimal, b: Decimal) -> int:
-    """PG numeric.c select_div_scale reimplementation."""
-    w1 = _weight_base10000(a)
-    w2 = _weight_base10000(b)
-    qweight = w1 - w2 + 1
+    """PG numeric.c select_div_scale: estimate the quotient weight from the
+    normalized base-10000 weights and first digits, then pick a result scale
+    giving at least NUMERIC_MIN_SIG_DIGITS significant digits."""
+    w1, f1 = _weight_and_firstdigit(a)
+    w2, f2 = _weight_and_firstdigit(b)
+    qweight = w1 - w2
+    if f1 <= f2:
+        qweight -= 1
     rscale = NUMERIC_MIN_SIG_DIGITS - qweight * DEC_DIGITS
     rscale = max(rscale, dscale_of(a))
     rscale = max(rscale, dscale_of(b))
@@ -112,24 +118,31 @@ def num_mod(a: Decimal, b: Decimal) -> Decimal:
     return round_to_scale(r, max(dscale_of(a), dscale_of(b)))
 
 
-def num_sqrt(a: Decimal) -> Decimal:
+def num_sqrt(a: Decimal, rscale: int | None = None) -> Decimal:
     from .errors import SqlError
     if a < 0:
         raise SqlError("cannot take square root of a negative number")
+    if rscale is None:
+        # PG numeric_sqrt: sweight = (weight+1) * DEC_DIGITS / 2 - 1
+        # (C integer arithmetic, base-10000 weight)
+        w, _ = _weight_and_firstdigit(a)
+        sweight = _c_div((w + 1) * DEC_DIGITS, 2) - 1
+        rscale = NUMERIC_MIN_SIG_DIGITS - sweight
+        rscale = max(rscale, dscale_of(a))
+        rscale = max(rscale, NUMERIC_MIN_DISPLAY_SCALE)
+        rscale = min(rscale, NUMERIC_MAX_DISPLAY_SCALE)
     if a == 0:
-        return round_to_scale(Decimal(0), max(dscale_of(a), NUMERIC_MIN_DISPLAY_SCALE))
-    # PG sqrt_var rscale selection
-    msd_exp = a.adjusted()
-    # decimal weight of the sqrt result
-    sweight = msd_exp // 2
-    rscale = NUMERIC_MIN_SIG_DIGITS - sweight
-    rscale = max(rscale, dscale_of(a))
-    rscale = max(rscale, NUMERIC_MIN_DISPLAY_SCALE)
-    rscale = min(rscale, NUMERIC_MAX_DISPLAY_SCALE)
+        return round_to_scale(Decimal(0), rscale)
     with localcontext() as ctx:
         ctx.prec = 250
         r = a.sqrt()
     return round_to_scale(r, rscale)
+
+
+def _c_div(a: int, b: int) -> int:
+    """C integer division (truncation toward zero)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
 
 
 def num_abs(a: Decimal) -> Decimal:
@@ -178,23 +191,24 @@ def int_avg(sum_: int, count: int) -> Decimal:
 
 def numeric_stddev_internal(count: int, sum_x: Decimal, sum_x2: Decimal,
                             variance: bool, sample: bool) -> Decimal | None:
-    """PG numeric_stddev_internal: var = (N*sumX2 - sumX^2) / (N*(N-denom))
-    computed with PG's rscale choices (numeric.c)."""
+    """PG numeric_stddev_internal (numeric.c): var = (N*sumX2 - sumX^2) /
+    (N*(N-1)); the division rscale comes from select_div_scale(numerator,
+    denominator), and for stddev the sqrt is taken at that SAME rscale."""
     n = count
     if n == 0 or (sample and n == 1):
         return None
     vN = Decimal(n)
-    vNminus1 = vN - 1
-    # vsumX2' = N * sumX2 ; vsumX' = sumX * sumX   (exact muls)
+    # N*sumX2 at rscale dscale(sumX2); sumX*sumX at rscale 2*dscale(sumX):
+    # both exact for our exact Decimal sums
     t1 = num_mul(vN, sum_x2)
     t2 = num_mul(sum_x, sum_x)
     numerator = num_sub(t1, t2)
-    if numerator < 0:
-        numerator = Decimal(0)
-    denom = vN * (vNminus1 if sample else vN)
-    # PG: div_var(&vsumX2, &vNtimesNminus1, &vtmp, rscale, true) where
-    # rscale = select_div_scale-like; then sqrt for stddev
-    var = num_div(numerator, denom)
+    if numerator <= 0:
+        # PG: roundoff guard — returns plain 0 (dscale 0)
+        return Decimal(0)
+    denom = vN * ((vN - 1) if sample else vN)
+    rscale = select_div_scale(numerator, denom)
+    var = num_div(numerator, denom, rscale)
     if variance:
         return var
-    return num_sqrt(var)
+    return num_sqrt(var, rscale)
