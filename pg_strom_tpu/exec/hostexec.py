@@ -76,6 +76,16 @@ def new_state(inst: AggInstance) -> dict[str, Any]:
     return s
 
 
+def _ckf(result: float, *inputs: float) -> float:
+    """PG CHECKFLOATVAL: raise when a float transition overflows to inf
+    from finite inputs (float4pl / float8_accum / float8_regr_accum all
+    apply this — the overflow_agg corpus checks the error text)."""
+    if math.isinf(result) and not any(math.isinf(v) for v in inputs):
+        from ..errors import ERR_FLOAT_OVERFLOW
+        raise SqlError("value out of range: overflow", ERR_FLOAT_OVERFLOW)
+    return result
+
+
 def update_state(inst: AggInstance, s: dict[str, Any], args: Sequence[Any]) -> None:
     """One row's exact transition."""
     if "nrows" in s:
@@ -93,23 +103,27 @@ def update_state(inst: AggInstance, s: dict[str, Any], args: Sequence[Any]) -> N
             s[kind] += int(args[0]) * int(args[0])
         elif kind == "sum_f":
             if inst.family == "f4" and inst.aggname == "sum":
-                # PG float4pl: stepwise float4 accumulation
-                s[kind] = float(np.float32(np.float32(s[kind]) + np.float32(args[0])))
+                # PG float4pl: stepwise float4 accumulation with overflow check
+                r = float(np.float32(np.float32(s[kind]) + np.float32(args[0])))
+                s[kind] = _ckf(r, s[kind], float(args[0]))
             else:
-                s[kind] += float(args[0])
+                s[kind] = _ckf(s[kind] + float(args[0]), s[kind], float(args[0]))
         elif kind == "sumsq_f":
             v = float(args[0])
-            s[kind] += v * v
+            s[kind] = _ckf(s[kind] + _ckf(v * v, v), v)
         elif kind == "sum_x":
-            s[kind] += float(args[0])
+            s[kind] = _ckf(s[kind] + float(args[0]), float(args[0]))
         elif kind == "sum_y":
-            s[kind] += float(args[1])
+            s[kind] = _ckf(s[kind] + float(args[1]), float(args[1]))
         elif kind == "sum_xy":
-            s[kind] += float(args[0]) * float(args[1])
+            x, y = float(args[0]), float(args[1])
+            s[kind] = _ckf(s[kind] + _ckf(x * y, x, y), x, y)
         elif kind == "sumsq_x":
-            s[kind] += float(args[0]) ** 2
+            v = float(args[0])
+            s[kind] = _ckf(s[kind] + _ckf(v * v, v), v)
         elif kind == "sumsq_y":
-            s[kind] += float(args[1]) ** 2
+            v = float(args[1])
+            s[kind] = _ckf(s[kind] + _ckf(v * v, v), v)
         elif kind == "sum_num":
             s[kind] += _as_decimal(args[0])
         elif kind == "sumsq_num":

@@ -116,6 +116,8 @@ for src in list(INT_TYPES) + list(FLOAT_TYPES) + [T.NUMERIC]:
             cpu = (lambda dd: lambda v: ops.cast_to_int(dd, v))(dst)
         elif dst in FLOAT_TYPES:
             cpu = (lambda dd: lambda v: ops.cast_to_float(dd, v))(dst)
+        elif src is T.FLOAT4:
+            cpu = ops.cast_float4_to_numeric  # %.6g (FLT_DIG) text path
         else:
             cpu = ops.cast_to_numeric
         _reg(f"cast::{dst.name.lower()}", (src,), dst, ("cast", src, dst), cpu)

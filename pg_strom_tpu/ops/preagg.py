@@ -362,14 +362,31 @@ def _slot_compute(kind: str, inst_args: list[DVal], mask: jnp.ndarray,
     if kind in ("sum_f", "sumsq_f"):
         x = jnp.where(ok, a.data.astype(jnp.float64), 0.0)
         v = x * x if kind == "sumsq_f" else x
-        return {kind: _seg(v, seg_id, G, "sum")}
+        out = _seg(v, seg_id, G, "sum")
+        # any inf in the partial (or per-row square) means the emulated-f64
+        # range was exceeded — the host replay decides whether PostgreSQL
+        # raises (CHECKFLOATVAL) or the value is representable
+        bad = jnp.isinf(out).any() | jnp.isinf(v).any()
+        if kind == "sum_f" and a.t is T.FLOAT4:
+            # PG sums float4 stepwise in f32: a sequential prefix can
+            # overflow even when the total is finite; if the absolute mass
+            # could reach f32-inf territory, replay sequentially on host
+            absmass = _seg(jnp.abs(x), seg_id, G, "sum")
+            bad = bad | (absmass > 3.0e38).any() | jnp.isinf(absmass).any()
+        lw.err = jnp.maximum(lw.err, jnp.where(bad, jnp.uint8(ERR_CPU_RECHECK),
+                                               jnp.uint8(0)))
+        return {kind: out}
 
     if kind in ("sum_x", "sum_y", "sum_xy", "sumsq_x", "sumsq_y"):
         x = jnp.where(ok, inst_args[0].data.astype(jnp.float64), 0.0)
         y = jnp.where(ok, inst_args[1].data.astype(jnp.float64), 0.0)
         v = {"sum_x": x, "sum_y": y, "sum_xy": x * y,
              "sumsq_x": x * x, "sumsq_y": y * y}[kind]
-        return {kind: _seg(v, seg_id, G, "sum")}
+        out = _seg(v, seg_id, G, "sum")
+        bad = jnp.isinf(out).any() | jnp.isinf(v).any()
+        lw.err = jnp.maximum(lw.err, jnp.where(bad, jnp.uint8(ERR_CPU_RECHECK),
+                                               jnp.uint8(0)))
+        return {kind: out}
 
     if kind in ("sum_num", "maxdscale", "sumsq_num"):
         return _slot_num_sum(kind, a, ok, seg_id, G, lw)

@@ -58,7 +58,11 @@ def round_to_scale(d: Decimal, scale: int) -> Decimal:
     need = max(d.adjusted() + scale + 20, 40) if d.is_finite() else 40
     with localcontext() as ctx:
         ctx.prec = min(max(need, ctx.prec), 200_000)
-        return d.quantize(q, rounding=ROUND_HALF_UP)
+        r = d.quantize(q, rounding=ROUND_HALF_UP)
+    # PG numeric has no negative zero: "-0.0000" normalizes to "0.0000"
+    if r == 0 and r.is_signed():
+        r = -r
+    return r
 
 
 def num_add(a: Decimal, b: Decimal) -> Decimal:

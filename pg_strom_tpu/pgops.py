@@ -178,8 +178,18 @@ def cast_to_numeric(v: Any) -> Decimal:
         return Decimal("NaN")
     if math.isinf(f):
         raise SqlError("cannot convert infinity to numeric")
-    # PG float8 -> numeric goes through the shortest repr text form
-    return Decimal(repr(f))
+    # PG float8_numeric: snprintf("%.*g", DBL_DIG=15) then numeric_in
+    return Decimal("%.15g" % f)
+
+
+def cast_float4_to_numeric(v: Any) -> Decimal:
+    """PG float4_numeric: snprintf("%.*g", FLT_DIG=6) then numeric_in."""
+    f = float(v)
+    if math.isnan(f):
+        return Decimal("NaN")
+    if math.isinf(f):
+        raise SqlError("cannot convert infinity to numeric")
+    return Decimal("%.6g" % f)
 
 
 # --- comparisons (generic over python values; Decimal/int/float mix ok) ------

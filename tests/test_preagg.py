@@ -58,6 +58,7 @@ def make_agg(table, aggname, colname, coltype):
 
 def run_query(table, aggname, colname, coltype, pred=None, group=False,
               device=True):
+    from pg_strom_tpu.errors import SqlError
     layout = {n: i for i, n in enumerate(table.column_names)}
     inst, ret = make_agg(table, aggname, colname, coltype)
     gexprs = []
@@ -66,8 +67,12 @@ def run_query(table, aggname, colname, coltype, pred=None, group=False,
         gexprs = [bind_columns(ColumnRef(type=T.INT4, name="key"), layout)]
         ktypes = [T.INT4]
     p = bind_columns(pred, layout) if pred is not None else None
-    with override(enabled=device, chunk_rows=512, max_groups_device=64):
-        rows = PreAggExecutor(table, p, gexprs, [inst]).run()
+    try:
+        with override(enabled=device, chunk_rows=512, max_groups_device=64):
+            rows = PreAggExecutor(table, p, gexprs, [inst]).run()
+    except SqlError as e:
+        # both paths must raise the same PostgreSQL error (overflow corpus)
+        return [f"ERROR: {e.message}"]
     # deterministic order: sort by key (None last)
     rows.sort(key=lambda r: (tuple((v is None, v) for v in r[:len(gexprs)])))
     types = tuple(ktypes) + (ret,)
