@@ -66,15 +66,23 @@ def main() -> None:
     nrows = np.int32(N)
 
     # warmup/compile
-    out = fn(cols, nrows)
-    jax.block_until_ready(out)
-
-    reps = 20 if on_tpu else 3
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(cols, nrows)
+    out = fn(cols, nrows, np.uint64(0))
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+    print(f"# compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # the tunneled TPU is a shared pool: other tenants contend, so a single
+    # timing can be off by 1000x.  Take the min over several pipelined
+    # batches — the uncontended batches show the kernel's true cost.
+    batches, per = (10, 5) if on_tpu else (3, 3)
+    best = float("inf")
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        for _ in range(per):
+            out = fn(cols, nrows, np.uint64(0))
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / per)
+    dt = best
     rows_per_s = N / dt
 
     # speed-of-light: bytes touched per row (planes actually read)

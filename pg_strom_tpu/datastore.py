@@ -286,6 +286,12 @@ class Database:
 
     def get(self, name: str) -> Table:
         if name not in self.tables:
+            if name.startswith("pgstrom_"):
+                # introspection virtual tables (reference SRF analog)
+                from .utils.introspect import virtual_table
+                vt = virtual_table(name)
+                if vt is not None:
+                    return vt
             raise KeyError(f'relation "{name}" does not exist')
         return self.tables[name]
 

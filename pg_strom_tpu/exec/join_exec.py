@@ -183,32 +183,38 @@ class HashJoinExecutor:
     def _materialize(self, chunk: Chunk, pplanes, bplanes_by_name,
                      probe_idx: np.ndarray, build_row: np.ndarray,
                      collected: dict[str, list]) -> None:
-        pl = self.probe.column_names
+        # vectorized plane gathers (the device-side projection analog of
+        # kern_gpuhashjoin_projection_row, opencl_hashjoin.h:437-689)
         for c in self.out_probe_cols:
-            col = chunk.columns[c]
-            vals = _gather_host(col, probe_idx)
-            collected[self._pname(c)].append((col, vals))
+            collected[self._pname(c)].append(
+                ("planes", _gather_planes(chunk.columns[c], probe_idx)))
         for c in self.out_build_cols:
-            col = self.build.columns[c]
-            vals = _gather_host_build(col, build_row)
-            collected[self._bname(c)].append((col, vals))
+            collected[self._bname(c)].append(
+                ("planes", _gather_planes(self.build.columns[c], build_row)))
 
     def _to_table(self, collected: dict[str, list]) -> Table:
         cols: dict[str, Column] = {}
         probe_names = {self._pname(c): c for c in self.out_probe_cols}
         for name, pieces in collected.items():
             if name in probe_names:
-                ctype = self.probe.columns[probe_names[name]].type
+                src_col = self.probe.columns[probe_names[name]]
             else:
                 bname = {self._bname(c): c for c in self.out_build_cols}[name]
-                ctype = self.build.columns[bname].type
-            values: list = []
-            for piece in pieces:
-                if isinstance(piece, tuple):
-                    values.extend(piece[1])
-                else:
-                    values.extend(piece)
-            cols[name] = column_from_values(ctype, values)
+                src_col = self.build.columns[bname]
+            ctype = src_col.type
+            if pieces and all(k == "planes" for k, _ in pieces):
+                cols[name] = _concat_planes(ctype, src_col,
+                                            [pl for _, pl in pieces])
+            else:
+                # mixed host/device pieces: go through python values
+                values: list = []
+                for kind, payload in pieces:
+                    if kind == "planes":
+                        tmp = _concat_planes(ctype, src_col, [payload])
+                        values.extend(tmp.get(i) for i in range(len(tmp)))
+                    else:
+                        values.extend(payload)
+                cols[name] = column_from_values(ctype, values)
         return Table.from_columns("join_result", cols)
 
     # -- host exact path -----------------------------------------------------
@@ -250,18 +256,45 @@ class HashJoinExecutor:
                 for c in self.out_build_cols:
                     bvals[c].append(self.build.columns[c].get(bi))
         for c in self.out_probe_cols:
-            collected[self._pname(c)].append((None, pvals[c]))
+            collected[self._pname(c)].append(("vals", pvals[c]))
         for c in self.out_build_cols:
-            collected[self._bname(c)].append((None, bvals[c]))
+            collected[self._bname(c)].append(("vals", bvals[c]))
 
     def _host_join_all(self, collected: dict[str, list]) -> None:
         for chunk in self.probe.chunks():
             self._host_join_chunk(chunk, collected)
 
 
-def _gather_host(col: Column, idx: np.ndarray) -> list:
-    return [col.get(int(i)) for i in idx]
+def _gather_planes(col: Column, idx: np.ndarray) -> dict:
+    """Vectorized numpy gather of every plane of col at idx."""
+    idx = np.asarray(idx, dtype=np.int64)
+    out = {"data": col.data[idx], "valid": col.valid[idx]}
+    if col.type.name == "NUMERIC":
+        out["exp"] = col.num_exp[idx]
+        out["dscale"] = col.num_dscale[idx]
+        out["recheck"] = col.recheck[idx]
+        if out["recheck"].any():
+            ex = {}
+            for newpos in np.flatnonzero(out["recheck"]):
+                ex[int(newpos)] = col._exact[int(idx[newpos])]
+            out["exact"] = ex
+    if col.dictionary is not None:
+        out["dictionary"] = col.dictionary
+    return out
 
 
-def _gather_host_build(col: Column, idx: np.ndarray) -> list:
-    return [col.get(int(i)) for i in idx]
+def _concat_planes(ctype, src_col: Column, pieces: list[dict]) -> Column:
+    data = np.concatenate([p["data"] for p in pieces]) if pieces else         np.empty(0, dtype=src_col.data.dtype)
+    valid = np.concatenate([p["valid"] for p in pieces]) if pieces else         np.empty(0, dtype=np.bool_)
+    col = Column(type=ctype, data=data, valid=valid,
+                 dictionary=src_col.dictionary)
+    if ctype.name == "NUMERIC":
+        col.num_exp = np.concatenate([p["exp"] for p in pieces]) if pieces             else np.empty(0, dtype=np.int32)
+        col.num_dscale = np.concatenate([p["dscale"] for p in pieces])             if pieces else np.empty(0, dtype=np.int32)
+        col.recheck = np.concatenate([p["recheck"] for p in pieces])             if pieces else np.empty(0, dtype=np.bool_)
+        off = 0
+        for p in pieces:
+            for pos, d in p.get("exact", {}).items():
+                col._exact[off + pos] = d
+            off += len(p["data"])
+    return col

@@ -32,16 +32,18 @@ from ..utils.perfmon import Perfmon
 _JIT_CACHE: dict[Any, Any] = {}
 
 
-def _plan_key(schema: Sequence[ColMeta], group_exprs, aggs, pred, G, cap):
+def _plan_key(schema: Sequence[ColMeta], group_exprs, aggs, pred, G, cap,
+              strategy):
     ssig = tuple((m.name, m.type, m.dict_id) for m in schema)
-    return (ssig, tuple(group_exprs), tuple(aggs), pred, G, cap)
+    return (ssig, tuple(group_exprs), tuple(aggs), pred, G, cap, strategy)
 
 
-def _get_jitted(schema, group_exprs, aggs, pred, G, cap):
-    key = _plan_key(schema, group_exprs, aggs, pred, G, cap)
+def _get_jitted(schema, group_exprs, aggs, pred, G, cap, strategy="scatter"):
+    key = _plan_key(schema, group_exprs, aggs, pred, G, cap, strategy)
     fn = _JIT_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(build_preagg_fn(schema, group_exprs, aggs, pred, G))
+        fn = jax.jit(build_preagg_fn(schema, group_exprs, aggs, pred, G,
+                                     strategy))
         _JIT_CACHE[key] = fn
     return fn
 
@@ -116,14 +118,15 @@ class PreAggExecutor:
         cap = min(config.chunk_rows, _next_pow2(self.table.nrows))
         window: collections.deque = collections.deque()
         fn = None
-        schema = None
+        self._schema = None
+        self._G, self._cap = G, cap
         key_metas = self._key_metas()
 
         for chunk in self.table.chunks(cap):
-            if schema is None:
+            if self._schema is None:
                 cols = [chunk.columns[nm] for nm in self.layout_names]
-                schema = schema_from_chunk_columns(self.layout_names, cols)
-                fn = _get_jitted(schema, tuple(self.group_exprs),
+                self._schema = schema_from_chunk_columns(self.layout_names, cols)
+                fn = _get_jitted(self._schema, tuple(self.group_exprs),
                                  tuple(self.aggs), self.pred, G, cap)
             if chunk.row_recheck.any():
                 with pm.timer("cpu_fallback"):
@@ -132,9 +135,9 @@ class PreAggExecutor:
             planes = tuple(planes_of_column(chunk.columns[nm])
                            for nm in self.layout_names)
             with pm.timer("dispatch"):
-                out = fn(planes, np.int32(chunk.nrows))
+                out = fn(planes, np.int32(chunk.nrows), np.uint64(0))
             pm.add_bytes("h2d", sum(p.nbytes for ps in planes for p in ps))
-            window.append((chunk, out))
+            window.append((chunk, planes, out))
             if len(window) >= config.max_async_chunks:
                 self._consume(*window.popleft(), states, displays, key_metas)
         while window:
@@ -160,25 +163,49 @@ class PreAggExecutor:
         replay_chunk_preagg(chunk, self.layout_names, self.pred,
                             self.group_exprs, self.aggs, states, displays)
 
-    def _consume(self, chunk: Chunk, out, states, displays, key_metas) -> None:
+    def _consume(self, chunk: Chunk, planes, out, states, displays,
+                 key_metas) -> None:
         pm = self.perfmon
         with pm.timer("device_wait"):
             err = int(out["err"])
+            collided = bool(out.get("collision", False)) if self.group_exprs else False
+        if collided and err == 0:
+            # scatter-bucket collision: re-dispatch with fresh salts, then
+            # fall back to the exact sort strategy for this chunk
+            for salt in (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F):
+                pm.bump("salt_retries")
+                fn = _get_jitted(self._schema, tuple(self.group_exprs),
+                                 tuple(self.aggs), self.pred, self._G,
+                                 self._cap)
+                out = fn(planes, np.int32(chunk.nrows), np.uint64(salt))
+                err = int(out["err"])
+                collided = bool(out["collision"])
+                if not collided or err != 0:
+                    break
+            if collided and err == 0:
+                pm.bump("sort_fallbacks")
+                fn = _get_jitted(self._schema, tuple(self.group_exprs),
+                                 tuple(self.aggs), self.pred, self._G,
+                                 self._cap, strategy="sort")
+                out = fn(planes, np.int32(chunk.nrows), np.uint64(0))
+                err = int(out["err"])
         if err != 0:
             pm.bump("recheck_chunks")
             with pm.timer("cpu_fallback"):
                 self._replay(chunk, states, displays)
             return
         with pm.timer("materialize"):
-            ngroups = int(out["ngroups"])
-            keys = [tuple(np.asarray(p) for p in planes) for planes in out["keys"]]
+            gmask = np.asarray(out["gmask"])
+            keys = [tuple(np.asarray(p) for p in kp) for kp in out["keys"]]
             slots = [{k: np.asarray(v) for k, v in d.items()} for d in out["slots"]]
         pm.bump("device_chunks")
         pm.add_bytes("d2h", sum(a.nbytes for d in slots for a in d.values()))
-        for g in range(ngroups if self.group_exprs else 1):
+        groups = np.flatnonzero(gmask) if self.group_exprs else np.array([0])
+        for g in groups:
+            g = int(g)
             kvals = tuple(
-                _key_value_from_planes(ge.type, planes, g, meta)
-                for ge, planes, meta in zip(self.group_exprs, keys, key_metas))
+                _key_value_from_planes(ge.type, kp, g, meta)
+                for ge, kp, meta in zip(self.group_exprs, keys, key_metas))
             ck = tuple(canon_group_key(v) for v in kvals)
             parts = [extract_partials(inst, d, g)
                      for inst, d in zip(self.aggs, slots)]

@@ -170,7 +170,8 @@ _reg("like", (T.TEXT, T.TEXT), T.BOOL, ("text_like",),
 
 def _sql_like(s: str, pat: str) -> bool:
     import re
-    rx = re.escape(pat).replace(r"\%", ".*").replace("_", ".")
+    rx = "".join(".*" if c == "%" else "." if c == "_" else re.escape(c)
+                 for c in pat)
     return re.fullmatch(rx, s, flags=re.DOTALL) is not None
 
 

@@ -491,20 +491,34 @@ def _slot_minmax(kind: str, a: DVal, ok: jnp.ndarray, seg_id: jnp.ndarray,
 
 def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
                     aggs: Sequence[AggInstance], pred: Optional[Expr],
-                    G: int) -> Callable:
-    """Build f(cols, nrows) -> chunk partials.
+                    G: int, strategy: str = "scatter") -> Callable:
+    """Build f(cols, nrows, salt) -> chunk partials.
+
+    Grouping strategies:
+      scatter — TPU-preferred: hash keys straight into G buckets and
+                segment-reduce in *row order* (no sort, no full-length
+                gathers — TPU gathers are ~50x slower than streaming).
+                Per-bucket exactness check (segment min==max over every key
+                plane) raises `collision`; the executor re-dispatches with a
+                new salt and falls back to the sort strategy if collisions
+                persist (two distinct keys genuinely sharing a bucket).
+      sort    — hash-sort segmentation (the bitonic-ladder analog); exact
+                for any group cardinality up to G, costlier per row.
 
     Output pytree:
       err      : uint8 scalar (max over rows; nonzero => host replays chunk)
+      collision: bool scalar (scatter only)
       ngroups  : int32
+      gmask    : bool[G] — which group slots are populated
       keys     : tuple per group expr of plane tuple
-                 (data, valid) or (mant, valid, exp, dscale) for numeric
+                 (data, valid) or (mant, valid, exp, dscale) for numeric,
+                 (data, valid, bits) for float8
       slots    : tuple per agg of dict name->array[G]
     """
     group_exprs = list(group_exprs)
     aggs = list(aggs)
 
-    def f(cols: tuple, nrows):
+    def f(cols: tuple, nrows, salt):
         n = cols[0][0].shape[0] if cols else 0
         live = jnp.arange(n, dtype=jnp.int32) < nrows
         lw = Lowerer(schema, cols, live)
@@ -530,7 +544,40 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
             vs = [_attach_dscale(lw.lower(aexp, mask)) for aexp in inst.args]
             arg_vals.append(vs)
 
-        if group_exprs:
+        collision = jnp.bool_(False)
+        if group_exprs and strategy == "scatter":
+            hs = [hash_column(k.t, k.data, k.valid,
+                              k.exp if k.t is T.NUMERIC else None,
+                              getattr(k, "bits", None)) for k in keys]
+            h = combine_hashes(hs)
+            h = _remix(h ^ salt.astype(jnp.uint64))
+            bucket = (h & jnp.uint64(G - 1)).astype(jnp.int32)
+            seg_id = jnp.where(mask, bucket, jnp.int32(G))
+            # lanes stay in row order: no sort, no gathers
+            mask_s = mask
+            args_s = arg_vals
+            row_idx = jnp.arange(n, dtype=jnp.int64)
+            nonempty = _seg(mask.astype(jnp.int32), seg_id, G, "max") > 0
+            ngroups = jnp.sum(nonempty.astype(jnp.int32))
+            # exactness: every key plane must be constant within its bucket
+            for k in keys:
+                collision = collision | _bucket_mixed(k, mask, seg_id, G,
+                                                      nonempty)
+            # representative = first row per bucket (PG shows first-seen)
+            frow = jnp.clip(_seg(jnp.where(mask, row_idx, _BIG), seg_id, G, "min"),
+                            0, max(n - 1, 0)).astype(jnp.int32)
+            key_out = []
+            for k in keys:
+                planes = [jnp.where(nonempty, k.data[frow], 0),
+                          k.valid[frow] & nonempty]
+                if k.t is T.NUMERIC:
+                    planes.append(k.exp[frow])
+                    planes.append(getattr(k, "dscale_lane")[frow])
+                elif k.t is T.FLOAT8 and getattr(k, "bits", None) is not None:
+                    planes.append(k.bits[frow])
+                key_out.append(tuple(planes))
+            gmask = nonempty
+        elif group_exprs:
             hs = [hash_column(k.t, k.data, k.valid,
                               k.exp if k.t is T.NUMERIC else None,
                               getattr(k, "bits", None)) for k in keys]
@@ -564,6 +611,7 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
                 elif k.t is T.FLOAT8 and getattr(k, "bits", None) is not None:
                     planes.append(k.bits[first_pos])
                 key_out.append(tuple(planes))
+            gmask = gvalid
         else:
             mask_s = mask
             args_s = arg_vals
@@ -571,6 +619,7 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
             ngroups = jnp.int32(1)
             row_idx = jnp.arange(n, dtype=jnp.int64)
             key_out = []
+            gmask = jnp.ones(G, dtype=jnp.bool_).at[1:].set(False)
 
         slot_out = []
         for inst, vs in zip(aggs, args_s):
@@ -580,11 +629,50 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
             slot_out.append(d)
 
         return {"err": jnp.max(lw.err) if n else jnp.uint8(0),
+                "collision": collision,
                 "ngroups": ngroups,
+                "gmask": gmask,
                 "keys": tuple(key_out),
                 "slots": tuple(slot_out)}
 
     return f
+
+
+def _remix(h: jnp.ndarray) -> jnp.ndarray:
+    h = (h ^ (h >> 33)) * jnp.uint64(0xFF51AFD7ED558CCD)
+    return h ^ (h >> 33)
+
+
+def _bucket_mixed(k: DVal, mask: jnp.ndarray, seg_id: jnp.ndarray,
+                  G: int, nonempty: jnp.ndarray) -> jnp.ndarray:
+    """True if any bucket holds two SQL-distinct values of key column k.
+    (Rows with NULL keys group together; a NULL/value mix in one bucket
+    shows up via the validity lane.)"""
+    lanes = []
+    if k.t is T.FLOAT8 and getattr(k, "bits", None) is not None:
+        from .hashing import canonical_f64_bits
+        lanes.append(canonical_f64_bits(k.bits))
+    elif k.t in (T.FLOAT4, T.FLOAT8):
+        d = k.data
+        d = jnp.where(d == 0, jnp.zeros_like(d), d)          # -0 == +0
+        d = jnp.where(jnp.isnan(d), jnp.full_like(d, jnp.nan), d)
+        import jax as _jax
+        bits = _jax.lax.bitcast_convert_type(
+            d.astype(jnp.float32 if k.t is T.FLOAT4 else jnp.float64),
+            jnp.int32 if k.t is T.FLOAT4 else jnp.int64)
+        lanes.append(bits.astype(jnp.int64))
+    else:
+        lanes.append(k.data.astype(jnp.int64))
+        if k.t is T.NUMERIC:
+            lanes.append(k.exp.astype(jnp.int64))
+    # NULL rows carry zeroed data lanes; the validity lane distinguishes them
+    lanes.append(k.valid.astype(jnp.int64))
+    mixed = jnp.bool_(False)
+    for lane in lanes:
+        lo = _seg(lane, seg_id, G, "min")   # dead rows (seg G) are dropped
+        hi = _seg(lane, seg_id, G, "max")
+        mixed = mixed | jnp.any(nonempty & (lo != hi))
+    return mixed
 
 
 def _gather_dval(v: DVal, order: jnp.ndarray) -> DVal:

@@ -488,6 +488,34 @@ def _order_and_strip(rows: list[tuple], orders) -> list[tuple]:
     return [v for _, v in rows]
 
 
+def _kernel_text(obj, alias: str, dev_quals: list[Expr]) -> str:
+    """Lowered device kernel dump (pg_strom.show_device_kernel analog,
+    main.c:399-439): the traced jaxpr of the scan qual over this schema."""
+    try:
+        import jax
+        import numpy as np
+        from ..expr.lower_jax import (build_qual_fn, schema_from_chunk_columns,
+                                      planes_of_column)
+        tbl = obj if isinstance(obj, Table) else None
+        if tbl is None:
+            return "(subquery input)"
+        r = rename_table(tbl, alias)
+        names = r.column_names
+        schema = schema_from_chunk_columns(names, list(r.columns.values()))
+        pred = and_all([bind_columns(q, {n: i for i, n in enumerate(names)})
+                        for q in dev_quals])
+        fn = build_qual_fn(pred, schema)
+        dummy = tuple(
+            tuple(jax.ShapeDtypeStruct((8,) + p.shape[1:], p.dtype)
+                  for p in planes_of_column(c))
+            for c in r.columns.values())
+        jaxpr = jax.make_jaxpr(fn)(dummy, np.int32(8))
+        text = str(jaxpr)
+        return text if len(text) < 4000 else text[:4000] + " ..."
+    except Exception as e:  # kernel dump must never break EXPLAIN
+        return f"(unavailable: {e})"
+
+
 def _plan_table_less(stmt, db, perfmon) -> PlannedQuery:
     """SELECT without FROM (e.g. `select sum(1E+48)` in recheck_agg —
     aggregates over a single virtual row, scalar expressions otherwise)."""
@@ -547,6 +575,8 @@ def _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
             d["Filter"] = " AND ".join(fmt_expr(q) for q in host)
         kind = "TpuScan" if (config.enabled and config.enable_tpuscan and dev) \
             else ("TpuScan" if config.enabled and not quals else "SeqScan")
+        if dev and config.show_device_kernel and kind == "TpuScan":
+            d["Device Kernel"] = _kernel_text(obj, alias, dev)
         return PlanNode(kind, d, [])
 
     node = scan_node(*rels[0])

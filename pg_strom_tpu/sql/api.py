@@ -66,6 +66,19 @@ def execute(sql: str, db: Database) -> Result:
         pq = plan_select(stmt.query, db)
         text = pq.explain(verbose=stmt.verbose)
         from ..sqltypes import T
+        if stmt.analyze:
+            # EXPLAIN ANALYZE: run it and append perfmon phases (the
+            # pg_strom.perfmon EXPLAIN output analog, main.c:504-660)
+            import time as _time
+            from ..config import override
+            with override(perfmon=True):
+                t0 = _time.perf_counter()
+                rows = pq.execute()
+                dt = (_time.perf_counter() - t0) * 1e3
+            text += f"\n(actual rows={len(rows)})"
+            for line in pq.perfmon.report_lines():
+                text += f"\n  {line}"
+            text += f"\nExecution Time: {dt:.3f} ms"
         return Result(columns=["QUERY PLAN"],
                       rows=[(line,) for line in text.splitlines()],
                       types=[T.TEXT], command="EXPLAIN")

@@ -1,0 +1,71 @@
+"""Introspection virtual tables.
+
+The reference exposes runtime internals as SQL SRFs
+(pgstrom_shmem_info / pgstrom_shmem_active_info / pgstrom_mqueue_info /
+pgstrom_opencl_device_info / pgstrom_opencl_program_info — SURVEY §2 rows
+2,3,7,9; pg_strom--1.0.sql:9-92).  Here the same surface is a set of
+virtual tables materialized on access:
+
+  pgstrom_device_info   — jax devices (platform, kind, id)
+  pgstrom_program_info  — the jit plan cache (the devprog cache analog):
+                          plan kind, group slots, chunk capacity
+  pgstrom_arena_info    — native buddy-arena stats (shmem_info analog)
+  pgstrom_config_info   — every GUC with its current value
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..sqltypes import T
+from ..datastore import Table, column_from_values
+from ..config import show_all
+
+_ARENAS: list = []   # Arena objects registered for visibility
+
+
+def register_arena(a) -> None:
+    _ARENAS.append(a)
+
+
+def virtual_table(name: str) -> Optional[Table]:
+    if name == "pgstrom_device_info":
+        import jax
+        devs = jax.devices()
+        return Table.from_columns(name, {
+            "id": column_from_values(T.INT4, [d.id for d in devs]),
+            "platform": column_from_values(T.TEXT, [d.platform for d in devs]),
+            "device_kind": column_from_values(
+                T.TEXT, [getattr(d, "device_kind", "") for d in devs]),
+            "process_index": column_from_values(
+                T.INT4, [d.process_index for d in devs]),
+        })
+    if name == "pgstrom_program_info":
+        from ..exec import preagg_exec, join_exec, scan_exec
+        rows = []
+        for cache, kind in ((preagg_exec._JIT_CACHE, "preagg"),
+                            (join_exec._JIT_CACHE, "join"),
+                            (scan_exec._JIT_CACHE, "scan")):
+            for key in cache:
+                rows.append((kind, repr(key)[:120]))
+        return Table.from_columns(name, {
+            "kind": column_from_values(T.TEXT, [r[0] for r in rows]),
+            "plan_key": column_from_values(T.TEXT, [r[1] for r in rows]),
+        })
+    if name == "pgstrom_arena_info":
+        stats = [a.stats() for a in _ARENAS]
+        return Table.from_columns(name, {
+            "zone": column_from_values(T.INT4, list(range(len(stats)))),
+            "size": column_from_values(T.INT8, [s["size"] for s in stats]),
+            "bytes_live": column_from_values(T.INT8, [s["bytes_live"] for s in stats]),
+            "n_alloc": column_from_values(T.INT8, [s["n_alloc"] for s in stats]),
+            "n_free": column_from_values(T.INT8, [s["n_free"] for s in stats]),
+        })
+    if name == "pgstrom_config_info":
+        cfg = show_all()
+        keys = sorted(cfg)
+        return Table.from_columns(name, {
+            "name": column_from_values(T.TEXT, keys),
+            "setting": column_from_values(T.TEXT, [str(cfg[k]) for k in keys]),
+        })
+    return None
