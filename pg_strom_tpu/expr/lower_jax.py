@@ -81,8 +81,11 @@ class Lowerer:
         self.cols = list(cols)
         self.base_live = base_live
         self.params = list(params)
-        n = base_live.shape[0]
-        self.err = jnp.zeros(n, dtype=jnp.uint8)
+        self.n = base_live.shape[0]
+        # scalar until the first vector raise: full-length constant lanes
+        # are poison on the tunneled TPU (program constants are shipped
+        # per call) and bloat every executable
+        self.err = jnp.uint8(0)
 
     # -- error plumbing ------------------------------------------------------
 
@@ -142,12 +145,12 @@ class Lowerer:
         return live  # any per-row bool lane gives us the shape
 
     def _lower_pyvalue(self, t: T, v: Any, live: jnp.ndarray) -> DVal:
-        n = live.shape[0]
+        # constants lower as SCALAR lanes; jnp broadcasting handles the rest
         if v is None:
             dt = STORAGE_DTYPE[t]
-            z = jnp.zeros(n, dtype=dt)
-            return DVal(t, z, jnp.zeros(n, dtype=jnp.bool_),
-                        jnp.zeros(n, dtype=jnp.int32) if t is T.NUMERIC else None)
+            z = jnp.zeros((), dtype=dt)
+            return DVal(t, z, jnp.bool_(False),
+                        jnp.zeros((), dtype=jnp.int32) if t is T.NUMERIC else None)
         if t is T.NUMERIC:
             from ..sqltypes import numeric_from_decimal
             from decimal import Decimal
@@ -155,16 +158,14 @@ class Lowerer:
             mant, exp, _, ok = numeric_from_decimal(d)
             if not ok:
                 # constant outside device window: whole-expression recheck
-                self._raise(jnp.ones(n, dtype=bool), ERR_CPU_RECHECK, live)
+                self._raise(jnp.bool_(True), ERR_CPU_RECHECK, live)
                 mant, exp = 0, 0
-            return DVal(t, jnp.full(n, mant, dtype=jnp.int64),
-                        jnp.ones(n, dtype=jnp.bool_),
-                        jnp.full(n, exp, dtype=jnp.int32))
+            return DVal(t, jnp.int64(mant), jnp.bool_(True), jnp.int32(exp))
         if t in (T.TEXT, T.BPCHAR):
             raise NotImplementedError(
                 "text constants lower inside comparisons only")
         dt = STORAGE_DTYPE[t]
-        return DVal(t, jnp.full(n, v, dtype=dt), jnp.ones(n, dtype=jnp.bool_))
+        return DVal(t, jnp.array(v, dtype=dt), jnp.bool_(True))
 
     def _lower_const(self, e: Const, live: jnp.ndarray) -> DVal:
         return self._lower_pyvalue(e.type, e.value, live)
@@ -198,8 +199,7 @@ class Lowerer:
     # -- CASE ----------------------------------------------------------------
 
     def _lower_case(self, e: CaseExpr, live: jnp.ndarray) -> DVal:
-        n = live.shape[0]
-        taken = jnp.zeros(n, dtype=jnp.bool_)
+        taken = jnp.bool_(False)
         branches: list[tuple[jnp.ndarray, DVal]] = []
         for cond, res in e.whens:
             cv = self.lower(cond, live)
@@ -267,9 +267,7 @@ class Lowerer:
         if k0 == "math2":
             return self._math2(kind[1], args[0], args[1], valid, alive)
         if k0 == "const_pi":
-            n = live.shape[0]
-            return DVal(T.FLOAT8, jnp.full(n, np.pi, dtype=jnp.float64),
-                        jnp.ones(n, dtype=jnp.bool_))
+            return DVal(T.FLOAT8, jnp.float64(np.pi), jnp.bool_(True))
         if k0 == "bit":
             return self._bit(kind[1], kind[2], args, valid)
         if k0 == "date_pl_int":

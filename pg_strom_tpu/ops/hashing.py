@@ -84,3 +84,69 @@ def combine_hashes(hs: list[jnp.ndarray]) -> jnp.ndarray:
         acc = _mix64(acc ^ (h + jnp.uint64(0x9E3779B97F4A7C15) +
                             (acc << 6) + (acc >> 2)))
     return acc
+
+
+# ---------------------------------------------------------------------------
+# 32-bit pipeline: TPU-native bucketing hashes.
+#
+# uint64 arithmetic is software-emulated on TPU and — measured empirically —
+# u64 hash chains feeding scatter indices slow segment reductions by ~1000x.
+# Bucket selection only needs ~log2(nbuckets) good bits, so the grouped-agg
+# and join partitioners hash entirely in native uint32; exactness never
+# depends on hash quality (collision checks / exact key compares downstream).
+# ---------------------------------------------------------------------------
+
+_NULL_TAG32 = jnp.uint32(0x9E3779B9)
+
+
+def _mix32(x: jnp.ndarray) -> jnp.ndarray:
+    """lowbias32 finalizer: full avalanche on uint32 lanes."""
+    x = x.astype(jnp.uint32)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def _fold32(t: T, data: jnp.ndarray) -> jnp.ndarray:
+    """uint32 lanes such that SQL-equal values have equal bits."""
+    if t in (T.FLOAT4,):
+        import jax
+        d = data.astype(jnp.float32)
+        d = jnp.where(d == 0.0, 0.0, d)
+        d = jnp.where(jnp.isnan(d), jnp.float32(jnp.nan), d)
+        return jax.lax.bitcast_convert_type(d, jnp.uint32)
+    if t is T.BOOL:
+        return data.astype(jnp.uint32)
+    if data.dtype in (jnp.int64, jnp.uint64, jnp.float64):
+        d = data.astype(jnp.int64)
+        return (d ^ (d >> 32)).astype(jnp.uint32)
+    return data.astype(jnp.int32).astype(jnp.uint32)
+
+
+def hash_column32(t: T, data: jnp.ndarray, valid: jnp.ndarray,
+                  exp: jnp.ndarray | None = None,
+                  bits: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-row uint32 hash of one key column (NULL-aware, SQL equality)."""
+    if t is T.FLOAT8 and bits is not None:
+        cb = canonical_f64_bits(bits)
+        h = _mix32((cb ^ (cb >> 32)).astype(jnp.uint32))
+    elif t is T.FLOAT8:
+        import jax
+        d = data.astype(jnp.float64)
+        d = jnp.where(d == 0.0, 0.0, d)
+        d = jnp.where(jnp.isnan(d), jnp.float64(jnp.nan), d)
+        b = jax.lax.bitcast_convert_type(d, jnp.int64)
+        h = _mix32((b ^ (b >> 32)).astype(jnp.uint32))
+    else:
+        h = _mix32(_fold32(t, data))
+    if t is T.NUMERIC and exp is not None:
+        h = _mix32(h ^ _mix32(exp.astype(jnp.int32).astype(jnp.uint32)))
+    return jnp.where(valid, h, _NULL_TAG32)
+
+
+def combine_hashes32(hs: list[jnp.ndarray]) -> jnp.ndarray:
+    acc = jnp.zeros_like(hs[0]) if hs else None
+    for h in hs:
+        acc = _mix32(acc ^ (h + jnp.uint32(0x9E3779B9) +
+                            (acc << 6) + (acc >> 2)))
+    return acc

@@ -36,7 +36,7 @@ from ..sqltypes import T
 from ..errors import ERR_CPU_RECHECK
 from ..expr.ir import Expr
 from ..expr.lower_jax import Lowerer, DVal, ColMeta
-from .hashing import hash_column, combine_hashes
+from .hashing import hash_column32, combine_hashes32
 
 
 def _next_pow2(n: int) -> int:
@@ -78,10 +78,11 @@ def build_hash_table(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
         allvalid = mask
         for k in keys:
             allvalid = allvalid & k.valid
-        hs = [hash_column(k.t, k.data, k.valid,
-                          k.exp if k.t is T.NUMERIC else None) for k in keys]
-        h = combine_hashes(hs)
-        bucket = (h & jnp.uint64(nbuckets - 1)).astype(jnp.int32)
+        hs = [hash_column32(k.t, k.data, k.valid,
+                            k.exp if k.t is T.NUMERIC else None,
+                            getattr(k, "bits", None)) for k in keys]
+        h = combine_hashes32(hs)
+        bucket = (h & jnp.uint32(nbuckets - 1)).astype(jnp.int32)
         bucket = jnp.where(allvalid, bucket, jnp.int32(nbuckets))
         order = jnp.argsort(bucket, stable=True).astype(jnp.int32)
         bsorted = bucket[order]
@@ -145,10 +146,11 @@ def build_probe_fn(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
         allvalid = mask
         for k in keys:
             allvalid = allvalid & k.valid
-        hs = [hash_column(k.t, k.data, k.valid,
-                          k.exp if k.t is T.NUMERIC else None) for k in keys]
-        h = combine_hashes(hs)
-        bucket = (h & jnp.uint64(nbuckets - 1)).astype(jnp.int32)
+        hs = [hash_column32(k.t, k.data, k.valid,
+                            k.exp if k.t is T.NUMERIC else None,
+                            getattr(k, "bits", None)) for k in keys]
+        h = combine_hashes32(hs)
+        bucket = (h & jnp.uint32(nbuckets - 1)).astype(jnp.int32)
         bucket = jnp.where(allvalid, bucket, jnp.int32(nbuckets - 1))
         start = ht["bucket_start"][bucket]
         end = ht["bucket_start"][bucket + 1]

@@ -46,7 +46,7 @@ from ..errors import ERR_CPU_RECHECK
 from .. import pgnumeric as pgn
 from ..expr.ir import Expr
 from ..expr.lower_jax import Lowerer, DVal, ColMeta
-from .hashing import hash_column, combine_hashes
+from .hashing import hash_column, combine_hashes, hash_column32, combine_hashes32, _mix32
 
 _BIG = jnp.int64(1 << 62)
 _SHADOW_LIMIT = float(1 << 62)
@@ -546,13 +546,19 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
 
         collision = jnp.bool_(False)
         if group_exprs and strategy == "scatter":
-            hs = [hash_column(k.t, k.data, k.valid,
-                              k.exp if k.t is T.NUMERIC else None,
-                              getattr(k, "bits", None)) for k in keys]
-            h = combine_hashes(hs)
-            h = _remix(h ^ salt.astype(jnp.uint64))
-            bucket = (h & jnp.uint64(G - 1)).astype(jnp.int32)
+            # all-uint32 hashing: u64 chains feeding scatters measured ~1000x
+            # slower on TPU (emulated 64-bit ops in the scatter fusion)
+            hs = [hash_column32(k.t, k.data, k.valid,
+                                k.exp if k.t is T.NUMERIC else None,
+                                getattr(k, "bits", None)) for k in keys]
+            h = combine_hashes32(hs)
+            h = _mix32(h ^ salt.astype(jnp.uint32))
+            bucket = (h & jnp.uint32(G - 1)).astype(jnp.int32)
             seg_id = jnp.where(mask, bucket, jnp.int32(G))
+            # keep the hash chain OUT of the scatter fusions: measured on
+            # TPU, fusing the bucket computation into scatter operands
+            # slows segment reductions by orders of magnitude
+            seg_id, mask = jax.lax.optimization_barrier((seg_id, mask))
             # lanes stay in row order: no sort, no gathers
             mask_s = mask
             args_s = arg_vals
@@ -578,11 +584,11 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
                 key_out.append(tuple(planes))
             gmask = nonempty
         elif group_exprs:
-            hs = [hash_column(k.t, k.data, k.valid,
-                              k.exp if k.t is T.NUMERIC else None,
-                              getattr(k, "bits", None)) for k in keys]
-            h = combine_hashes(hs).astype(jnp.int64) & ((1 << 62) - 1)
-            hkey = jnp.where(mask, h, _BIG)
+            hs = [hash_column32(k.t, k.data, k.valid,
+                                k.exp if k.t is T.NUMERIC else None,
+                                getattr(k, "bits", None)) for k in keys]
+            h = (combine_hashes32(hs) >> 2).astype(jnp.int32)
+            hkey = jnp.where(mask, h, jnp.int32(1 << 30))
             order = jnp.argsort(hkey, stable=True)
             mask_s = mask[order]
             keys_s = [_gather_dval(k, order) for k in keys]
