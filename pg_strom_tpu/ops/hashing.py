@@ -16,11 +16,16 @@ Canonicalization before hashing (SQL equality, not bit equality):
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..sqltypes import T
 
-_NULL_TAG = jnp.uint64(0x9E3779B97F4A7C15)
+# numpy scalar, NOT an eager jnp array: module-level jnp constants
+# captured into jits trigger pathological XLA compiles (minutes) and
+# leave the whole process in a degraded ~5ms/dispatch mode on the
+# tunneled TPU (tools/tpu_iso_test.sh: 167s vs 0.7s compile)
+_NULL_TAG = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _mix64(x: jnp.ndarray) -> jnp.ndarray:
@@ -96,7 +101,7 @@ def combine_hashes(hs: list[jnp.ndarray]) -> jnp.ndarray:
 # depends on hash quality (collision checks / exact key compares downstream).
 # ---------------------------------------------------------------------------
 
-_NULL_TAG32 = jnp.uint32(0x9E3779B9)
+_NULL_TAG32 = np.uint32(0x9E3779B9)
 
 
 def _mix32(x: jnp.ndarray) -> jnp.ndarray:

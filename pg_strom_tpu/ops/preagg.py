@@ -48,7 +48,8 @@ from ..expr.ir import Expr
 from ..expr.lower_jax import Lowerer, DVal, ColMeta
 from .hashing import hash_column, combine_hashes, hash_column32, combine_hashes32, _mix32
 
-_BIG = jnp.int64(1 << 62)
+# np scalar, not eager jnp array (see ops/hashing.py header note)
+_BIG = np.int64(1 << 62)
 _SHADOW_LIMIT = float(1 << 62)
 
 # ---------------------------------------------------------------------------
