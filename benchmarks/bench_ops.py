@@ -1,0 +1,195 @@
+"""Per-operator TPU benchmarks: filter / join / agg / sort (BASELINE.md's
+driver metric is rows/s/chip per operator).
+
+Each operator runs in a FRESH subprocess — one pathological compile poisons
+a process permanently (BASELINE.md "TPU environment hazard"), so in-process
+ladders are not trustworthy.
+
+Usage:
+    python benchmarks/bench_ops.py            # run all ops, one line each
+    python benchmarks/bench_ops.py <op>       # run one op in-process
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OPS = ("filter", "join", "agg", "sort")
+HBM_GBPS = 819e9
+
+
+def bench_call(call, nbuf, reps=6, rounds=6):
+    import jax
+    t0 = time.perf_counter()
+    jax.block_until_ready(call(0))
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for i in range(reps):
+            out = call(i % nbuf)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return compile_s, best
+
+
+def run_filter():
+    """Scan-filter: predicate eval + compacted row index output (GpuScan)."""
+    import jax
+    import pg_strom_tpu  # noqa: F401
+    from pg_strom_tpu import T
+    from pg_strom_tpu.expr.ir import (ColumnRef, Const, BoolExpr,
+        resolve_function)
+    from pg_strom_tpu.expr.lower_jax import ColMeta
+    from pg_strom_tpu.ops.filter import build_filter_compact_fn
+
+    N = 1 << 22
+    schema = [ColMeta("x", T.FLOAT4), ColMeta("y", T.INT4)]
+    x = ColumnRef(type=T.FLOAT4, name="x", index=0)
+    y = ColumnRef(type=T.INT4, name="y", index=1)
+    pred = BoolExpr(type=T.BOOL, op="and", args=(
+        resolve_function(">", (x, Const(type=T.FLOAT4, value=0.25))),
+        resolve_function("<", (y, Const(type=T.INT4, value=900)))))
+    fn = jax.jit(build_filter_compact_fn(pred, schema))
+    rng = np.random.default_rng(0)
+    colsets = []
+    for s in range(3):
+        colsets.append((
+            (jax.device_put(rng.random(N).astype(np.float32)),
+             jax.device_put(rng.random(N) > 0.02)),
+            (jax.device_put(rng.integers(0, 1000, N).astype(np.int32)),
+             jax.device_put(np.ones(N, np.bool_))),
+        ))
+    c, dt = bench_call(lambda i: fn(colsets[i], np.int32(N)), 3)
+    bpr = 4 + 1 + 4 + 1 + 4          # x, vx, y, vy data + row-id out
+    return N, c, dt, bpr
+
+
+def run_join():
+    """Hash join: 40k-row build side (testdb dim scale), 4M-row probe."""
+    import jax
+    import pg_strom_tpu  # noqa: F401
+    from pg_strom_tpu import T
+    from pg_strom_tpu.expr.ir import ColumnRef
+    from pg_strom_tpu.expr.lower_jax import ColMeta
+    from pg_strom_tpu.ops.hashjoin import build_hash_table, build_probe_fn
+
+    NB, NP_ = 1 << 16, 1 << 22
+    bschema = [ColMeta("k", T.INT4)]
+    pschema = [ColMeta("k", T.INT4)]
+    bk = ColumnRef(type=T.INT4, name="k", index=0)
+    rng = np.random.default_rng(0)
+    bcols = ((jax.device_put(np.arange(NB, dtype=np.int32)),
+              jax.device_put(np.ones(NB, np.bool_))),)
+    btab = jax.jit(build_hash_table(bschema, [bk]))(bcols, np.int32(NB))
+    nbuckets = int(btab["bucket_start"].shape[0] - 1)
+    probe = jax.jit(build_probe_fn(pschema, [bk], (T.INT4,), nbuckets,
+                                   max_chain=4, out_cap=NP_))
+    ht = {k: btab[k] for k in ("bucket_start", "order", "key_planes")}
+    pc = []
+    for s in range(3):
+        pc.append(((jax.device_put(rng.integers(0, NB, NP_).astype(np.int32)),
+                    jax.device_put(np.ones(NP_, np.bool_))),))
+    c, dt = bench_call(lambda i: probe(ht, pc[i], np.int32(NP_)), 3)
+    bpr = 4 + 1 + 4 + 4              # probe key+valid in, pair out
+    return NP_, c, dt, bpr
+
+
+def run_agg():
+    """Fused filter + grouped aggregate (same shape as bench.py flagship)."""
+    import jax
+    import pg_strom_tpu  # noqa: F401
+    from pg_strom_tpu import T
+    from pg_strom_tpu.expr.ir import ColumnRef, Const, resolve_function
+    from pg_strom_tpu.expr.lower_jax import ColMeta
+    from pg_strom_tpu.ops.preagg import AggInstance, lookup_agg, build_preagg_fn
+
+    N = 1 << 22
+    schema = [ColMeta("key", T.INT4), ColMeta("x", T.FLOAT4), ColMeta("y", T.INT8)]
+    key = ColumnRef(type=T.INT4, name="key", index=0)
+    x = ColumnRef(type=T.FLOAT4, name="x", index=1)
+    y = ColumnRef(type=T.INT8, name="y", index=2)
+    pred = resolve_function(">", (x, Const(type=T.FLOAT4, value=0.25)))
+    insts = []
+    for aggname, arg in (("sum", x), ("count", x), ("sum", y)):
+        d, fam = lookup_agg(aggname, (arg.type,))
+        insts.append(AggInstance(aggname=aggname, family=fam,
+                                 slots=d.slots, args=(arg,)))
+    fn = jax.jit(build_preagg_fn(schema, [key], insts, pred, G=256))
+    rng = np.random.default_rng(0)
+    cs = []
+    for s in range(3):
+        cs.append((
+            (jax.device_put(rng.integers(0, 30, N).astype(np.int32)),
+             jax.device_put(np.ones(N, np.bool_))),
+            (jax.device_put(rng.random(N).astype(np.float32)),
+             jax.device_put(rng.random(N) > 0.05)),
+            (jax.device_put(rng.integers(0, 1 << 40, N).astype(np.int64)),
+             jax.device_put(rng.random(N) > 0.05)),
+        ))
+    c, dt = bench_call(lambda i: fn(cs[i], np.int32(N), np.uint64(0)), 3)
+    bpr = 4 + 1 + 4 + 1 + 8 + 1
+    return N, c, dt, bpr
+
+
+def run_sort():
+    """ORDER BY permutation over 4M rows, two keys (int4 desc, f32 asc)."""
+    import jax
+    import pg_strom_tpu  # noqa: F401
+    from pg_strom_tpu import T
+    from pg_strom_tpu.expr.ir import ColumnRef
+    from pg_strom_tpu.expr.lower_jax import ColMeta
+    from pg_strom_tpu.ops.sort import build_sort_fn, SortSpec
+
+    N = 1 << 22
+    schema = [ColMeta("a", T.INT4), ColMeta("b", T.FLOAT4)]
+    a = ColumnRef(type=T.INT4, name="a", index=0)
+    b = ColumnRef(type=T.FLOAT4, name="b", index=1)
+    fn = jax.jit(build_sort_fn(schema, [SortSpec(a, descending=True),
+                                        SortSpec(b)]))
+    rng = np.random.default_rng(0)
+    cs = []
+    for s in range(3):
+        cs.append((
+            (jax.device_put(rng.integers(0, 10000, N).astype(np.int32)),
+             jax.device_put(rng.random(N) > 0.02)),
+            (jax.device_put(rng.random(N).astype(np.float32)),
+             jax.device_put(np.ones(N, np.bool_))),
+        ))
+    c, dt = bench_call(lambda i: fn(cs[i], np.int32(N)), 3)
+    bpr = 4 + 1 + 4 + 1 + 4
+    return N, c, dt, bpr
+
+
+def main():
+    if len(sys.argv) > 1:
+        op = sys.argv[1]
+        n, c, dt, bpr = {"filter": run_filter, "join": run_join,
+                         "agg": run_agg, "sort": run_sort}[op]()
+        sol = HBM_GBPS / bpr
+        print(json.dumps({
+            "op": op, "rows_per_s": round(n / dt), "ms": round(dt * 1e3, 3),
+            "compile_s": round(c, 1), "grows_per_s": round(n / dt / 1e9, 2),
+            "sol_frac": round((n / dt) / sol, 3)}), flush=True)
+        return
+    here = os.path.dirname(os.path.abspath(__file__))
+    for op in OPS:
+        r = subprocess.run([sys.executable, __file__, op],
+                           cwd=os.path.dirname(here), capture_output=True,
+                           text=True, timeout=1800)
+        out = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        print(out[-1] if out else f'{{"op": "{op}", "error": true}}',
+              flush=True)
+        if not out:
+            sys.stderr.write(r.stderr[-2000:] + "\n")
+
+
+if __name__ == "__main__":
+    main()

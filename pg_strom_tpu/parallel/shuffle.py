@@ -45,12 +45,14 @@ def _mix64(x):
 
 
 def _partition_lanes(lanes: tuple, key: jnp.ndarray, valid: jnp.ndarray,
-                     ndev: int, bucket_cap: int):
-    """Sort local rows into ndev fixed-capacity buckets by hash(key)%ndev.
+                     ndev: int, bucket_cap: int, part=None):
+    """Sort local rows into ndev fixed-capacity buckets by hash(key)%ndev
+    (or by a caller-supplied partition lane — the skew router uses this).
 
     Returns (bucketed lanes each [ndev, bucket_cap], counts [ndev], ovf)."""
     n = key.shape[0]
-    part = (_mix64(key) % jnp.uint64(ndev)).astype(jnp.int32)
+    if part is None:
+        part = (_mix64(key) % jnp.uint64(ndev)).astype(jnp.int32)
     part = jnp.where(valid, part, jnp.int32(ndev))     # dead rows to the end
     order = jnp.argsort(part, stable=True)
     psorted = part[order]
@@ -133,28 +135,102 @@ def _local_group_partials(gkey, val, valid, G: int):
     return gkeys, gvalid, cnt, sm, ovf
 
 
+_HEAVY_SENTINEL = -(1 << 63)
+
+
+def detect_heavy_keys(keys, valid, k_heavy: int,
+                      sample_rows: int | None = None,
+                      threshold: float | None = None) -> np.ndarray:
+    """Host-side heavy-hitter detection (skew sampling).
+
+    Samples up to `sample_rows` valid keys and returns the <= k_heavy keys
+    whose sample frequency exceeds `threshold`, padded with _HEAVY_SENTINEL
+    to a fixed int64[k_heavy].  Misclassification in either direction is
+    correctness-preserving — heaviness only changes ROUTING (spread+broadcast
+    vs hash partition), never join/agg semantics — so sampling error is a
+    pure performance matter.  Defaults come from config
+    (skew_sample_rows / skew_heavy_threshold)."""
+    from ..config import config
+    if sample_rows is None:
+        sample_rows = config.skew_sample_rows
+    if threshold is None:
+        threshold = config.skew_heavy_threshold
+    keys = np.asarray(keys)
+    valid = np.asarray(valid, dtype=bool)
+    kv = keys[valid]
+    out = np.full(k_heavy, _HEAVY_SENTINEL, dtype=np.int64)
+    if k_heavy == 0 or kv.size == 0:
+        return out
+    if kv.size > sample_rows:
+        step = kv.size // sample_rows
+        kv = kv[::step][:sample_rows]
+    uniq, cnt = np.unique(kv, return_counts=True)
+    frac = cnt / kv.size
+    order = np.argsort(-cnt)
+    picked = [int(uniq[i]) for i in order[:k_heavy] if frac[i] > threshold]
+    out[:len(picked)] = picked
+    return out
+
+
 def build_shuffle_join_agg_step(mesh: Mesh, axis: str = "dp",
                                 bucket_cap: int = 1024,
                                 nbuckets: int = 4096,
                                 max_chain: int = 8,
-                                G: int = 512) -> Callable:
+                                G: int = 512,
+                                k_heavy: int = 0,
+                                heavy_cap: int | None = None) -> Callable:
     """Jitted distributed step over `mesh`:
 
       f(probe_key[Np], probe_val[Np], probe_valid[Np],
-        build_key[Nb], build_pay[Nb], build_valid[Nb])
+        build_key[Nb], build_pay[Nb], build_valid[Nb][, heavy_keys[k_heavy]])
         -> (group_keys [ndev*G], group_valid, count, sum, ovf)
 
     Inputs are sharded on their leading axis; outputs are the per-device
     disjoint group partials after the re-aggregation shuffle (each group's
-    total lives on exactly one device)."""
-    ndev = mesh.shape[axis]
+    total lives on exactly one device).
 
-    def step(pkey, pval, pvalid, bkey, bpay, bvalid):
+    Skew-aware repartitioning (k_heavy > 0): rows whose key is in
+    `heavy_keys` (from detect_heavy_keys, replicated) bypass hash
+    partitioning — probe rows are spread round-robin over all devices and
+    the matching build rows are broadcast (all_gather) to every device, so
+    one hot key no longer funnels its whole row mass onto a single device.
+    Exactness is unaffected: the second-phase partial re-aggregation already
+    merges per-device partials of the same group."""
+    ndev = mesh.shape[axis]
+    if heavy_cap is None:
+        heavy_cap = bucket_cap
+
+    def step(pkey, pval, pvalid, bkey, bpay, bvalid, *rest):
+        # ---- phase 0: skew routing lanes ---------------------------------
+        hovf = jnp.bool_(False)
+        bvalid_hash = bvalid
+        ppart = None
+        if k_heavy:
+            heavy = rest[0]
+            p_heavy = jnp.zeros_like(pvalid)
+            b_heavy = jnp.zeros_like(bvalid)
+            for j in range(k_heavy):
+                p_heavy = p_heavy | (pkey == heavy[j])
+                b_heavy = b_heavy | (bkey == heavy[j])
+            p_heavy = p_heavy & pvalid
+            b_heavy = b_heavy & bvalid
+            # probe: heavy rows spread round-robin across devices
+            base = (_mix64(pkey) % jnp.uint64(ndev)).astype(jnp.int32)
+            rr = (jnp.cumsum(p_heavy.astype(jnp.int32)) - 1) % ndev
+            ppart = jnp.where(p_heavy, rr, base)
+            # build: heavy rows leave the hash path, get broadcast below
+            bvalid_hash = bvalid & ~b_heavy
+            (hbk_b, hbp_b), hbv_b, _, hovf = _partition_lanes(
+                (bkey, bpay), bkey, b_heavy, 1, heavy_cap)
+            hbk_g = jax.lax.all_gather(hbk_b[0], axis)     # [ndev, heavy_cap]
+            hbp_g = jax.lax.all_gather(hbp_b[0], axis)
+            hbv_g = jax.lax.all_gather(hbv_b[0], axis)
+
         # ---- phase 1+2: partition and exchange both sides over ICI -------
         (pk_b, pv_b), pvalid_b, _, povf = _partition_lanes(
-            (pkey, pval), pkey, pvalid, ndev, bucket_cap)
+            (pkey, pval), pkey, pvalid, ndev, bucket_cap, part=ppart)
         (bk_b, bp_b), bvalid_b, _, bovf = _partition_lanes(
-            (bkey, bpay), bkey, bvalid, ndev, bucket_cap)
+            (bkey, bpay), bkey, bvalid_hash, ndev, bucket_cap)
         pk_x = jax.lax.all_to_all(pk_b, axis, 0, 0, tiled=False)
         pv_x = jax.lax.all_to_all(pv_b, axis, 0, 0, tiled=False)
         pva_x = jax.lax.all_to_all(pvalid_b, axis, 0, 0, tiled=False)
@@ -167,6 +243,11 @@ def build_shuffle_join_agg_step(mesh: Mesh, axis: str = "dp",
         bk_l = bk_x.reshape(-1)
         bp_l = bp_x.reshape(-1)
         bva_l = bva_x.reshape(-1)
+        if k_heavy:
+            # local build side = hash-received rows + broadcast heavy rows
+            bk_l = jnp.concatenate([bk_l, hbk_g.reshape(-1)])
+            bp_l = jnp.concatenate([bp_l, hbp_g.reshape(-1)])
+            bva_l = jnp.concatenate([bva_l, hbv_g.reshape(-1)])
 
         # ---- phase 3: local join ----------------------------------------
         matched, pay_m, jovf = _local_hash_join(
@@ -194,12 +275,13 @@ def build_shuffle_join_agg_step(mesh: Mesh, axis: str = "dp",
             gk_x, cnt_x.astype(jnp.float64), gv_x, G)
         _, _, _, fsum_val, _ = _local_group_partials(gk_x, sm_x, gv_x, G)
 
-        ovf = povf | bovf | jovf | govf | rovf | fovf
+        ovf = povf | bovf | jovf | govf | rovf | fovf | hovf
         return fk, fv, fsum_cnt.astype(jnp.int64), fsum_val, ovf.reshape(1)
 
     specs = P(axis)
+    in_specs = (specs,) * 6 + ((P(),) if k_heavy else ())
     f = shard_map(step, mesh=mesh,
-                  in_specs=(specs,) * 6,
+                  in_specs=in_specs,
                   out_specs=(specs, specs, specs, specs, P(axis)))
     return jax.jit(f)
 

@@ -86,3 +86,51 @@ def test_bucket_overflow_flagged():
     *_, ovf = step(pk, np.ones(N), np.ones(N, bool),
                    pk[:64], np.ones(64, dtype=np.int64), np.ones(64, bool))
     assert bool(np.asarray(ovf).any())
+
+
+def test_skew_routing_avoids_overflow_and_matches_reference():
+    """90% of probe rows share one key: plain hash partitioning overflows
+    the per-device buckets, the skew router (spread + broadcast) does not,
+    and results stay exact."""
+    from pg_strom_tpu.parallel.shuffle import detect_heavy_keys
+
+    mesh = get_mesh(4)
+    rng = np.random.default_rng(5)
+    NP_, NB = 128 * 4, 16 * 4
+    pk = np.where(rng.random(NP_) < 0.9, 7, rng.integers(0, 40, NP_)).astype(np.int64)
+    pv = rng.random(NP_)
+    pvalid = np.ones(NP_, bool)
+    bk = np.arange(NB).astype(np.int64) % 40
+    bp = rng.integers(1, 5, NB).astype(np.int64)
+    bvalid = np.ones(NB, bool)
+
+    # plain hash partitioning: the hot key funnels ~460 rows to one device
+    plain = build_shuffle_join_agg_step(mesh, bucket_cap=96, nbuckets=128,
+                                        max_chain=8, G=64)
+    *_, ovf = plain(pk, pv, pvalid, bk, bp, bvalid)
+    assert bool(np.asarray(ovf).any()), "expected plain partitioning to overflow"
+
+    heavy = detect_heavy_keys(pk, pvalid, k_heavy=2, sample_rows=256,
+                              threshold=0.10)
+    assert 7 in heavy.tolist()
+    skew = build_shuffle_join_agg_step(mesh, bucket_cap=96, nbuckets=128,
+                                       max_chain=8, G=64, k_heavy=2)
+    fk, fv, fcnt, fsum, ovf = skew(pk, pv, pvalid, bk, bp, bvalid, heavy)
+    assert not bool(np.asarray(ovf).any()), "skew router should not overflow"
+    got = host_merge_group_partials(fk, fv, fcnt, fsum)
+    want = reference_join_agg(pk, pv, pvalid, bk, bp, bvalid)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], f"count mismatch for key {k}"
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-12)
+
+
+def test_skew_detect_empty_and_uniform():
+    from pg_strom_tpu.parallel.shuffle import detect_heavy_keys, _HEAVY_SENTINEL
+    out = detect_heavy_keys(np.array([], dtype=np.int64),
+                            np.array([], dtype=bool), 4)
+    assert (out == _HEAVY_SENTINEL).all()
+    keys = np.arange(1000, dtype=np.int64)  # uniform: nothing is heavy
+    out = detect_heavy_keys(keys, np.ones(1000, bool), 4, sample_rows=512,
+                            threshold=0.05)
+    assert (out == _HEAVY_SENTINEL).all()
