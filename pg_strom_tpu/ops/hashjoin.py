@@ -84,7 +84,8 @@ def build_hash_table(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
         h = combine_hashes32(hs)
         bucket = (h & jnp.uint32(nbuckets - 1)).astype(jnp.int32)
         bucket = jnp.where(allvalid, bucket, jnp.int32(nbuckets))
-        order = jnp.argsort(bucket, stable=True).astype(jnp.int32)
+        from .sort import argsort_i32
+        order = argsort_i32(bucket, n, vbits=nbuckets.bit_length() + 1)
         bsorted = bucket[order]
         edges = jnp.arange(nbuckets + 1, dtype=jnp.int32)
         bucket_start = jnp.searchsorted(bsorted, edges, side="left").astype(jnp.int32)

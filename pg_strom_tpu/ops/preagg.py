@@ -590,7 +590,8 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
                                 getattr(k, "bits", None)) for k in keys]
             h = (combine_hashes32(hs) >> 2).astype(jnp.int32)
             hkey = jnp.where(mask, h, jnp.int32(1 << 30))
-            order = jnp.argsort(hkey, stable=True)
+            from .sort import argsort_i32
+            order = argsort_i32(hkey, n, vbits=31)
             mask_s = mask[order]
             keys_s = [_gather_dval(k, order) for k in keys]
             args_s = [[_gather_dval(v, order) for v in vs] for vs in arg_vals]

@@ -4,19 +4,28 @@ The reference kept GpuSort in deadcode (deadcode/gpusort.c: CustomPlan Sort
 replacement with bitonic kernels) but it is part of the capability envelope
 and the BASELINE configs include ORDER BY — here it is first-class.
 
-TPU-native design: one `jax.lax.sort` call over composite key lanes
-(lexicographic, num_keys=k, stable) instead of a hand-scheduled bitonic
-ladder — XLA's sort is already the tuned device sort.  Each SQL sort key
-becomes (null_lane, order_lane...) int64 lanes encoding PG ORDER BY
-semantics:
+TPU-native design — single-operand packed sorts.  Variadic `lax.sort`
+(key + payload operands) triggers a pathological minutes-long compile on
+TPU at chunk sizes (a 2-operand i32 sort of 4M rows measured 920 s to
+compile vs 29 s for the same sort with key and row-id packed into one
+int64 — tools/tpu_sort_probe.sh), so every sort here is ONE int64 operand:
 
-  ASC  [NULLS LAST  default] : null_lane = isnull
-  DESC [NULLS FIRST default] : key lanes bit-inverted, null_lane = ~isnull
-  floats: exact IEEE total-order keys (NaN greatest — PG float btree order)
-  numeric: two lanes (magnitude class, normalized mantissa) — exact
-  text: order-preserving dictionary codes (C collation)
+  wide = (unsigned-comparable key bits << rbits) | row_id
+  perm = lax.sort(wide) & (2^rbits - 1)
 
-The sort returns a permutation; consumers gather column planes through it.
+Row-id in the low bits makes the sort stable by construction.  Multi-key
+ORDER BY packs all key lanes into the word when they fit (≤ 63-rbits bits);
+wider key sets run LSD passes (least-significant key group first), composing
+permutations between passes — the classic radix strategy, each pass again a
+single-operand sort.
+
+Per-key encoding to unsigned-comparable bit chunks:
+  ints/date/time  biased two's complement within the type's width
+  floats          exact IEEE total-order keys (NaN greatest — PG btree order)
+  numeric         (magnitude class, normalized mantissa) lanes — exact
+  DESC            chunk bits inverted within their width
+  NULLS           one leading bit per key (first/last by ORDER BY spec)
+  padding rows    one global leading dead bit → always sort last
 """
 
 from __future__ import annotations
@@ -42,18 +51,28 @@ class SortSpec:
         return self.descending if self.nulls_first is None else self.nulls_first
 
 
-def _order_lanes(v: DVal) -> list[jnp.ndarray]:
-    """int64 lanes whose lexicographic ascending order == SQL ascending."""
+def _rbits(n: int) -> int:
+    b = 1
+    while (1 << b) < max(n, 2):
+        b += 1
+    return b
+
+
+def _order_lanes(v: DVal) -> list[tuple[jnp.ndarray, int]]:
+    """(int64 lane, bit width) pairs; lexicographic ascending order of the
+    biased chunks == SQL ascending order of the value."""
     if v.t is T.NUMERIC:
         from .preagg import _num_sort_keys
         p, s = _num_sort_keys(v.data, v.exp)
-        return [p, s]
+        return _bias_chunks(p, 10) + _bias_chunks(s, 62)
     if v.t is T.FLOAT8:
         bits = getattr(v, "bits", None)
         if bits is not None:
-            return [_f64_orderkey(bits)]
-        return [_f64_orderkey(jax.lax.bitcast_convert_type(
-            v.data.astype(jnp.float64), jnp.int64))]
+            key = _f64_orderkey(bits)
+        else:
+            key = _f64_orderkey(jax.lax.bitcast_convert_type(
+                v.data.astype(jnp.float64), jnp.int64))
+        return _bias_chunks(key, 64)
     if v.t is T.FLOAT4:
         b32 = jax.lax.bitcast_convert_type(v.data.astype(jnp.float32), jnp.int32)
         b32 = jnp.where(b32 == jnp.int32(-(1 << 31)), jnp.int32(0), b32)
@@ -61,8 +80,99 @@ def _order_lanes(v: DVal) -> list[jnp.ndarray]:
         isn = ((b32 & expm) == expm) & ((b32 & jnp.int32(0x007FFFFF)) != 0)
         b32 = jnp.where(isn, jnp.int32(0x7FC00000), b32)
         key = jnp.where(b32 < 0, jnp.int32(-1) - (b32 & jnp.int32(0x7FFFFFFF)), b32)
-        return [key.astype(jnp.int64)]
-    return [v.data.astype(jnp.int64)]
+        return _bias_chunks(key.astype(jnp.int64), 32)
+    width = {T.BOOL: 1, T.INT2: 16, T.INT4: 32, T.DATE: 32,
+             T.TIME: 64, T.TIMESTAMP: 64, T.INT8: 64}.get(v.t, 64)
+    return _bias_chunks(v.data.astype(jnp.int64), width)
+
+
+def _bias_chunks(lane: jnp.ndarray, width: int) -> list[tuple[jnp.ndarray, int]]:
+    """Signed int64 lane of `width` significant bits -> non-negative
+    unsigned-comparable chunks of <= 33 bits each (so chunk+rowid packs)."""
+    if width <= 1:
+        return [(lane.astype(jnp.int64) & jnp.int64(1), 1)]
+    u = lane.astype(jnp.uint64) ^ jnp.uint64(1 << (width - 1) if width < 64
+                                             else 1 << 63)
+    if width < 64:
+        u = u & jnp.uint64((1 << width) - 1)
+    if width <= 33:
+        return [(u.astype(jnp.int64), width)]
+    hi_w = width - 31
+    hi = (u >> 31).astype(jnp.int64)
+    lo = (u & jnp.uint64((1 << 31) - 1)).astype(jnp.int64)
+    out = []
+    if hi_w > 33:                      # width 64: hi is 33 bits after this
+        out.extend(_chunks_from_unsigned(hi, hi_w))
+    else:
+        out.append((hi, hi_w))
+    out.append((lo, 31))
+    return out
+
+
+def _chunks_from_unsigned(u: jnp.ndarray, width: int) -> list[tuple[jnp.ndarray, int]]:
+    out = []
+    while width > 33:
+        out.append(((u >> (width - 31)) & jnp.int64((1 << 31) - 1), 31))
+        width -= 31
+    out.append((u & jnp.int64((1 << width) - 1), width))
+    return out
+
+
+def _key_lanes(v: DVal, sp: SortSpec) -> list[tuple[jnp.ndarray, int]]:
+    """Null bit + encoded value chunks for one ORDER BY key."""
+    isnull = (~v.valid).astype(jnp.int64)
+    null_bit = isnull if not sp.nulls_go_first() else (1 - isnull)
+    lanes = [(null_bit, 1)]
+    for chunk, w in _order_lanes(v):
+        c = jnp.where(v.valid, chunk, jnp.int64(0))
+        if sp.descending:
+            c = jnp.int64((1 << w) - 1) - c
+        lanes.append((c, w))
+    return lanes
+
+
+def packed_argsort(lanes: Sequence[tuple[jnp.ndarray, int]], n: int) -> jnp.ndarray:
+    """Stable ascending argsort over lexicographic (lane, width) chunks,
+    most-significant first.  Every lax.sort call is single-operand; key sets
+    wider than 63-rbits bits run LSD passes with permutation composition."""
+    rb = _rbits(n)
+    budget = 63 - rb
+    # group lanes from the LEAST significant end; each group <= budget bits
+    groups: list[list[tuple[jnp.ndarray, int]]] = []
+    cur: list[tuple[jnp.ndarray, int]] = []
+    used = 0
+    for lane, w in reversed(list(lanes)):
+        if w > budget:
+            raise ValueError(f"lane width {w} exceeds pack budget {budget}")
+        if used + w > budget:
+            groups.append(cur)
+            cur, used = [], 0
+        cur.append((lane, w))          # within group: LSB-first
+        used += w
+    if cur:
+        groups.append(cur)
+
+    iota = jax.lax.broadcasted_iota(jnp.int64, (n,), 0)
+    perm = None
+    for g in groups:                   # least-significant group first (LSD)
+        wide = jnp.zeros((n,), dtype=jnp.int64)
+        shift = rb
+        for lane, w in g:              # g is LSB-first: shift upward
+            l = lane if perm is None else lane[perm]
+            wide = wide | (l << shift)
+            shift += w
+        wide = wide | iota
+        s = jax.lax.sort(wide)
+        idx = (s & jnp.int64((1 << rb) - 1)).astype(jnp.int32)
+        perm = idx if perm is None else perm[idx]
+    return perm if perm is not None else iota.astype(jnp.int32)
+
+
+def argsort_i32(vals: jnp.ndarray, n: int, vbits: int = 32) -> jnp.ndarray:
+    """Stable argsort of a non-negative int lane (< 2^vbits) — the packed
+    replacement for jnp.argsort(..., stable=True) used by hashjoin bucket
+    ordering, preagg hash-sort grouping and the shuffle partitioner."""
+    return packed_argsort([(vals.astype(jnp.int64), vbits)], n)
 
 
 def build_sort_fn(schema: Sequence[ColMeta], specs: Sequence[SortSpec]) -> Callable:
@@ -74,19 +184,12 @@ def build_sort_fn(schema: Sequence[ColMeta], specs: Sequence[SortSpec]) -> Calla
         n = cols[0][0].shape[0] if cols else 0
         live = jnp.arange(n, dtype=jnp.int32) < nrows
         lw = Lowerer(schema, cols, live)
-        lanes: list[jnp.ndarray] = [(~live).astype(jnp.int64)]  # dead last
+        lanes: list[tuple[jnp.ndarray, int]] = [
+            ((~live).astype(jnp.int64), 1)]           # dead rows last
         for sp in specs:
             v = lw.lower(sp.expr, live)
-            isnull = (~v.valid).astype(jnp.int64)
-            null_lane = isnull if not sp.nulls_go_first() else -isnull
-            lanes.append(null_lane)
-            for lane in _order_lanes(v):
-                lanes.append(jnp.where(v.valid, ~lane if sp.descending else lane,
-                                       jnp.int64(0)))
-        idx = jnp.arange(n, dtype=jnp.int32)
-        sorted_ops = jax.lax.sort(tuple(lanes) + (idx,),
-                                  num_keys=len(lanes), is_stable=True)
-        perm = sorted_ops[-1]
+            lanes.extend(_key_lanes(v, sp))
+        perm = packed_argsort(lanes, n)
         return perm, jnp.max(jnp.where(live, lw.err, jnp.uint8(0)))
 
     return f

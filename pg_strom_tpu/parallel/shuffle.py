@@ -54,7 +54,8 @@ def _partition_lanes(lanes: tuple, key: jnp.ndarray, valid: jnp.ndarray,
     if part is None:
         part = (_mix64(key) % jnp.uint64(ndev)).astype(jnp.int32)
     part = jnp.where(valid, part, jnp.int32(ndev))     # dead rows to the end
-    order = jnp.argsort(part, stable=True)
+    from ..ops.sort import argsort_i32
+    order = argsort_i32(part, n, vbits=max(ndev + 1, 2).bit_length())
     psorted = part[order]
     edges = jnp.arange(ndev + 1, dtype=jnp.int32)
     starts = jnp.searchsorted(psorted, edges, side="left").astype(jnp.int32)
@@ -84,7 +85,8 @@ def _local_hash_join(pkey, pval, pvalid, bkey, bpay, bvalid, nbuckets: int,
     nb = bkey.shape[0]
     bucket = (_mix64(bkey) % jnp.uint64(nbuckets)).astype(jnp.int32)
     bucket = jnp.where(bvalid, bucket, jnp.int32(nbuckets))
-    order = jnp.argsort(bucket, stable=True)
+    from ..ops.sort import argsort_i32
+    order = argsort_i32(bucket, nb, vbits=nbuckets.bit_length() + 1)
     bsorted = bucket[order]
     bkey_s = bkey[order]
     bpay_s = bpay[order]
@@ -115,7 +117,8 @@ def _local_group_partials(gkey, val, valid, G: int):
     n = gkey.shape[0]
     hk = _mix64(gkey).astype(jnp.int64) & ((1 << 62) - 1)
     hk = jnp.where(valid, hk, jnp.int64(1 << 62))
-    order = jnp.argsort(hk, stable=True)
+    from ..ops.sort import packed_argsort, _chunks_from_unsigned
+    order = packed_argsort(_chunks_from_unsigned(hk, 63), n)
     ks = gkey[order]
     vs = val[order]
     ok = valid[order]
