@@ -22,10 +22,15 @@ from ..datastore import Table, column_from_values
 from ..config import show_all
 
 _ARENAS: list = []   # Arena objects registered for visibility
+_MQUEUES: list = []  # (name, MQueue) pairs registered for visibility
 
 
 def register_arena(a) -> None:
     _ARENAS.append(a)
+
+
+def register_mqueue(name: str, q) -> None:
+    _MQUEUES.append((name, q))
 
 
 def virtual_table(name: str) -> Optional[Table]:
@@ -60,6 +65,13 @@ def virtual_table(name: str) -> Optional[Table]:
             "bytes_live": column_from_values(T.INT8, [s["bytes_live"] for s in stats]),
             "n_alloc": column_from_values(T.INT8, [s["n_alloc"] for s in stats]),
             "n_free": column_from_values(T.INT8, [s["n_free"] for s in stats]),
+        })
+    if name == "pgstrom_mqueue_info":
+        # the pgstrom_mqueue_info SRF analog (reference mqueue.c:592)
+        return Table.from_columns(name, {
+            "name": column_from_values(T.TEXT, [n for n, _ in _MQUEUES]),
+            "depth": column_from_values(T.INT8,
+                                        [q.depth() for _, q in _MQUEUES]),
         })
     if name == "pgstrom_config_info":
         cfg = show_all()
