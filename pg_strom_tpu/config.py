@@ -47,6 +47,12 @@ class _Config:
     mqueue_timeout_ms: int = 60_000       # reference pg_strom.mqueue_timeout
     loader_threads: int = 0               # 0 = #CPUs (reference opencl_num_threads)
 
+    # --- device table cache (the tcache analog, reference deadcode/tcache.c:
+    #     columnar T-tree cache; here: HBM-resident chunk planes reused across
+    #     queries with LRU eviction) ------------------------------------------
+    enable_tcache: bool = True
+    tcache_size_mb: int = 8192            # device bytes budget for cached planes
+
     # --- cost model ---------------------------------------------------------
     cpu_tuple_cost: float = 0.01          # PostgreSQL defaults, for the cost model
     cpu_operator_cost: float = 0.0025

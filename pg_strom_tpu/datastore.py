@@ -37,9 +37,18 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+_COL_UID = iter(range(1, 1 << 62))
+
+
 @dataclasses.dataclass
 class Column:
-    """One column: host planes. data under NULL lanes is 0."""
+    """One column: host planes. data under NULL lanes is 0.
+
+    Columns are immutable once built (loaders construct, executors read);
+    `uid` identifies the column contents for the device chunk cache
+    (exec/devcache.py) and stays stable across planner aliasing, which
+    re-wraps Tables but shares Column objects.  Code that mutates planes
+    in place must assign a fresh uid (`next_column_uid()`)."""
 
     type: T
     data: np.ndarray                       # primary plane (see STORAGE_DTYPE)
@@ -50,6 +59,7 @@ class Column:
     recheck: np.ndarray | None = None      # bool: device can't represent row
     # string dictionary (sorted, code -> bytes); shared per column
     dictionary: list[str] | None = None
+    uid: int = dataclasses.field(default_factory=lambda: next(_COL_UID))
 
     def __len__(self) -> int:
         return len(self.data)
@@ -153,6 +163,11 @@ def column_from_numpy(t: T, arr: np.ndarray, valid: np.ndarray | None = None) ->
         col.num_dscale = np.zeros(len(data), dtype=np.int32)
         col.recheck = np.zeros(len(data), dtype=np.bool_)
     return col
+
+
+def next_column_uid() -> int:
+    """Fresh identity for a Column whose planes were mutated in place."""
+    return next(_COL_UID)
 
 
 @dataclasses.dataclass

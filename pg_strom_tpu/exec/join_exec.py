@@ -25,6 +25,7 @@ from ..expr.catalog import device_expression_supported
 from ..expr.eval_cpu import eval_expr_cpu
 from ..expr.lower_jax import schema_from_chunk_columns, planes_of_column
 from ..ops.hashjoin import build_hash_table, build_probe_fn, _next_pow2
+from .devcache import TCACHE, CachedChunk, chunk_capacity
 from .hostexec import canon_group_key
 from ..utils.perfmon import Perfmon
 
@@ -105,44 +106,46 @@ class HashJoinExecutor:
 
         pm = self.perfmon
         bl = self.build.column_names
+        bcols = [self.build.columns[n] for n in bl]
         bcap = _next_pow2(max(self.build.nrows, 16))
-        bchunk = next(iter(self.build.chunks(bcap)))
-        if bchunk.row_recheck.any():
-            self._host_join_all(collected)
-            return self._to_table(collected)
-        bschema = schema_from_chunk_columns(bl, [bchunk.columns[n] for n in bl])
-        bplanes = tuple(planes_of_column(bchunk.columns[n]) for n in bl)
-        build_fn = _cached_jit(
-            ("build", tuple((m.name, m.type, m.dict_id) for m in bschema),
-             tuple(self.build_keys), self.build_pred, bcap),
-            lambda: build_hash_table(bschema, self.build_keys, self.build_pred))
-        with pm.timer("build_hash"):
-            ht = build_fn(bplanes, np.int32(bchunk.nrows))
-        if int(ht["err"]) != 0:
-            self._host_join_all(collected)
-            return self._to_table(collected)
-        nbuckets = int(ht["bucket_start"].shape[0]) - 1
         key_types = tuple(k.type for k in self.build_keys)
 
-        # build-side output planes for materialization
-        bplanes_by_name = {n: planes_of_column(bchunk.columns[n]) for n in bl}
+        # device-resident hash table, reused across queries (the cross-query
+        # extension of the DMA-hashtable-once pattern, gpuhashjoin.c:4497)
+        ht_key = ("join_ht", tuple(c.uid for c in bcols),
+                  tuple(self.build_keys), self.build_pred, bcap)
+        ht = TCACHE.get_aux(ht_key, pm)
+        if ht is None:
+            bchunk = next(iter(self.build.chunks(bcap)))
+            if bchunk.row_recheck.any():
+                self._host_join_all(collected)
+                return self._to_table(collected)
+            bschema = schema_from_chunk_columns(bl, [bchunk.columns[n] for n in bl])
+            bplanes = tuple(planes_of_column(bchunk.columns[n]) for n in bl)
+            build_fn = _cached_jit(
+                ("build", tuple((m.name, m.type, m.dict_id) for m in bschema),
+                 tuple(self.build_keys), self.build_pred, bcap),
+                lambda: build_hash_table(bschema, self.build_keys, self.build_pred))
+            with pm.timer("build_hash"):
+                ht = build_fn(bplanes, np.int32(bchunk.nrows))
+            if int(ht["err"]) != 0:
+                self._host_join_all(collected)
+                return self._to_table(collected)
+            TCACHE.put_aux(ht_key, ht, self.build.name, bcols)
+        nbuckets = int(ht["bucket_start"].shape[0]) - 1
 
         pl = self.probe.column_names
-        pcap = min(config.chunk_rows, _next_pow2(max(self.probe.nrows, 1024)))
-        pschema = None
+        pcap = chunk_capacity(self.probe.nrows)
+        pschema = schema_from_chunk_columns(pl, [self.probe.columns[n] for n in pl])
         probe_fns: dict[int, Any] = {}
         out_cap = max(2 * pcap, 1024)
         max_chain = config.join_max_bucket_probe
 
-        for chunk in self.probe.chunks(pcap):
-            if chunk.row_recheck.any():
+        for cc in TCACHE.chunks_for(self.probe, pl, pcap, pm):
+            if cc.recheck_any:
                 with pm.timer("cpu_fallback"):
-                    self._host_join_chunk(chunk, collected)
+                    self._host_join_chunk(cc.host_chunk(self.probe), collected)
                 continue
-            if pschema is None:
-                pschema = schema_from_chunk_columns(
-                    pl, [chunk.columns[n] for n in pl])
-            planes = tuple(planes_of_column(chunk.columns[n]) for n in pl)
             cap_now = out_cap
             while True:
                 fn = probe_fns.get(cap_now)
@@ -156,13 +159,14 @@ class HashJoinExecutor:
                             max_chain, c, self.probe_pred))
                     probe_fns[cap_now] = fn
                 with pm.timer("dispatch"):
-                    probe_idx, build_row, nout, err = fn(ht, planes,
-                                                         np.int32(chunk.nrows))
+                    probe_idx, build_row, nout, err = fn(ht, cc.planes,
+                                                         np.int32(cc.nrows))
                 nout_i = int(nout)
                 if int(err) != 0:
                     pm.bump("recheck_chunks")
                     with pm.timer("cpu_fallback"):
-                        self._host_join_chunk(chunk, collected)
+                        self._host_join_chunk(cc.host_chunk(self.probe),
+                                              collected)
                     break
                 if nout_i > cap_now:
                     # DataStoreNoSpace analog: regrow and re-dispatch
@@ -170,7 +174,7 @@ class HashJoinExecutor:
                     cap_now = _next_pow2(nout_i)
                     continue
                 with pm.timer("materialize"):
-                    self._materialize(chunk, planes, bplanes_by_name,
+                    self._materialize(cc.start,
                                       np.asarray(probe_idx[:nout_i]) if nout_i else np.empty(0, np.int32),
                                       np.asarray(build_row[:nout_i]) if nout_i else np.empty(0, np.int32),
                                       collected)
@@ -180,14 +184,16 @@ class HashJoinExecutor:
 
     # -- materialization -----------------------------------------------------
 
-    def _materialize(self, chunk: Chunk, pplanes, bplanes_by_name,
-                     probe_idx: np.ndarray, build_row: np.ndarray,
+    def _materialize(self, chunk_start: int, probe_idx: np.ndarray,
+                     build_row: np.ndarray,
                      collected: dict[str, list]) -> None:
         # vectorized plane gathers (the device-side projection analog of
-        # kern_gpuhashjoin_projection_row, opencl_hashjoin.h:437-689)
+        # kern_gpuhashjoin_projection_row, opencl_hashjoin.h:437-689);
+        # probe indexes are chunk-local, so offset to table-global rows
         for c in self.out_probe_cols:
             collected[self._pname(c)].append(
-                ("planes", _gather_planes(chunk.columns[c], probe_idx)))
+                ("planes", _gather_planes(self.probe.columns[c],
+                                          probe_idx + chunk_start)))
         for c in self.out_build_cols:
             collected[self._bname(c)].append(
                 ("planes", _gather_planes(self.build.columns[c], build_row)))

@@ -22,10 +22,11 @@ from ..sqltypes import T, numeric_to_decimal
 from ..errors import SqlError
 from ..expr.ir import Expr, ColumnRef, referenced_columns, walk
 from ..expr.catalog import device_expression_supported
-from ..expr.lower_jax import ColMeta, schema_from_chunk_columns, planes_of_column
+from ..expr.lower_jax import ColMeta, schema_from_chunk_columns
 from ..ops.preagg import (
     AggInstance, build_preagg_fn, extract_partials, merge_partials,
 )
+from .devcache import TCACHE, CachedChunk, chunk_capacity
 from .hostexec import replay_chunk_preagg, canon_group_key, new_state
 from ..utils.perfmon import Perfmon
 
@@ -115,29 +116,24 @@ class PreAggExecutor:
             return self._finalize(states, displays)
 
         G = config.max_groups_device
-        cap = min(config.chunk_rows, _next_pow2(self.table.nrows))
+        cap = chunk_capacity(self.table.nrows)
         window: collections.deque = collections.deque()
-        fn = None
-        self._schema = None
+        self._schema = schema_from_chunk_columns(
+            self.layout_names,
+            [self.table.columns[nm] for nm in self.layout_names])
         self._G, self._cap = G, cap
         key_metas = self._key_metas()
+        fn = _get_jitted(self._schema, tuple(self.group_exprs),
+                         tuple(self.aggs), self.pred, G, cap)
 
-        for chunk in self.table.chunks(cap):
-            if self._schema is None:
-                cols = [chunk.columns[nm] for nm in self.layout_names]
-                self._schema = schema_from_chunk_columns(self.layout_names, cols)
-                fn = _get_jitted(self._schema, tuple(self.group_exprs),
-                                 tuple(self.aggs), self.pred, G, cap)
-            if chunk.row_recheck.any():
+        for cc in TCACHE.chunks_for(self.table, self.layout_names, cap, pm):
+            if cc.recheck_any:
                 with pm.timer("cpu_fallback"):
-                    self._replay(chunk, states, displays)
+                    self._replay(cc.host_chunk(self.table), states, displays)
                 continue
-            planes = tuple(planes_of_column(chunk.columns[nm])
-                           for nm in self.layout_names)
             with pm.timer("dispatch"):
-                out = fn(planes, np.int32(chunk.nrows), np.uint64(0))
-            pm.add_bytes("h2d", sum(p.nbytes for ps in planes for p in ps))
-            window.append((chunk, planes, out))
+                out = fn(cc.planes, np.int32(cc.nrows), np.uint64(0))
+            window.append((cc, out))
             if len(window) >= config.max_async_chunks:
                 self._consume(*window.popleft(), states, displays, key_metas)
         while window:
@@ -163,7 +159,7 @@ class PreAggExecutor:
         replay_chunk_preagg(chunk, self.layout_names, self.pred,
                             self.group_exprs, self.aggs, states, displays)
 
-    def _consume(self, chunk: Chunk, planes, out, states, displays,
+    def _consume(self, cc: CachedChunk, out, states, displays,
                  key_metas) -> None:
         pm = self.perfmon
         with pm.timer("device_wait"):
@@ -177,7 +173,7 @@ class PreAggExecutor:
                 fn = _get_jitted(self._schema, tuple(self.group_exprs),
                                  tuple(self.aggs), self.pred, self._G,
                                  self._cap)
-                out = fn(planes, np.int32(chunk.nrows), np.uint64(salt))
+                out = fn(cc.planes, np.int32(cc.nrows), np.uint64(salt))
                 err = int(out["err"])
                 collided = bool(out["collision"])
                 if not collided or err != 0:
@@ -187,12 +183,12 @@ class PreAggExecutor:
                 fn = _get_jitted(self._schema, tuple(self.group_exprs),
                                  tuple(self.aggs), self.pred, self._G,
                                  self._cap, strategy="sort")
-                out = fn(planes, np.int32(chunk.nrows), np.uint64(0))
+                out = fn(cc.planes, np.int32(cc.nrows), np.uint64(0))
                 err = int(out["err"])
         if err != 0:
             pm.bump("recheck_chunks")
             with pm.timer("cpu_fallback"):
-                self._replay(chunk, states, displays)
+                self._replay(cc.host_chunk(self.table), states, displays)
             return
         with pm.timer("materialize"):
             gmask = np.asarray(out["gmask"])
@@ -231,9 +227,3 @@ class PreAggExecutor:
             rows.append(kvals + avals)
         return rows
 
-
-def _next_pow2(n: int) -> int:
-    p = 1024
-    while p < n:
-        p <<= 1
-    return p

@@ -4,6 +4,8 @@ The GpuScan execution path (reference §3.3): chunked load -> device qual
 kernel -> compacted row indexes -> materialize matching rows.  Chunks whose
 error lane fires are replayed with exact host predicate evaluation
 (gpuscan_next_tuple negative-rindex CPU recheck analog, gpuscan.c:999-1056).
+Chunk planes come from the device-resident cache (exec/devcache.py, the
+tcache analog) so repeated scans skip host slicing and re-upload.
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ from ..expr.catalog import device_expression_supported
 from ..expr.eval_cpu import eval_expr_cpu
 from ..expr.lower_jax import schema_from_chunk_columns, planes_of_column
 from ..ops.filter import build_filter_compact_fn
+from .devcache import TCACHE, CachedChunk, chunk_capacity
 from ..utils.perfmon import Perfmon
 
 _JIT_CACHE: dict[Any, Any] = {}
@@ -51,33 +54,30 @@ class ScanExecutor:
                     out.extend(self._replay(chunk))
             return out
         names = t.column_names
-        fn = None
+        schema = schema_from_chunk_columns(names, [t.columns[n] for n in names])
+        cap = chunk_capacity(t.nrows)
+        key = ("scan", tuple((m.name, m.type, m.dict_id) for m in schema),
+               self.pred, cap)
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(build_filter_compact_fn(self.pred, schema))
+            _JIT_CACHE[key] = fn
         window: collections.deque = collections.deque()
-        for chunk in t.chunks():
-            if chunk.row_recheck.any():
+        for cc in TCACHE.chunks_for(t, names, cap, pm):
+            if cc.recheck_any:
                 with pm.timer("cpu_fallback"):
-                    out.extend(self._replay(chunk))
+                    out.extend(self._replay(cc.host_chunk(t)))
                 continue
-            if fn is None:
-                schema = schema_from_chunk_columns(
-                    names, [chunk.columns[n] for n in names])
-                key = ("scan", tuple((m.name, m.type, m.dict_id) for m in schema),
-                       self.pred, chunk.capacity)
-                fn = _JIT_CACHE.get(key)
-                if fn is None:
-                    fn = jax.jit(build_filter_compact_fn(self.pred, schema))
-                    _JIT_CACHE[key] = fn
-            planes = tuple(planes_of_column(chunk.columns[n]) for n in names)
             with pm.timer("dispatch"):
-                res = fn(planes, np.int32(chunk.nrows))
-            window.append((chunk, res))
+                res = fn(cc.planes, np.int32(cc.nrows))
+            window.append((cc, res))
             if len(window) >= config.max_async_chunks:
                 out.extend(self._consume(*window.popleft()))
         while window:
             out.extend(self._consume(*window.popleft()))
         return out
 
-    def _consume(self, chunk: Chunk, res) -> list[int]:
+    def _consume(self, cc: CachedChunk, res) -> list[int]:
         pm = self.perfmon
         with pm.timer("device_wait"):
             row_ids, nmatch, err = res
@@ -85,11 +85,11 @@ class ScanExecutor:
         if err != 0:
             pm.bump("recheck_chunks")
             with pm.timer("cpu_fallback"):
-                return self._replay(chunk)
+                return self._replay(cc.host_chunk(self.table))
         pm.bump("device_chunks")
         n = int(nmatch)
         ids = np.asarray(row_ids[:n])
-        return [chunk.start + int(i) for i in ids]
+        return [cc.start + int(i) for i in ids]
 
     def _replay(self, chunk: Chunk) -> list[int]:
         names = self.table.column_names

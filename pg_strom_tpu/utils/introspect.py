@@ -73,6 +73,17 @@ def virtual_table(name: str) -> Optional[Table]:
             "depth": column_from_values(T.INT8,
                                         [q.depth() for _, q in _MQUEUES]),
         })
+    if name == "pgstrom_tcache_info":
+        # device-resident chunk cache (the tcache analog, exec/devcache.py)
+        from ..exec.devcache import TCACHE
+        rows = TCACHE.info_rows()
+        return Table.from_columns(name, {
+            "table_name": column_from_values(T.TEXT, [r["table_name"] for r in rows]),
+            "kind": column_from_values(T.TEXT, [r["kind"] for r in rows]),
+            "nchunks": column_from_values(T.INT4, [r["nchunks"] for r in rows]),
+            "nbytes": column_from_values(T.INT8, [r["nbytes"] for r in rows]),
+            "hits": column_from_values(T.INT8, [r["hits"] for r in rows]),
+        })
     if name == "pgstrom_config_info":
         cfg = show_all()
         keys = sorted(cfg)
