@@ -65,23 +65,26 @@ def main() -> None:
     )
     nrows = np.int32(N)
 
-    # warmup/compile
+    # warmup/compile — and, crucially, FETCH a result before timing anything.
+    # The tunneled TPU runtime defers compilation AND execution until the
+    # first device->host read; before that, dispatch and block_until_ready
+    # return immediately (measured: a 6s compile "blocked" in 0.00s, kernels
+    # appeared 22,000x faster than their true cost).  One fetch switches the
+    # runtime into synchronous mode where timings are real.
     t0 = time.perf_counter()
     out = fn(cols, nrows, np.uint64(0))
-    jax.block_until_ready(out)
-    print(f"# compile+first: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    err = int(jax.device_get(out["err"]))
+    print(f"# compile+first+fetch: {time.perf_counter()-t0:.1f}s err={err}",
+          file=sys.stderr)
 
-    # the tunneled TPU is a shared pool: other tenants contend, so a single
-    # timing can be off by 1000x.  Take the min over several pipelined
-    # batches — the uncontended batches show the kernel's true cost.
-    batches, per = (10, 5) if on_tpu else (3, 3)
+    # min over repeats rides out tunnel/pool contention noise
+    reps = 5 if on_tpu else 3
     best = float("inf")
-    for _ in range(batches):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(per):
-            out = fn(cols, nrows, np.uint64(0))
+        out = fn(cols, nrows, np.uint64(0))
         jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / per)
+        best = min(best, time.perf_counter() - t0)
     dt = best
     rows_per_s = N / dt
 

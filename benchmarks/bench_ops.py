@@ -28,15 +28,19 @@ HBM_GBPS = 819e9
 def bench_call(call, nbuf, reps=6, rounds=6):
     import jax
     t0 = time.perf_counter()
-    jax.block_until_ready(call(0))
+    out = call(0)
+    # FETCH, don't just block: the tunneled TPU runtime defers compilation
+    # and execution until the first device->host read — before it, dispatch
+    # and block_until_ready return immediately and every timing is fiction
+    # (BASELINE.md "async-fiction" note).  One fetch switches to sync mode.
+    jax.device_get(jax.tree_util.tree_leaves(out)[:1])
     compile_s = time.perf_counter() - t0
     best = float("inf")
-    for _ in range(rounds):
+    for i in range(rounds):
         t0 = time.perf_counter()
-        for i in range(reps):
-            out = call(i % nbuf)
+        out = call(i % nbuf)
         jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / reps)
+        best = min(best, time.perf_counter() - t0)
     return compile_s, best
 
 

@@ -31,6 +31,24 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compiled-program cache (the opencl_devprog.c analog: a shared,
+# key-hashed cache so a query shape compiles once per machine, not once per
+# process — TPU compiles over the tunnel run 10-60s each).  CPU runs skip it:
+# reading back cached multi-device CPU-mesh executables segfaults (observed
+# with the 8-device virtual mesh the test suite uses), and CPU compiles are
+# cheap anyway.
+_cache_dir = os.environ.get(
+    "PG_STROM_TPU_PROGRAM_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "pg_strom_tpu", "xla"))
+_platforms = jax.config.jax_platforms or ""
+if _cache_dir and _cache_dir != "off" and "cpu" not in _platforms.split(","):
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimization; never fail import over it
+        pass
+
 __version__ = "0.1.0"
 
 from .config import config, set_config, get_config, show_all, override  # noqa: F401,E402

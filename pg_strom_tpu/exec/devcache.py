@@ -54,6 +54,24 @@ def chunk_capacity(nrows: int) -> int:
     return min(config.chunk_rows, _next_pow2(max(nrows, 1)))
 
 
+def fetch_host(tree):
+    """Device->host read of a result pytree: block until the computation is
+    DONE, then batch-read all leaves.  On a tunneled/remote TPU, device_get
+    on in-flight results serializes per leaf (measured 9.6s vs 52ms for the
+    same 31-leaf pytree when blocked first) — the async host copies only
+    overlap once the values exist."""
+    import jax
+    jax.block_until_ready(tree)
+    return jax.device_get(tree)
+
+
+def planes_on_device(planes) -> bool:
+    """True when chunk planes are device-resident (cache hit) — the executor
+    then need not bound its in-flight window on input-transfer memory."""
+    import jax
+    return bool(planes) and isinstance(planes[0][0], jax.Array)
+
+
 @dataclasses.dataclass
 class CachedChunk:
     """One resident (or streamed) chunk: static metadata + device planes."""

@@ -25,7 +25,7 @@ from ..expr.catalog import device_expression_supported
 from ..expr.eval_cpu import eval_expr_cpu
 from ..expr.lower_jax import schema_from_chunk_columns, planes_of_column
 from ..ops.hashjoin import build_hash_table, build_probe_fn, _next_pow2
-from .devcache import TCACHE, CachedChunk, chunk_capacity
+from .devcache import TCACHE, CachedChunk, chunk_capacity, planes_on_device, fetch_host
 from .hostexec import canon_group_key
 from ..utils.perfmon import Perfmon
 
@@ -38,6 +38,22 @@ def _cached_jit(key, builder):
         fn = jax.jit(builder())
         _JIT_CACHE[key] = fn
     return fn
+
+
+# split large index outputs before device->host transfer: a tunneled TPU
+# streams one big buffer pathologically slowly but fetches many smaller
+# leaves in parallel (see exec/scan_exec._D2H_PIECES)
+_D2H_PIECES = 16
+
+
+def _split_pairs(fn):
+    import jax.numpy as jnp
+
+    def g(ht, cols, nrows):
+        probe_idx, build_row, nout, err = fn(ht, cols, nrows)
+        return (tuple(jnp.array_split(probe_idx, _D2H_PIECES)),
+                tuple(jnp.array_split(build_row, _D2H_PIECES)), nout, err)
+    return g
 
 
 class HashJoinExecutor:
@@ -141,46 +157,70 @@ class HashJoinExecutor:
         out_cap = max(2 * pcap, 1024)
         max_chain = config.join_max_bucket_probe
 
+        def get_probe_fn(cap_now):
+            fn = probe_fns.get(cap_now)
+            if fn is None:
+                fn = _cached_jit(
+                    ("probe", tuple((m.name, m.type, m.dict_id) for m in pschema),
+                     tuple(self.probe_keys), self.probe_pred,
+                     nbuckets, max_chain, cap_now, pcap),
+                    lambda c=cap_now: _split_pairs(build_probe_fn(
+                        pschema, self.probe_keys, key_types, nbuckets,
+                        max_chain, c, self.probe_pred)))
+                probe_fns[cap_now] = fn
+            return fn
+
+        # dispatch all probe chunks, then read results in batched transfers
+        # (one round trip per drain instead of 4 per chunk); regrows re-run
+        # individually (rare).  Streamed chunks drain every max_async_chunks
+        # to bound in-flight input transfers.
+        pending: list = []
+        streamed = 0
         for cc in TCACHE.chunks_for(self.probe, pl, pcap, pm):
             if cc.recheck_any:
                 with pm.timer("cpu_fallback"):
                     self._host_join_chunk(cc.host_chunk(self.probe), collected)
                 continue
-            cap_now = out_cap
-            while True:
-                fn = probe_fns.get(cap_now)
-                if fn is None:
-                    fn = _cached_jit(
-                        ("probe", tuple((m.name, m.type, m.dict_id) for m in pschema),
-                         tuple(self.probe_keys), self.probe_pred,
-                         nbuckets, max_chain, cap_now, pcap),
-                        lambda c=cap_now: build_probe_fn(
-                            pschema, self.probe_keys, key_types, nbuckets,
-                            max_chain, c, self.probe_pred))
-                    probe_fns[cap_now] = fn
-                with pm.timer("dispatch"):
-                    probe_idx, build_row, nout, err = fn(ht, cc.planes,
-                                                         np.int32(cc.nrows))
-                nout_i = int(nout)
-                if int(err) != 0:
-                    pm.bump("recheck_chunks")
-                    with pm.timer("cpu_fallback"):
-                        self._host_join_chunk(cc.host_chunk(self.probe),
-                                              collected)
-                    break
-                if nout_i > cap_now:
-                    # DataStoreNoSpace analog: regrow and re-dispatch
-                    pm.bump("regrow_retries")
-                    cap_now = _next_pow2(nout_i)
-                    continue
-                with pm.timer("materialize"):
-                    self._materialize(cc.start,
-                                      np.asarray(probe_idx[:nout_i]) if nout_i else np.empty(0, np.int32),
-                                      np.asarray(build_row[:nout_i]) if nout_i else np.empty(0, np.int32),
-                                      collected)
-                pm.bump("device_chunks")
-                break
+            with pm.timer("dispatch"):
+                res = get_probe_fn(out_cap)(ht, cc.planes, np.int32(cc.nrows))
+            pending.append((cc, res))
+            if not planes_on_device(cc.planes):
+                streamed += 1
+                if streamed >= config.max_async_chunks:
+                    self._drain(pending, out_cap, get_probe_fn, ht, collected)
+                    streamed = 0
+        self._drain(pending, out_cap, get_probe_fn, ht, collected)
         return self._to_table(collected)
+
+    def _drain(self, pending, out_cap, get_probe_fn, ht, collected) -> None:
+        if not pending:
+            return
+        pm = self.perfmon
+        with pm.timer("device_wait"):
+            results = fetch_host([r for _, r in pending])
+        for (cc, _), rh in zip(pending, results):
+            pi_pieces, br_pieces, nout, err = rh
+            cap_now = out_cap
+            while int(err) == 0 and int(nout) > cap_now:
+                # DataStoreNoSpace analog: regrow and re-dispatch
+                pm.bump("regrow_retries")
+                cap_now = _next_pow2(int(nout))
+                pi_pieces, br_pieces, nout, err = fetch_host(
+                    get_probe_fn(cap_now)(ht, cc.planes, np.int32(cc.nrows)))
+            if int(err) != 0:
+                pm.bump("recheck_chunks")
+                with pm.timer("cpu_fallback"):
+                    self._host_join_chunk(cc.host_chunk(self.probe), collected)
+                continue
+            nout_i = int(nout)
+            with pm.timer("materialize"):
+                probe_idx = np.concatenate(pi_pieces)[:nout_i] if nout_i \
+                    else np.empty(0, np.int32)
+                build_row = np.concatenate(br_pieces)[:nout_i] if nout_i \
+                    else np.empty(0, np.int32)
+                self._materialize(cc.start, probe_idx, build_row, collected)
+            pm.bump("device_chunks")
+        pending.clear()
 
     # -- materialization -----------------------------------------------------
 

@@ -23,10 +23,24 @@ from ..expr.catalog import device_expression_supported
 from ..expr.eval_cpu import eval_expr_cpu
 from ..expr.lower_jax import schema_from_chunk_columns, planes_of_column
 from ..ops.filter import build_filter_compact_fn
-from .devcache import TCACHE, CachedChunk, chunk_capacity
+from .devcache import TCACHE, CachedChunk, chunk_capacity, planes_on_device, fetch_host
 from ..utils.perfmon import Perfmon
 
 _JIT_CACHE: dict[Any, Any] = {}
+
+# a tunneled TPU streams ONE large device->host buffer pathologically slowly
+# (4MB leaf measured 23s) but fetches many smaller leaves in parallel at full
+# rate (16x256KB in 150ms) — split the row-id output before transfer
+_D2H_PIECES = 16
+
+
+def _split_row_ids(fn):
+    import jax.numpy as jnp
+
+    def g(cols, nrows):
+        row_ids, nmatch, err = fn(cols, nrows)
+        return tuple(jnp.array_split(row_ids, _D2H_PIECES)), nmatch, err
+    return g
 
 
 class ScanExecutor:
@@ -60,9 +74,15 @@ class ScanExecutor:
                self.pred, cap)
         fn = _JIT_CACHE.get(key)
         if fn is None:
-            fn = jax.jit(build_filter_compact_fn(self.pred, schema))
+            fn = jax.jit(_split_row_ids(build_filter_compact_fn(self.pred,
+                                                                schema)))
             _JIT_CACHE[key] = fn
-        window: collections.deque = collections.deque()
+        # dispatch all chunks, read results back in batched transfers (one
+        # device->host read per drain, not 3 per chunk — round trips on a
+        # tunneled TPU cost ~50ms each); streamed chunks drain every
+        # max_async_chunks to bound in-flight input transfers
+        pending: list = []
+        streamed = 0
         for cc in TCACHE.chunks_for(t, names, cap, pm):
             if cc.recheck_any:
                 with pm.timer("cpu_fallback"):
@@ -70,26 +90,34 @@ class ScanExecutor:
                 continue
             with pm.timer("dispatch"):
                 res = fn(cc.planes, np.int32(cc.nrows))
-            window.append((cc, res))
-            if len(window) >= config.max_async_chunks:
-                out.extend(self._consume(*window.popleft()))
-        while window:
-            out.extend(self._consume(*window.popleft()))
+            pending.append((cc, res))
+            if not planes_on_device(cc.planes):
+                streamed += 1
+                if streamed >= config.max_async_chunks:
+                    self._drain(pending, out)
+                    streamed = 0
+        self._drain(pending, out)
         return out
+
+    def _drain(self, pending, out: list[int]) -> None:
+        if not pending:
+            return
+        with self.perfmon.timer("device_wait"):
+            results = fetch_host([r for _, r in pending])
+        for (cc, _), rh in zip(pending, results):
+            out.extend(self._consume(cc, rh))
+        pending.clear()
 
     def _consume(self, cc: CachedChunk, res) -> list[int]:
         pm = self.perfmon
-        with pm.timer("device_wait"):
-            row_ids, nmatch, err = res
-            err = int(err)
-        if err != 0:
+        row_pieces, nmatch, err = res
+        if int(err) != 0:
             pm.bump("recheck_chunks")
             with pm.timer("cpu_fallback"):
                 return self._replay(cc.host_chunk(self.table))
         pm.bump("device_chunks")
-        n = int(nmatch)
-        ids = np.asarray(row_ids[:n])
-        return [cc.start + int(i) for i in ids]
+        ids = np.concatenate(row_pieces)[:int(nmatch)]
+        return list((ids.astype(np.int64) + cc.start))
 
     def _replay(self, chunk: Chunk) -> list[int]:
         names = self.table.column_names

@@ -53,10 +53,15 @@ def build_testdb(db: Database, fact_rows: int = 1_000_000,
         db.create(Table.from_columns(f"t{i}", cols))
 
     n = fact_rows
+    # vectorized dictionary-encoded cat column (_CATS is already bytewise
+    # sorted, so codes ARE the dictionary indexes — a 4M-row python loop
+    # through column_from_values would dominate fixture build time)
+    cat_codes = rng.integers(0, 26, n).astype(np.int32)
+    cat_col = Column(type=T.TEXT, data=cat_codes,
+                     valid=np.ones(n, dtype=np.bool_), dictionary=list(_CATS))
     t0 = {
         "id": column_from_numpy(T.INT4, np.arange(1, n + 1, dtype=np.int32)),
-        "cat": column_from_values(
-            T.TEXT, [_CATS[c] for c in rng.integers(0, 26, n)]),
+        "cat": cat_col,
         "aid": column_from_numpy(T.INT4, rng.integers(1, dim_rows + 1, n).astype(np.int32)),
         "bid": column_from_numpy(T.INT4, rng.integers(1, dim_rows + 1, n).astype(np.int32)),
         "cid": column_from_numpy(T.INT4, rng.integers(1, dim_rows + 1, n).astype(np.int32)),

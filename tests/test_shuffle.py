@@ -12,6 +12,17 @@ from pg_strom_tpu.parallel.shuffle import (
 )
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compiler_state():
+    """The big 8-device shard_map programs segfault the XLA CPU compiler when
+    compiled after the ~1000 single-device programs the rest of the suite
+    accumulates (latent jaxlib bug — crash is inside backend_compile).
+    Dropping the jit caches first avoids the state buildup and keeps the
+    shuffle tests hermetic."""
+    jax.clear_caches()
+    yield
+
+
 def reference_join_agg(pk, pv, pvalid, bk, bp, bvalid):
     """Plain python: SUM(pv * bp) grouped by key over the inner join."""
     from collections import defaultdict
