@@ -1,0 +1,355 @@
+"""Fused join->aggregate executor: joined rows never touch the host.
+
+The execution-pipeline analog of the reference's bulk-load chain
+(gpuscan_exec_multi -> gpuhashjoin -> gpupreagg via pgstrom_bulkslot,
+pg_strom.h:317-329): the probe chunk is device-resident (tcache), the hash
+table is device-resident (DMA-once analog), and one jitted program probes,
+projects and partially aggregates.  Only G-slot partials come back per
+chunk.  Every graceful-degradation contract of the component executors is
+preserved: capacity regrow, salt retry, sort-strategy fallback, and an
+exact host replay tier that joins + aggregates the flagged chunk row-wise.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import jax
+
+from ..config import config
+from ..datastore import Table
+from ..sqltypes import T
+from ..expr.ir import Expr, ColumnRef, referenced_columns, bind_columns
+from ..expr.catalog import device_expression_supported
+from ..expr.eval_cpu import eval_expr_cpu
+from ..expr.lower_jax import ColMeta, schema_from_chunk_columns, planes_of_column
+from ..ops.hashjoin import build_hash_table, _next_pow2
+from ..ops.joinagg import build_join_preagg_fn
+from ..ops.preagg import AggInstance
+from .devcache import TCACHE, chunk_capacity, planes_on_device, fetch_host
+from .hostexec import canon_group_key, new_state, update_state
+from .preagg_exec import (
+    absorb_preagg_out, finalize_agg_states, _key_value_from_planes,
+)
+from ..utils.perfmon import Perfmon
+
+_JIT_CACHE: dict[Any, Any] = {}
+
+
+def _cached_jit(key, builder):
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(builder())
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+class JoinPreAggExecutor:
+    """SELECT <aggs> FROM probe JOIN build ON keys [WHERE preds] GROUP BY ...
+
+    group_exprs / agg args are bound by run() to the *joined* layout
+    (probe column names + build column names, pre-qualified by the planner);
+    probe/build keys and side preds are bound to their side's layout."""
+
+    def __init__(self, probe: Table, build: Table,
+                 probe_keys: Sequence[Expr], build_keys: Sequence[Expr],
+                 group_exprs: Sequence[Expr], aggs: Sequence[AggInstance],
+                 probe_pred: Optional[Expr] = None,
+                 build_pred: Optional[Expr] = None,
+                 perfmon: Perfmon | None = None):
+        self.probe = probe
+        self.build = build
+        self.probe_keys = list(probe_keys)
+        self.build_keys = list(build_keys)
+        self.group_exprs = list(group_exprs)   # bound to joined names (no idx)
+        self.aggs = list(aggs)
+        self.probe_pred = probe_pred
+        self.build_pred = build_pred
+        self.perfmon = perfmon or Perfmon()
+
+    # -- eligibility -----------------------------------------------------------
+
+    def device_ok(self) -> bool:
+        exprs = (self.probe_keys + self.build_keys + self.group_exprs
+                 + [a for inst in self.aggs for a in inst.args])
+        if self.probe_pred is not None:
+            exprs.append(self.probe_pred)
+        if self.build_pred is not None:
+            exprs.append(self.build_pred)
+        if any(not device_expression_supported(e) for e in exprs):
+            return False
+        if any(k.type in (T.TEXT, T.BPCHAR)
+               for k in self.probe_keys + self.build_keys):
+            return False
+        for inst in self.aggs:
+            for a in inst.args:
+                # numeric agg args need the display-scale plane: plain columns
+                if a.type is T.NUMERIC and not isinstance(a, ColumnRef):
+                    return False
+        return (config.enabled and config.enable_tpuhashjoin
+                and config.enable_tpupreagg and self.build.nrows > 0
+                and self.probe.nrows > 0)
+
+    # -- run -------------------------------------------------------------------
+
+    def run(self) -> list[tuple]:
+        states: dict[tuple, list[dict]] = {}
+        displays: dict[tuple, tuple] = {}
+        pm = self.perfmon
+
+        # ---- joined layout: referenced columns only -------------------------
+        pnames = list(self.probe.column_names)
+        bnames = list(self.build.column_names)
+        refd: list[str] = []
+        for e in self.group_exprs + [a for i_ in self.aggs for a in i_.args]:
+            for c in referenced_columns(e):
+                if c not in refd:
+                    refd.append(c)
+        jnames = [c for c in refd if c in self.probe.columns] + \
+                 [c for c in refd if c not in self.probe.columns]
+        jlayout = {c: i for i, c in enumerate(jnames)}
+        jcols_src = [self.probe.columns.get(c) or self.build.columns[c]
+                     for c in jnames]
+        jschema = schema_from_chunk_columns(jnames, jcols_src)
+        bound_groups = [bind_columns(g, jlayout) for g in self.group_exprs]
+        bound_aggs = [
+            AggInstance(aggname=i_.aggname, family=i_.family, slots=i_.slots,
+                        args=tuple(bind_columns(a, jlayout) for a in i_.args))
+            for i_ in self.aggs]
+
+        # ---- build side: device-resident hash table + planes ----------------
+        bcols_all = [self.build.columns[n] for n in bnames]
+        bcap = _next_pow2(max(self.build.nrows, 16))
+        blayout0 = {n: i for i, n in enumerate(bnames)}
+        bkeys = [bind_columns(k, blayout0) for k in self.build_keys]
+        bpred = bind_columns(self.build_pred, blayout0) \
+            if self.build_pred is not None else None
+        ht_key = ("join_ht", tuple(c.uid for c in bcols_all),
+                  tuple(bkeys), bpred, bcap)
+        ht = TCACHE.get_aux(ht_key, pm)
+        bcc = None
+        for c in TCACHE.chunks_for(self.build, bnames, bcap, pm):
+            bcc = c
+        if bcc is None or bcc.recheck_any:
+            return self._host_all(states, displays, jnames, jlayout,
+                                  bound_groups, bound_aggs)
+        if ht is None:
+            bschema = schema_from_chunk_columns(bnames, bcols_all)
+            build_fn = _cached_jit(
+                ("build", tuple((m.name, m.type, m.dict_id) for m in bschema),
+                 tuple(bkeys), bpred, bcap),
+                lambda: build_hash_table(bschema, bkeys, bpred))
+            with pm.timer("build_hash"):
+                ht = build_fn(bcc.planes, np.int32(bcc.nrows))
+            if int(ht["err"]) != 0:
+                return self._host_all(states, displays, jnames, jlayout,
+                                      bound_groups, bound_aggs)
+            TCACHE.put_aux(ht_key, ht, self.build.name, bcols_all)
+        nbuckets = int(ht["bucket_start"].shape[0]) - 1
+        key_types = tuple(k.type for k in self.build_keys)
+
+        # map joined slots to (probe layout idx) or (build layout idx)
+        playout = {n: i for i, n in enumerate(pnames)}
+        blayout = {n: i for i, n in enumerate(bnames)}
+        probe_slots = [playout.get(c, -1) for c in jnames]
+        build_slots = [(j, blayout[c]) for j, c in enumerate(jnames)
+                       if probe_slots[j] < 0]
+
+        pkeys = [bind_columns(k, playout) for k in self.probe_keys]
+        ppred = bind_columns(self.probe_pred, playout) \
+            if self.probe_pred is not None else None
+        pschema = schema_from_chunk_columns(pnames,
+                                            [self.probe.columns[n] for n in pnames])
+        pcap = chunk_capacity(self.probe.nrows)
+        G = config.max_groups_device
+        max_chain = config.join_max_bucket_probe
+        out_cap0 = max(2 * pcap, 1024)
+        key_metas = self._key_metas(jnames)
+
+        def fused(out_cap, strategy="scatter"):
+            return _cached_jit(
+                ("joinagg",
+                 tuple((m.name, m.type, m.dict_id) for m in pschema),
+                 tuple(pkeys), ppred, nbuckets, max_chain, out_cap,
+                 tuple((m.name, m.type, m.dict_id) for m in jschema),
+                 tuple(probe_slots), tuple(build_slots),
+                 tuple(bound_groups), tuple(bound_aggs), G, strategy),
+                lambda: build_join_preagg_fn(
+                    pschema, pkeys, key_types, nbuckets, max_chain, out_cap,
+                    ppred, jschema, probe_slots, build_slots, bound_groups,
+                    bound_aggs, G, strategy))
+
+        # dispatch all probe chunks, read partials back in batched transfers
+        # (one round trip per drain — see preagg_exec); retries re-run
+        # individually.  Streamed chunks drain every max_async_chunks.
+        pending: list = []
+        streamed = 0
+        consume_args = (states, displays, key_metas, jnames, jlayout,
+                        bound_groups, bound_aggs)
+        for cc in TCACHE.chunks_for(self.probe, pnames, pcap, pm):
+            if cc.recheck_any:
+                with pm.timer("cpu_fallback"):
+                    self._host_chunk_agg(cc, states, displays, jnames,
+                                         jlayout, bound_groups, bound_aggs)
+                continue
+            with pm.timer("dispatch"):
+                out = fused(out_cap0)(ht, cc.planes, bcc.planes,
+                                      np.int32(cc.nrows), np.uint64(0))
+            pending.append((cc, out))
+            if not planes_on_device(cc.planes):
+                streamed += 1
+                if streamed >= config.max_async_chunks:
+                    self._drain(pending, out_cap0, ht, bcc, fused,
+                                consume_args)
+                    streamed = 0
+        self._drain(pending, out_cap0, ht, bcc, fused, consume_args)
+        return finalize_agg_states(bound_groups, bound_aggs, states, displays)
+
+    def _drain(self, pending, out_cap, ht, bcc, fused, consume_args) -> None:
+        if not pending:
+            return
+        with self.perfmon.timer("device_wait"):
+            outs_host = fetch_host([o for _, o in pending])
+        for (cc, _), oh in zip(pending, outs_host):
+            self._consume(cc, oh, out_cap, ht, bcc, fused, *consume_args)
+        pending.clear()
+
+    # -- consume one chunk -------------------------------------------------------
+
+    def _consume(self, cc, out, out_cap, ht, bcc, fused, states, displays,
+                 key_metas, jnames, jlayout, bound_groups, bound_aggs) -> None:
+        pm = self.perfmon
+        err = int(out["err"])
+        nout = int(out["nout"])
+        collided = bool(out.get("collision", False)) if bound_groups else False
+        while err == 0 and nout > out_cap:
+            # DataStoreNoSpace analog: regrow fused output and re-dispatch
+            pm.bump("regrow_retries")
+            out_cap = _next_pow2(nout)
+            out = fetch_host(fused(out_cap)(ht, cc.planes, bcc.planes,
+                                            np.int32(cc.nrows),
+                                            np.uint64(0)))
+            err = int(out["err"])
+            nout = int(out["nout"])
+            collided = bool(out.get("collision", False)) if bound_groups else False
+        if collided and err == 0:
+            for salt in (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F):
+                pm.bump("salt_retries")
+                out = fetch_host(fused(out_cap)(ht, cc.planes, bcc.planes,
+                                                np.int32(cc.nrows),
+                                                np.uint64(salt)))
+                err = int(out["err"])
+                collided = bool(out["collision"])
+                if not collided or err != 0:
+                    break
+            if collided and err == 0:
+                pm.bump("sort_fallbacks")
+                out = fetch_host(fused(out_cap, "sort")(
+                    ht, cc.planes, bcc.planes, np.int32(cc.nrows),
+                    np.uint64(0)))
+                err = int(out["err"])
+        if err != 0:
+            pm.bump("recheck_chunks")
+            with pm.timer("cpu_fallback"):
+                self._host_chunk_agg(cc, states, displays, jnames, jlayout,
+                                     bound_groups, bound_aggs)
+            return
+        absorb_preagg_out(out, bound_groups, bound_aggs, key_metas,
+                          states, displays, pm)
+
+    def _key_metas(self, jnames) -> list[ColMeta | None]:
+        metas = []
+        for g in self.group_exprs:
+            m = None
+            if isinstance(g, ColumnRef) and g.type in (T.TEXT, T.BPCHAR):
+                c = self.probe.columns.get(g.name) or self.build.columns.get(g.name)
+                if c is not None:
+                    m = ColMeta(name=g.name, type=g.type,
+                                dictionary=tuple(c.dictionary or ()),
+                                dict_id=id(c.dictionary))
+            metas.append(m)
+        return metas
+
+    # -- host-exact tier -----------------------------------------------------
+
+    _host_ht_cache: dict | None = None
+
+    def _host_hash_table(self) -> dict:
+        if self._host_ht_cache is not None:
+            return self._host_ht_cache
+        ht: dict = {}
+        bl = self.build.column_names
+        blayout = {n: i for i, n in enumerate(bl)}
+        bkeys = [bind_columns(k, blayout) for k in self.build_keys]
+        bpred = bind_columns(self.build_pred, blayout) \
+            if self.build_pred is not None else None
+        for i in range(self.build.nrows):
+            row = lambda s: self.build.columns[bl[s]].get(i)
+            if bpred is not None and eval_expr_cpu(bpred, row) is not True:
+                continue
+            kv = tuple(eval_expr_cpu(k, row) for k in bkeys)
+            if any(v is None for v in kv):
+                continue
+            ht.setdefault(tuple(canon_group_key(v) for v in kv), []).append(i)
+        self._host_ht_cache = ht
+        return ht
+
+    def _host_chunk_agg(self, cc, states, displays, jnames, jlayout,
+                        bound_groups, bound_aggs) -> None:
+        """Join + aggregate one probe chunk row-by-row, host-exactly."""
+        ht = self._host_hash_table()
+        chunk = cc.host_chunk(self.probe)
+        pl = self.probe.column_names
+        playout = {n: i for i, n in enumerate(pl)}
+        pkeys = [bind_columns(k, playout) for k in self.probe_keys]
+        ppred = bind_columns(self.probe_pred, playout) \
+            if self.probe_pred is not None else None
+        probe_side = [c in self.probe.columns for c in jnames]
+
+        for i in range(chunk.nrows):
+            prow = lambda s: chunk.columns[pl[s]].get(i)
+            if ppred is not None and eval_expr_cpu(ppred, prow) is not True:
+                continue
+            kv = tuple(eval_expr_cpu(k, prow) for k in pkeys)
+            if any(v is None for v in kv):
+                continue
+            for bi in ht.get(tuple(canon_group_key(v) for v in kv), ()):
+                def jrow(s):
+                    c = jnames[s]
+                    if probe_side[s]:
+                        return chunk.columns[c].get(i)
+                    return self.build.columns[c].get(bi)
+                kvals = tuple(eval_expr_cpu(g, jrow) for g in bound_groups)
+                ck = tuple(canon_group_key(v) for v in kvals)
+                if ck not in states:
+                    states[ck] = [new_state(inst) for inst in bound_aggs]
+                    displays[ck] = kvals
+                st = states[ck]
+                for inst, s in zip(bound_aggs, st):
+                    update_state(inst, s,
+                                 [eval_expr_cpu(a, jrow) for a in inst.args])
+
+    def _host_all(self, states, displays, jnames, jlayout, bound_groups,
+                  bound_aggs) -> list[tuple]:
+        pcap = chunk_capacity(self.probe.nrows)
+        from ..datastore import Chunk
+        for start in range(0, self.probe.nrows, pcap):
+            stop = min(start + pcap, self.probe.nrows)
+            cc_like = _HostCC(start, stop - start, pcap)
+            with self.perfmon.timer("cpu_fallback"):
+                self._host_chunk_agg(cc_like, states, displays, jnames,
+                                     jlayout, bound_groups, bound_aggs)
+        return finalize_agg_states(bound_groups, bound_aggs, states, displays)
+
+
+class _HostCC:
+    def __init__(self, start, nrows, capacity):
+        self.start, self.nrows, self.capacity = start, nrows, capacity
+        self.recheck_any = True
+
+    def host_chunk(self, table):
+        from ..datastore import Chunk
+        return Chunk.from_table(table, self.start, self.start + self.nrows,
+                                self.capacity)

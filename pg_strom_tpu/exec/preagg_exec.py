@@ -26,7 +26,7 @@ from ..expr.lower_jax import ColMeta, schema_from_chunk_columns
 from ..ops.preagg import (
     AggInstance, build_preagg_fn, extract_partials, merge_partials,
 )
-from .devcache import TCACHE, CachedChunk, chunk_capacity
+from .devcache import TCACHE, CachedChunk, chunk_capacity, planes_on_device, fetch_host
 from .hostexec import replay_chunk_preagg, canon_group_key, new_state
 from ..utils.perfmon import Perfmon
 
@@ -117,7 +117,6 @@ class PreAggExecutor:
 
         G = config.max_groups_device
         cap = chunk_capacity(self.table.nrows)
-        window: collections.deque = collections.deque()
         self._schema = schema_from_chunk_columns(
             self.layout_names,
             [self.table.columns[nm] for nm in self.layout_names])
@@ -126,6 +125,13 @@ class PreAggExecutor:
         fn = _get_jitted(self._schema, tuple(self.group_exprs),
                          tuple(self.aggs), self.pred, G, cap)
 
+        # dispatch all chunks asynchronously, then read every result back in
+        # ONE batched transfer — each separate device->host read costs a full
+        # round trip on a tunneled/remote TPU (measured ~50ms each), which
+        # dwarfed kernel time.  Streamed (uncached) chunks still drain every
+        # max_async_chunks to bound in-flight H2D input transfers.
+        pending: list = []
+        streamed = 0
         for cc in TCACHE.chunks_for(self.table, self.layout_names, cap, pm):
             if cc.recheck_any:
                 with pm.timer("cpu_fallback"):
@@ -133,12 +139,23 @@ class PreAggExecutor:
                 continue
             with pm.timer("dispatch"):
                 out = fn(cc.planes, np.int32(cc.nrows), np.uint64(0))
-            window.append((cc, out))
-            if len(window) >= config.max_async_chunks:
-                self._consume(*window.popleft(), states, displays, key_metas)
-        while window:
-            self._consume(*window.popleft(), states, displays, key_metas)
+            pending.append((cc, out))
+            if not planes_on_device(cc.planes):
+                streamed += 1
+                if streamed >= config.max_async_chunks:
+                    self._drain(pending, states, displays, key_metas)
+                    streamed = 0
+        self._drain(pending, states, displays, key_metas)
         return self._finalize(states, displays)
+
+    def _drain(self, pending, states, displays, key_metas) -> None:
+        if not pending:
+            return
+        with self.perfmon.timer("device_wait"):
+            outs_host = fetch_host([o for _, o in pending])
+        for (cc, _), oh in zip(pending, outs_host):
+            self._consume(cc, oh, states, displays, key_metas)
+        pending.clear()
 
     # ------------------------------------------------------------------
 
@@ -173,7 +190,8 @@ class PreAggExecutor:
                 fn = _get_jitted(self._schema, tuple(self.group_exprs),
                                  tuple(self.aggs), self.pred, self._G,
                                  self._cap)
-                out = fn(cc.planes, np.int32(cc.nrows), np.uint64(salt))
+                out = fetch_host(fn(cc.planes, np.int32(cc.nrows),
+                                    np.uint64(salt)))
                 err = int(out["err"])
                 collided = bool(out["collision"])
                 if not collided or err != 0:
@@ -183,47 +201,61 @@ class PreAggExecutor:
                 fn = _get_jitted(self._schema, tuple(self.group_exprs),
                                  tuple(self.aggs), self.pred, self._G,
                                  self._cap, strategy="sort")
-                out = fn(cc.planes, np.int32(cc.nrows), np.uint64(0))
+                out = fetch_host(fn(cc.planes, np.int32(cc.nrows),
+                                    np.uint64(0)))
                 err = int(out["err"])
         if err != 0:
             pm.bump("recheck_chunks")
             with pm.timer("cpu_fallback"):
                 self._replay(cc.host_chunk(self.table), states, displays)
             return
-        with pm.timer("materialize"):
-            gmask = np.asarray(out["gmask"])
-            keys = [tuple(np.asarray(p) for p in kp) for kp in out["keys"]]
-            slots = [{k: np.asarray(v) for k, v in d.items()} for d in out["slots"]]
-        pm.bump("device_chunks")
-        pm.add_bytes("d2h", sum(a.nbytes for d in slots for a in d.values()))
-        groups = np.flatnonzero(gmask) if self.group_exprs else np.array([0])
-        for g in groups:
-            g = int(g)
-            kvals = tuple(
-                _key_value_from_planes(ge.type, kp, g, meta)
-                for ge, kp, meta in zip(self.group_exprs, keys, key_metas))
-            ck = tuple(canon_group_key(v) for v in kvals)
-            parts = [extract_partials(inst, d, g)
-                     for inst, d in zip(self.aggs, slots)]
-            if ck not in states:
-                states[ck] = parts
-                displays[ck] = kvals
-            else:
-                st = states[ck]
-                states[ck] = [merge_partials(inst, a, b)
-                              for inst, a, b in zip(self.aggs, st, parts)]
+        absorb_preagg_out(out, self.group_exprs, self.aggs, key_metas,
+                          states, displays, pm)
 
     def _finalize(self, states, displays) -> list[tuple]:
-        # ungrouped aggregate over zero rows still yields one all-NULL row
-        if not self.group_exprs and not states:
-            states[()] = [new_state(inst) for inst in self.aggs]
-            displays[()] = ()
-        from ..ops.preagg import AGG_CATALOG
-        rows = []
-        for ck, st in states.items():
-            kvals = displays[ck]
-            avals = tuple(AGG_CATALOG[(inst.aggname, inst.family)].final(s)
-                          for inst, s in zip(self.aggs, st))
-            rows.append(kvals + avals)
-        return rows
+        return finalize_agg_states(self.group_exprs, self.aggs, states,
+                                   displays)
+
+
+def absorb_preagg_out(out, group_exprs, aggs, key_metas, states, displays,
+                      pm) -> None:
+    """Merge one device preagg output pytree into the host (states, displays)
+    accumulators — the partial-merge half of the two-phase contract."""
+    with pm.timer("materialize"):
+        gmask = np.asarray(out["gmask"])
+        keys = [tuple(np.asarray(p) for p in kp) for kp in out["keys"]]
+        slots = [{k: np.asarray(v) for k, v in d.items()} for d in out["slots"]]
+    pm.bump("device_chunks")
+    pm.add_bytes("d2h", sum(a.nbytes for d in slots for a in d.values()))
+    groups = np.flatnonzero(gmask) if group_exprs else np.array([0])
+    for g in groups:
+        g = int(g)
+        kvals = tuple(
+            _key_value_from_planes(ge.type, kp, g, meta)
+            for ge, kp, meta in zip(group_exprs, keys, key_metas))
+        ck = tuple(canon_group_key(v) for v in kvals)
+        parts = [extract_partials(inst, d, g)
+                 for inst, d in zip(aggs, slots)]
+        if ck not in states:
+            states[ck] = parts
+            displays[ck] = kvals
+        else:
+            st = states[ck]
+            states[ck] = [merge_partials(inst, a, b)
+                          for inst, a, b in zip(aggs, st, parts)]
+
+
+def finalize_agg_states(group_exprs, aggs, states, displays) -> list[tuple]:
+    # ungrouped aggregate over zero rows still yields one all-NULL row
+    if not group_exprs and not states:
+        states[()] = [new_state(inst) for inst in aggs]
+        displays[()] = ()
+    from ..ops.preagg import AGG_CATALOG
+    rows = []
+    for ck, st in states.items():
+        kvals = displays[ck]
+        avals = tuple(AGG_CATALOG[(inst.aggname, inst.family)].final(s)
+                      for inst, s in zip(aggs, st))
+        rows.append(kvals + avals)
+    return rows
 

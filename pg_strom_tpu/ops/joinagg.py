@@ -1,0 +1,84 @@
+"""Fused hash-join -> grouped partial aggregation in one device program.
+
+The bulk-load analog: the reference passes a device-resident chunk between
+GPU nodes without host materialization (`pgstrom_bulkslot`, pg_strom.h:317-329;
+gpuscan_exec_multi gpuscan.c:1318-1446 feeding gpuhashjoin/gpupreagg), so a
+scan->join->aggregate pipeline touches host memory only for final partials.
+Here the same contract is one jitted XLA program: probe kernel -> on-device
+projection gathers (kern_gpuhashjoin_projection_slot analog,
+opencl_hashjoin.h:691+) -> the preagg kernel over the joined lanes.  The
+joined rows never exist on the host.
+
+Error/retry contracts compose:
+  nout > out_cap   -> executor regrows and re-dispatches (DataStoreNoSpace)
+  err lane nonzero -> host replays the probe chunk (CpuReCheck)
+  scatter collision-> salt retry / sort-strategy fallback (preagg contract)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax.numpy as jnp
+
+from ..sqltypes import T
+from ..expr.ir import Expr
+from ..expr.lower_jax import ColMeta
+from .hashjoin import build_probe_fn
+from .preagg import AggInstance, build_preagg_fn
+
+
+def build_join_preagg_fn(pschema: Sequence[ColMeta],
+                         probe_keys: Sequence[Expr],
+                         key_types: tuple,
+                         nbuckets: int, max_chain: int, out_cap: int,
+                         probe_pred: Optional[Expr],
+                         jschema: Sequence[ColMeta],
+                         probe_slots: Sequence[int],
+                         build_slots: Sequence[tuple[int, tuple]],
+                         group_exprs: Sequence[Expr],
+                         aggs: Sequence[AggInstance],
+                         G: int, strategy: str = "scatter") -> Callable:
+    """Build f(ht, pcols, bcols, nrows, salt) -> preagg pytree + 'nout'.
+
+    jschema describes the joined (projected) layout the group/agg exprs are
+    bound to; each jschema slot is filled by gathering either a probe column
+    (probe_slots[i] = probe layout index, or -1) or a build column
+    (build_slots entries are (jslot, bcol_index))."""
+    probe_fn = build_probe_fn(pschema, list(probe_keys), key_types, nbuckets,
+                              max_chain, out_cap, probe_pred)
+    # count(*)-only queries reference no columns; the preagg still needs a
+    # lane to carry the joined-row mask, so inject a synthetic bool column
+    jschema_eff = list(jschema) or [ColMeta("__rows__", T.BOOL)]
+    pre_fn = build_preagg_fn(jschema_eff, list(group_exprs), list(aggs), None,
+                             G, strategy)
+    probe_slots = list(probe_slots)
+    build_map = dict(build_slots)
+
+    def f(ht: dict, pcols: tuple, bcols: tuple, nrows, salt):
+        probe_idx, build_row, nout, jerr = probe_fn(ht, pcols, nrows)
+        n = pcols[0][0].shape[0] if pcols else 0
+        bs_max = bcols[0][0].shape[0] if bcols else 0
+        nlive = jnp.minimum(nout, jnp.int32(out_cap))
+        live_out = jnp.arange(out_cap, dtype=jnp.int32) < nlive
+        pi = jnp.clip(probe_idx, 0, max(n - 1, 0))
+        br = jnp.clip(build_row, 0, max(bs_max - 1, 0))
+
+        jcols = []
+        for jslot in range(len(jschema)):
+            if probe_slots[jslot] >= 0:
+                planes, idx = pcols[probe_slots[jslot]], pi
+            else:
+                planes, idx = bcols[build_map[jslot]], br
+            g = [p[idx] for p in planes]
+            g[1] = g[1] & live_out          # validity plane
+            jcols.append(tuple(g))
+        if not jcols:                        # synthetic row-mask lane
+            jcols.append((live_out, live_out))
+
+        out = pre_fn(tuple(jcols), nlive, salt)
+        out["err"] = jnp.maximum(out["err"], jerr)
+        out["nout"] = nout
+        return out
+
+    return f

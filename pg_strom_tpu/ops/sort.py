@@ -175,6 +175,42 @@ def argsort_i32(vals: jnp.ndarray, n: int, vbits: int = 32) -> jnp.ndarray:
     return packed_argsort([(vals.astype(jnp.int64), vbits)], n)
 
 
+def build_sort_topk_fn(schema: Sequence[ColMeta], specs: Sequence[SortSpec],
+                       pred: Optional[Expr], k: int) -> Callable:
+    """ORDER BY ... LIMIT k kernel: f(cols, nrows) ->
+       (top int32[k], key_lanes tuple of int64[k], nqual, err).
+
+    Returns the k first row indexes in sort order among rows passing `pred`
+    (rows failing the qual carry a leading dead bit and sort last), plus the
+    encoded key-lane values at those rows so the host can merge candidates
+    across chunks with a lexicographic compare — the merge sees exactly the
+    bits the device sorted on, so cross-chunk order == single-chunk order."""
+    specs = list(specs)
+
+    def f(cols: tuple, nrows):
+        n = cols[0][0].shape[0] if cols else 0
+        live = jnp.arange(n, dtype=jnp.int32) < nrows
+        lw = Lowerer(schema, cols, live)
+        qual = live
+        if pred is not None:
+            pv = lw.lower(pred, live)
+            qual = live & pv.valid & pv.data.astype(jnp.bool_)
+        lanes: list[tuple[jnp.ndarray, int]] = [
+            ((~qual).astype(jnp.int64), 1)]           # non-matches last
+        for sp in specs:
+            v = lw.lower(sp.expr, qual)
+            lanes.extend(_key_lanes(v, sp))
+        perm = packed_argsort(lanes, n)
+        kk = min(k, n) if n else 0
+        top = perm[:kk]
+        tops = tuple(lane[top] for lane, _ in lanes)
+        return (top, tops, jnp.sum(qual.astype(jnp.int64)),
+                jnp.max(jnp.where(live, lw.err, jnp.uint8(0))) if n
+                else jnp.uint8(0))
+
+    return f
+
+
 def build_sort_fn(schema: Sequence[ColMeta], specs: Sequence[SortSpec]) -> Callable:
     """f(cols, nrows) -> (perm int32[n], err).  perm[:nrows] orders the live
     rows per the sort specs; dead (padding) rows sort last."""

@@ -305,6 +305,19 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
 
     def run() -> list[tuple]:
         tables = {a: rename_table(materialize_rel(a, o), a) for a, o in rels}
+        # bulk-load pipeline: single equi-join feeding aggregation fuses into
+        # one device program (joined rows never materialize on the host —
+        # the pgstrom_bulkslot chain analog, pg_strom.h:317-329)
+        if has_aggs and len(rels) == 2 and join_equis and not post_join:
+            rows = _try_fused_join_agg(tables, rels, per_rel, join_equis,
+                                       group_exprs, items, having,
+                                       order_specs, perfmon)
+            if rows is not None:
+                if stmt.offset:
+                    rows = rows[stmt.offset:]
+                if stmt.limit is not None:
+                    rows = rows[:stmt.limit]
+                return rows
         current_alias_set = {rels[0][0]}
         cur = tables[rels[0][0]]
         cur_pred = and_all(per_rel[rels[0][0]])
@@ -357,7 +370,11 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
             rows = _run_agg(cur, cur_pred, group_exprs, items, having,
                             order_specs, perfmon)
         else:
-            rows = _run_plain(cur, cur_pred, items, order_specs, perfmon)
+            limit_k = None
+            if stmt.limit is not None:
+                limit_k = stmt.limit + (stmt.offset or 0)
+            rows = _run_plain(cur, cur_pred, items, order_specs, perfmon,
+                              limit_k)
         if stmt.offset:
             rows = rows[stmt.offset:]
         if stmt.limit is not None:
@@ -404,9 +421,46 @@ def _subset_table(tbl: Table, idxs: list[int]) -> Table:
     return Table.from_columns(tbl.name, cols)
 
 
-def _run_agg(cur: Table, pred, group_exprs, items, having, order_specs,
-             perfmon) -> list[tuple]:
-    layout = {n: i for i, n in enumerate(cur.column_names)}
+def _try_fused_join_agg(tables, rels, per_rel, join_equis, group_exprs,
+                        items, having, order_specs, perfmon):
+    """Fused probe-join-aggregate over a 2-relation query.  Returns finished
+    rows, or None when the shape/expressions aren't fused-eligible (the
+    caller then runs the generic join -> aggregate pipeline)."""
+    a0, a1 = rels[0][0], rels[1][0]
+    keys_l, keys_r = [], []
+    for cj in join_equis:
+        s0 = cj.args[0].name.split(".", 1)[0]
+        s1 = cj.args[1].name.split(".", 1)[0]
+        if s0 == a0 and s1 == a1:
+            keys_l.append(cj.args[0])
+            keys_r.append(cj.args[1])
+        elif s1 == a0 and s0 == a1:
+            keys_l.append(cj.args[1])
+            keys_r.append(cj.args[0])
+        else:
+            return None
+    if not keys_l:
+        return None
+    aggrefs = _collect_aggrefs(items, having)
+    insts = []
+    for ag in aggrefs:
+        d, fam = lookup_agg(ag.aggname, tuple(a.type for a in ag.args),
+                            star=ag.star)
+        insts.append(AggInstance(aggname=ag.aggname, family=fam,
+                                 slots=d.slots, args=tuple(ag.args)))
+    from ..exec.joinagg_exec import JoinPreAggExecutor
+    ex = JoinPreAggExecutor(
+        tables[a0], tables[a1], keys_l, keys_r, group_exprs, insts,
+        probe_pred=and_all(per_rel[a0]) if per_rel[a0] else None,
+        build_pred=and_all(per_rel[a1]) if per_rel[a1] else None,
+        perfmon=perfmon)
+    if not ex.device_ok():
+        return None
+    raw = ex.run()
+    return _finish_agg(raw, group_exprs, aggrefs, items, having, order_specs)
+
+
+def _collect_aggrefs(items, having) -> list[Aggref]:
     aggrefs: list[Aggref] = []
     for _, e in items:
         for n in walk(e):
@@ -416,18 +470,13 @@ def _run_agg(cur: Table, pred, group_exprs, items, having, order_specs,
         for n in walk(having):
             if isinstance(n, Aggref) and n not in aggrefs:
                 aggrefs.append(n)
-    insts = []
-    for ag in aggrefs:
-        d, fam = lookup_agg(ag.aggname, tuple(a.type for a in ag.args),
-                            star=ag.star)
-        insts.append(AggInstance(
-            aggname=ag.aggname, family=fam, slots=d.slots,
-            args=tuple(bind_columns(a, layout) for a in ag.args)))
-    bound_groups = [bind_columns(g, layout) for g in group_exprs]
-    bpred = bind_columns(pred, layout) if pred is not None else None
-    ex = PreAggExecutor(cur, bpred, bound_groups, insts, perfmon=perfmon)
-    raw = ex.run()   # rows: (group key vals..., agg vals...)
+    return aggrefs
 
+
+def _finish_agg(raw, group_exprs, aggrefs, items, having,
+                order_specs) -> list[tuple]:
+    """Final projection over (group keys..., agg values...) rows: HAVING,
+    target-list finalization, ORDER BY."""
     mapping: dict[Expr, int] = {}
     for gi, g in enumerate(group_exprs):
         mapping.setdefault(g, gi)
@@ -448,16 +497,39 @@ def _run_agg(cur: Table, pred, group_exprs, items, having, order_specs,
     return _order_and_strip(out, orders)
 
 
+def _run_agg(cur: Table, pred, group_exprs, items, having, order_specs,
+             perfmon) -> list[tuple]:
+    layout = {n: i for i, n in enumerate(cur.column_names)}
+    aggrefs = _collect_aggrefs(items, having)
+    insts = []
+    for ag in aggrefs:
+        d, fam = lookup_agg(ag.aggname, tuple(a.type for a in ag.args),
+                            star=ag.star)
+        insts.append(AggInstance(
+            aggname=ag.aggname, family=fam, slots=d.slots,
+            args=tuple(bind_columns(a, layout) for a in ag.args)))
+    bound_groups = [bind_columns(g, layout) for g in group_exprs]
+    bpred = bind_columns(pred, layout) if pred is not None else None
+    ex = PreAggExecutor(cur, bpred, bound_groups, insts, perfmon=perfmon)
+    raw = ex.run()   # rows: (group key vals..., agg vals...)
+    return _finish_agg(raw, group_exprs, aggrefs, items, having, order_specs)
+
+
 def _norow(slot: int):
     raise RuntimeError("unsubstituted column reference in final projection")
 
 
-def _run_plain(cur: Table, pred, items, order_specs, perfmon) -> list[tuple]:
+def _run_plain(cur: Table, pred, items, order_specs, perfmon,
+               limit_k: Optional[int] = None) -> list[tuple]:
     layout = {n: i for i, n in enumerate(cur.column_names)}
     bpred = bind_columns(pred, layout) if pred is not None else None
-    idxs = ScanExecutor(cur, bpred, perfmon).row_indexes()
     bitems = [bind_columns(e, layout) for _, e in items]
     borders = [(bind_columns(oe, layout), d, nf) for oe, d, nf in order_specs]
+    if order_specs and limit_k is not None and 0 < limit_k <= (1 << 16):
+        rows = _topk_rows(cur, bpred, bitems, borders, limit_k, perfmon)
+        if rows is not None:
+            return rows
+    idxs = ScanExecutor(cur, bpred, perfmon).row_indexes()
     cols = list(cur.columns.values())
     out = []
     for i in idxs:
@@ -466,6 +538,96 @@ def _run_plain(cur: Table, pred, items, order_specs, perfmon) -> list[tuple]:
         okeys = tuple(eval_expr_cpu(o, row) for o, _, _ in borders)
         out.append((okeys, vals))
     return _order_and_strip(out, borders)
+
+
+def _topk_rows(cur: Table, bpred, bitems, borders, k: int,
+               perfmon) -> Optional[list[tuple]]:
+    """Device ORDER BY + LIMIT: per-chunk packed sort -> k candidates with
+    their encoded key lanes -> host lexicographic merge -> materialize only
+    the k winning rows.  Returns None when not device-eligible (caller runs
+    the host path)."""
+    import numpy as np
+    import jax
+    from ..exec.devcache import TCACHE, chunk_capacity, planes_on_device, fetch_host
+    from ..exec.scan_exec import _JIT_CACHE as _SCAN_JIT
+    from ..expr.lower_jax import schema_from_chunk_columns
+    from ..ops.sort import build_sort_topk_fn, SortSpec
+
+    if not (config.enabled and config.enable_tpusort):
+        return None
+    exprs = [oe for oe, _, _ in borders] + ([bpred] if bpred is not None else [])
+    if any(not device_expression_supported(e) for e in exprs):
+        return None
+    if cur.nrows == 0:
+        return []
+
+    names = cur.column_names
+    schema = schema_from_chunk_columns(names, [cur.columns[n] for n in names])
+    cap = chunk_capacity(cur.nrows)
+    specs = tuple(SortSpec(oe, d, nf) for oe, d, nf in borders)
+    key = ("topk", tuple((m.name, m.type, m.dict_id) for m in schema),
+           specs, bpred, k, cap)
+    fn = _SCAN_JIT.get(key)
+    if fn is None:
+        import jax as _jax
+        fn = _jax.jit(build_sort_topk_fn(schema, list(specs), bpred,
+                                         min(k, cap)))
+        _SCAN_JIT[key] = fn
+
+    pending = []
+    streamed = 0
+    results = []
+
+    def drain():
+        nonlocal results
+        if not pending:
+            return
+        with perfmon.timer("device_wait"):
+            results.extend(zip([cc for cc, _ in pending],
+                               fetch_host([r for _, r in pending])))
+        pending.clear()
+
+    host_rows: list[int] = []          # rows from rechecked chunks
+    for cc in TCACHE.chunks_for(cur, names, cap, perfmon):
+        if cc.recheck_any:
+            return None                # mixed host/device merge: host path
+        with perfmon.timer("dispatch"):
+            res = fn(cc.planes, np.int32(cc.nrows))
+        pending.append((cc, res))
+        if not planes_on_device(cc.planes):
+            streamed += 1
+            if streamed >= config.max_async_chunks:
+                drain()
+                streamed = 0
+    drain()
+
+    lanes_all: list[np.ndarray] = []
+    gids_all: list[np.ndarray] = []
+    nqual_total = 0
+    nlanes = None
+    for cc, (top, tops, nqual, err) in results:
+        if int(err) != 0:
+            return None                # exactness escape: host path
+        nqual_total += int(nqual)
+        gids_all.append(np.asarray(top, dtype=np.int64) + cc.start)
+        nlanes = len(tops)
+        lanes_all.append(np.stack([np.asarray(t) for t in tops]))
+    take = min(k, nqual_total)
+    if take == 0:
+        return []
+    lanes = np.concatenate(lanes_all, axis=1)      # [nlanes, ncand]
+    gids = np.concatenate(gids_all)
+    # primary = lane 0 (dead bit), ..., last lane, then global row for the
+    # same tie order as the stable host sort; np.lexsort keys: last = primary
+    order = np.lexsort(tuple([gids] + [lanes[i] for i in range(nlanes - 1, -1, -1)]))
+    sel = gids[order[:take]]
+    cols = list(cur.columns.values())
+    out = []
+    for gid in sel:
+        i = int(gid)
+        row = lambda s: cols[s].get(i)
+        out.append(tuple(eval_expr_cpu(e, row) for e in bitems))
+    return out
 
 
 def _order_and_strip(rows: list[tuple], orders) -> list[tuple]:
