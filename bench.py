@@ -37,7 +37,7 @@ def main() -> None:
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
-    N = 1 << 22 if on_tpu else 1 << 18      # 4M rows/chunk on TPU
+    N = 1 << 24 if on_tpu else 1 << 18      # 16M rows/chunk on TPU
 
     # flagship: SELECT key, sum(x), count(x), sum(y) FROM t WHERE x > 0.25
     #           GROUP BY key     (int32 key, f32 x, i64 y)
@@ -52,7 +52,10 @@ def main() -> None:
         d, fam = lookup_agg(aggname, (arg.type,))
         insts.append(AggInstance(aggname=aggname, family=fam,
                                  slots=d.slots, args=(arg,)))
-    fn = jax.jit(build_preagg_fn(schema, [key], insts, pred, G=256))
+    # mxu = the engine's default grouped strategy (ops/preagg_mxu.py):
+    # every additive partial via ONE batched one-hot matmul on the MXU
+    fn = jax.jit(build_preagg_fn(schema, [key], insts, pred, G=256,
+                                 strategy="mxu"))
 
     rng = np.random.default_rng(0)
     cols = (
@@ -77,14 +80,17 @@ def main() -> None:
     print(f"# compile+first+fetch: {time.perf_counter()-t0:.1f}s err={err}",
           file=sys.stderr)
 
-    # min over repeats rides out tunnel/pool contention noise
-    reps = 5 if on_tpu else 3
+    # steady-state throughput: dispatch a window of chunks, block once —
+    # the executor pipelines chunks exactly this way (min/max_async_chunks),
+    # so per-launch tunnel sync overhead (~20ms) overlaps across chunks.
+    # min over rounds rides out tunnel/pool contention noise.
+    window = 8 if on_tpu else 2
     best = float("inf")
-    for _ in range(reps):
+    for _ in range(3):
         t0 = time.perf_counter()
-        out = fn(cols, nrows, np.uint64(0))
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+        outs = [fn(cols, nrows, np.uint64(0)) for _ in range(window)]
+        jax.block_until_ready(outs)
+        best = min(best, (time.perf_counter() - t0) / window)
     dt = best
     rows_per_s = N / dt
 

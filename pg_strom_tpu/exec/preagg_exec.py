@@ -26,6 +26,7 @@ from ..expr.lower_jax import ColMeta, schema_from_chunk_columns
 from ..ops.preagg import (
     AggInstance, build_preagg_fn, extract_partials, merge_partials,
 )
+from ..ops.preagg_mxu import mxu_keys_supported, mxu_absorb
 from .devcache import TCACHE, CachedChunk, chunk_capacity, planes_on_device, fetch_host
 from .hostexec import replay_chunk_preagg, canon_group_key, new_state
 from ..utils.perfmon import Perfmon
@@ -54,6 +55,8 @@ def _device_supported(pred, group_exprs, aggs) -> bool:
         if not device_expression_supported(e):
             return False
     for inst in aggs:
+        if inst.distinct:
+            return False      # agg(DISTINCT x) runs on the host-exact tier
         for a in inst.args:
             if not device_expression_supported(a):
                 return False
@@ -122,8 +125,14 @@ class PreAggExecutor:
             [self.table.columns[nm] for nm in self.layout_names])
         self._G, self._cap = G, cap
         key_metas = self._key_metas()
+        # grouped chunks go to the MXU (one-hot matmul) strategy whenever the
+        # key types support exact host-side recovery — measured 6-12x faster
+        # than scatter on v5e (ops/preagg_mxu.py); otherwise scatter
+        self._strategy = ("mxu" if mxu_keys_supported(
+            [g.type for g in self.group_exprs]) else "scatter")
         fn = _get_jitted(self._schema, tuple(self.group_exprs),
-                         tuple(self.aggs), self.pred, G, cap)
+                         tuple(self.aggs), self.pred, G, cap,
+                         strategy=self._strategy)
 
         # dispatch all chunks asynchronously, then read every result back in
         # ONE batched transfer — each separate device->host read costs a full
@@ -178,39 +187,55 @@ class PreAggExecutor:
 
     def _consume(self, cc: CachedChunk, out, states, displays,
                  key_metas) -> None:
+        """Retry ladder per chunk: (salted) bucket strategies until no
+        collision, then the exact sort strategy, then host replay."""
         pm = self.perfmon
-        with pm.timer("device_wait"):
+        salts = (0, 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F)
+        attempt = 0
+        overflow = False
+        while True:
             err = int(out["err"])
-            collided = bool(out.get("collision", False)) if self.group_exprs else False
-        if collided and err == 0:
-            # scatter-bucket collision: re-dispatch with fresh salts, then
-            # fall back to the exact sort strategy for this chunk
-            for salt in (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F):
+            if err != 0 or overflow:
+                break                                 # -> host replay
+            if "mxu_sums" in out:
+                collided, overflow = mxu_absorb(
+                    out, self.group_exprs, self.aggs, key_metas, states,
+                    displays, merge_partials, extract_partials,
+                    canon_group_key)
+                if overflow:
+                    continue
+                if not collided:
+                    pm.bump("device_chunks")
+                    return
+            else:
+                collided = (bool(out.get("collision", False))
+                            if self.group_exprs else False)
+                if not collided:
+                    absorb_preagg_out(out, self.group_exprs, self.aggs,
+                                      key_metas, states, displays, pm)
+                    return
+            attempt += 1
+            if attempt < len(salts):
                 pm.bump("salt_retries")
                 fn = _get_jitted(self._schema, tuple(self.group_exprs),
                                  tuple(self.aggs), self.pred, self._G,
-                                 self._cap)
+                                 self._cap, strategy=self._strategy)
                 out = fetch_host(fn(cc.planes, np.int32(cc.nrows),
-                                    np.uint64(salt)))
-                err = int(out["err"])
-                collided = bool(out["collision"])
-                if not collided or err != 0:
-                    break
-            if collided and err == 0:
+                                    np.uint64(salts[attempt])))
+            elif attempt == len(salts):
+                # two distinct keys genuinely share every salted bucket:
+                # the sort strategy is exact for any key distribution
                 pm.bump("sort_fallbacks")
                 fn = _get_jitted(self._schema, tuple(self.group_exprs),
                                  tuple(self.aggs), self.pred, self._G,
                                  self._cap, strategy="sort")
                 out = fetch_host(fn(cc.planes, np.int32(cc.nrows),
                                     np.uint64(0)))
-                err = int(out["err"])
-        if err != 0:
-            pm.bump("recheck_chunks")
-            with pm.timer("cpu_fallback"):
-                self._replay(cc.host_chunk(self.table), states, displays)
-            return
-        absorb_preagg_out(out, self.group_exprs, self.aggs, key_metas,
-                          states, displays, pm)
+            else:
+                break
+        pm.bump("recheck_chunks")
+        with pm.timer("cpu_fallback"):
+            self._replay(cc.host_chunk(self.table), states, displays)
 
     def _finalize(self, states, displays) -> list[tuple]:
         return finalize_agg_states(self.group_exprs, self.aggs, states,

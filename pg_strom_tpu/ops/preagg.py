@@ -262,7 +262,8 @@ def lookup_agg(aggname: str, argtypes: Sequence[T], star: bool = False) -> tuple
         fam = "star" if star else agg_family(argtypes[0]) if argtypes else "star"
         if star or not argtypes:
             return AGG_CATALOG[("count", "star")], "star"
-        return AGG_CATALOG[("count", fam if ("count", fam) in AGG_CATALOG else "any")], fam
+        use = fam if ("count", fam) in AGG_CATALOG else "any"
+        return AGG_CATALOG[("count", use)], use
     if aggname in ("corr", "covar_pop", "covar_samp"):
         return AGG_CATALOG[(aggname, "f8f8")], "f8f8"
     fam = agg_family(argtypes[0])
@@ -283,12 +284,24 @@ class AggInstance:
     family: str
     slots: tuple[str, ...]
     args: tuple[Expr, ...]   # bound arg expressions (cast already applied)
+    distinct: bool = False   # agg(DISTINCT x): runs on the host-exact tier
 
 
-def _seg(vals: jnp.ndarray, seg_id: jnp.ndarray, G: int, how: str) -> jnp.ndarray:
+def _seg(vals: jnp.ndarray, seg_id, G: int, how: str) -> jnp.ndarray:
+    if seg_id is None:
+        # ungrouped: ONE group in slot 0 — a direct streaming reduction
+        # (TPU scatters cost ~50ms/pass; jnp reductions run at HBM speed).
+        # Dead lanes already carry the reduction identity via masking.
+        r = {"sum": jnp.sum, "min": jnp.min, "max": jnp.max}[how](vals)
+        return jnp.concatenate([r[None], jnp.zeros((G - 1,), r.dtype)])
     f = {"sum": jax.ops.segment_sum, "min": jax.ops.segment_min,
          "max": jax.ops.segment_max}[how]
     return f(vals, seg_id, num_segments=G)
+
+
+def _gref(garr: jnp.ndarray, seg_id) -> jnp.ndarray:
+    """Broadcast per-group array back to rows (group 0 when ungrouped)."""
+    return garr[0] if seg_id is None else garr[seg_id]
 
 
 def _ndigits(m_abs: jnp.ndarray) -> jnp.ndarray:
@@ -414,7 +427,7 @@ def _slot_num_sum(kind: str, a: DVal, ok: jnp.ndarray, seg_id: jnp.ndarray,
     # per-group min exponent, then align mantissas to it
     gexp = _seg(exp, seg_id, G, "min")           # invalid rows carry +127
     gexp = jnp.where(gexp == 127, jnp.int32(0), gexp)
-    delta = jnp.clip(exp.astype(jnp.int32) - gexp[seg_id], 0, 127)
+    delta = jnp.clip(exp.astype(jnp.int32) - _gref(gexp, seg_id), 0, 127)
     p = jnp.asarray(_P10)[jnp.clip(delta, 0, 18)]
     lim = jnp.asarray(_POW10_LIMIT_NP)[jnp.clip(delta, 0, 18)]
     ovf = ok & ((delta > 18) | (jnp.abs(mant) > lim))
@@ -445,10 +458,10 @@ def _slot_minmax(kind: str, a: DVal, ok: jnp.ndarray, seg_id: jnp.ndarray,
         sent = _BIG if kind == "min" else -_BIG
         pm = jnp.where(ok, p, sent)
         gp = _seg(pm, seg_id, G, how)
-        on_p = ok & (p == gp[seg_id])
+        on_p = ok & (p == _gref(gp, seg_id))
         sm = jnp.where(on_p, s, sent)
         gs = _seg(sm, seg_id, G, how)
-        on_s = on_p & (s == gs[seg_id])
+        on_s = on_p & (s == _gref(gs, seg_id))
         # winners all share (mant,exp) (normalized repr is canonical); only
         # dscale can differ — PG's numeric_larger keeps the FIRST-seen value,
         # so pick the winner with the smallest original row index, then map
@@ -456,7 +469,7 @@ def _slot_minmax(kind: str, a: DVal, ok: jnp.ndarray, seg_id: jnp.ndarray,
         ridx = jnp.where(on_s, row_idx.astype(jnp.int64), _BIG)
         gmin_orig = _seg(ridx, seg_id, G, "min")
         pos = jnp.arange(n, dtype=jnp.int64)
-        sel = on_s & (row_idx.astype(jnp.int64) == gmin_orig[seg_id])
+        sel = on_s & (row_idx.astype(jnp.int64) == _gref(gmin_orig, seg_id))
         gpos = _seg(jnp.where(sel, pos, _BIG), seg_id, G, "min")
         gi_c = jnp.clip(gpos, 0, max(n - 1, 0)).astype(jnp.int32)
         has = gmin_orig < _BIG
@@ -546,6 +559,41 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
             arg_vals.append(vs)
 
         collision = jnp.bool_(False)
+        if group_exprs and strategy == "mxu":
+            # MXU grouping: ONE batched one-hot matmul computes every
+            # additive partial AND the per-bucket key-constancy sums; the
+            # host recovers keys / detects collisions in exact big-int
+            # arithmetic (see ops/preagg_mxu.py).  Measured on v5e: 6-12x
+            # faster than scatter at 4-16M rows/chunk.  Non-additive slots
+            # (min/max, numeric, f8) scatter over the same buckets.
+            from .preagg_mxu import (
+                build_mxu_columns, mxu_reduce, _kind_mxu_ok,
+            )
+            hs = [hash_column32(k.t, k.data, k.valid,
+                                k.exp if k.t is T.NUMERIC else None,
+                                getattr(k, "bits", None)) for k in keys]
+            h = _mix32(combine_hashes32(hs) ^ salt.astype(jnp.uint32))
+            bucket = (h & jnp.uint32(G - 1)).astype(jnp.int32)
+            seg_id = jnp.where(mask, bucket, jnp.int32(G))
+            seg_id, mask = jax.lax.optimization_barrier((seg_id, mask))
+            V, f4exps = build_mxu_columns(keys, aggs, arg_vals, mask, n)
+            sums, fsums = mxu_reduce(V, seg_id, G, n)
+            row_idx = jnp.arange(n, dtype=jnp.int64)
+            slot_out = []
+            for inst, vs in zip(aggs, arg_vals):
+                d: dict[str, jnp.ndarray] = {}
+                a_t = vs[0].t if vs else None
+                for kind in inst.slots:
+                    if _kind_mxu_ok(kind, a_t):
+                        continue
+                    d.update(_slot_compute(kind, vs, mask, seg_id, G, lw,
+                                           row_idx))
+                slot_out.append(d)
+            return {"err": jnp.max(lw.err) if n else jnp.uint8(0),
+                    "mxu_sums": sums,
+                    "mxu_fsums": fsums,
+                    "mxu_f4exps": f4exps,
+                    "slots": tuple(slot_out)}
         if group_exprs and strategy == "scatter":
             # all-uint32 hashing: u64 chains feeding scatters measured ~1000x
             # slower on TPU (emulated 64-bit ops in the scatter fusion)
@@ -623,11 +671,14 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
         else:
             mask_s = mask
             args_s = arg_vals
-            seg_id = jnp.zeros(n, dtype=jnp.int32)
+            # seg_id None => _seg uses direct streaming reductions into
+            # slot 0 (no scatter at all on the ungrouped path)
+            seg_id = None
             ngroups = jnp.int32(1)
             row_idx = jnp.arange(n, dtype=jnp.int64)
             key_out = []
-            gmask = jnp.ones(G, dtype=jnp.bool_).at[1:].set(False)
+            gmask = jnp.concatenate([jnp.ones(1, jnp.bool_),
+                                     jnp.zeros(G - 1, jnp.bool_)])
 
         slot_out = []
         for inst, vs in zip(aggs, args_s):
@@ -723,10 +774,14 @@ def _rows_equal(keys_s: list[DVal], i, j) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def extract_partials(inst: AggInstance, arrays: dict[str, np.ndarray],
-                     g: int) -> dict[str, Any]:
-    """python partial dict for group g from device slot arrays."""
+                     g: int, skip: tuple = ()) -> dict[str, Any]:
+    """python partial dict for group g from device slot arrays.
+
+    `skip` names slot kinds computed elsewhere (the MXU matmul path)."""
     out: dict[str, Any] = {}
     for kind in inst.slots:
+        if kind in skip:
+            continue
         if kind == "nrows":
             out["nrows"] = int(arrays["nrows"][g])
         elif kind == "count":

@@ -1,0 +1,398 @@
+"""MXU (matmul) grouped aggregation — the TPU-native replacement for scatter.
+
+Measured ground truth on v5e (BASELINE.md "async-fiction" note): XLA scatter
+(segment_sum with duplicate indices) runs at ~15-20 Mrows/s per pass, so the
+scatter-grouping preagg kernel costs seconds per 4M-row chunk.  The MXU path
+computes ALL additive partials with ONE batched one-hot matmul:
+
+    partials[G, S] = sum over segments of  OneHot(bucket)^T @ ValueColumns
+
+  - Every additive quantity (counts, integer sums, float sums, squares,
+    key-constancy checks) becomes a column of an N x S value matrix.
+  - Exactness: integers are decomposed into 8-bit limbs (bf16 represents
+    0..255 exactly), the dot accumulates in f32 (exact for partial sums
+    < 2^24), rows are processed in segments of <= 65536, per-segment f32
+    results are widened to int64 and reduced exactly across segments, and
+    the host reconstructs arbitrary-width integers with python big ints.
+  - sum(int*) keeps the modular-int64 contract of the scatter path (exact
+    when the true sum fits; a sum-|v| shadow column guards the window).
+  - sum(float4) uses sign-split 72-bit fixed point below the chunk max:
+    per-row truncation <= 2^(E-72), n-row error <= 2^(E-50) — below the
+    emulated-f64 precision of the old scatter path.
+  - Group keys, without per-bucket gathers: for each (narrow) key lane the
+    kernel emits per-bucket n, sum(kb), sum(kb^2) with kb = key + 2^31 >= 0.
+    The host checks  n * sum(kb^2) == sum(kb)^2  (Cauchy-Schwarz equality
+    <=> all bucket values equal) in exact big-int arithmetic and recovers
+    the key as sum(kb)/n - 2^31.  A failed check IS the scatter strategy's
+    `collision` signal — the executor re-salts, then sort-falls-back.
+
+Aggregate kinds not yet mapped to columns (min/max, numeric, float8 sums,
+pair aggregates) still run segment ops over the same bucket ids inside the
+same kernel, so a query pays for scatters only on the slots that need them.
+
+Reference parity: replaces gpupreagg's bitonic-sort + keycomp reduction
+(opencl_gpupreagg.h:459-860) with the same partials contract computed on the
+MXU — the TPU's 128x128 systolic array, whose one-hot matmul IS the
+hardware's segmented-reduction primitive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..sqltypes import T
+from ..expr.lower_jax import DVal
+
+# f32 dot accumulation is exact for integer columns while per-segment sums
+# stay < 2^24  (65536 rows x limb<=255 = 2^24)
+SEG_ROWS = 1 << 16
+
+F4_LIMBS = 9
+F4_WINDOW = 8 * F4_LIMBS         # 72-bit fixed-point window for float4 sums
+
+_MXU_KINDS = {"nrows", "count", "sum_i", "sum_f", "sumsq_i"}
+_KEY_OK_TYPES = {T.BOOL, T.INT2, T.INT4, T.DATE, T.TEXT, T.BPCHAR}
+
+
+def mxu_keys_supported(key_types: Sequence[T]) -> bool:
+    """Narrow (<=32-bit data lane) key types get exact sum/sumsq checks."""
+    return bool(key_types) and all(t in _KEY_OK_TYPES for t in key_types)
+
+
+def _kind_mxu_ok(kind: str, argtype: Optional[T]) -> bool:
+    if kind not in _MXU_KINDS:
+        return False
+    if kind == "sum_f":
+        return argtype is T.FLOAT4
+    if kind == "sumsq_i":
+        return argtype in (T.INT2, T.INT4)
+    return True
+
+
+# ---------------------------------------------------------------------------
+# static column recipes — the device builder and the host extractor both
+# derive the layout from this single walk, so they cannot drift
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _SlotRecipe:
+    kind: str
+    limbs: list[int] = dataclasses.field(default_factory=list)   # low first
+    neg_limbs: list[int] = dataclasses.field(default_factory=list)
+    okcnt: int = -1
+    shadow: int = -1
+    bias_bits: int = 0
+    f4_slot_no: int = -1         # index into the kernel's f4_exps vector
+
+
+@dataclasses.dataclass
+class _KeyRecipe:
+    sum_limbs: list[int]
+    sumsq_limbs: list[int]
+    nval: int
+    bias: int
+    t: T
+
+
+def mxu_recipes(key_types: Sequence[T], aggs, arg_types: Sequence[tuple]):
+    """(key_recipes, per-agg {kind: _SlotRecipe}, ncols).
+
+    Column 0 is always the bucket row count (mask).  aggs[i].slots with
+    arg types arg_types[i] drive the slot walk — identical on device."""
+    c = 1                                    # col 0: rows-per-bucket
+    keyr: list[_KeyRecipe] = []
+    for t in key_types:
+        s = list(range(c, c + 5)); c += 5
+        q = list(range(c, c + 8)); c += 8
+        nv = c; c += 1
+        keyr.append(_KeyRecipe(s, q, nv, 1 << 31, t))
+    slotr: list[dict[str, _SlotRecipe]] = []
+    nf4 = 0
+    for inst, at in zip(aggs, arg_types):
+        a_t = at[0] if at else None
+        d: dict[str, _SlotRecipe] = {}
+        for kind in inst.slots:
+            if not _kind_mxu_ok(kind, a_t):
+                continue
+            if kind in ("nrows", "count"):
+                d[kind] = _SlotRecipe(kind, [c]); c += 1
+            elif kind == "sum_i":
+                d[kind] = _SlotRecipe(kind, list(range(c, c + 8)),
+                                      okcnt=c + 8, shadow=c + 9,
+                                      bias_bits=63)
+                c += 10
+            elif kind == "sumsq_i":
+                d[kind] = _SlotRecipe(kind, list(range(c, c + 8)))
+                c += 8
+            elif kind == "sum_f":
+                d[kind] = _SlotRecipe(kind, list(range(c, c + F4_LIMBS)),
+                                      neg_limbs=list(range(c + F4_LIMBS,
+                                                           c + 2 * F4_LIMBS)),
+                                      shadow=c + 2 * F4_LIMBS,
+                                      f4_slot_no=nf4)
+                nf4 += 1
+                c += 2 * F4_LIMBS + 1
+        slotr.append(d)
+    return keyr, slotr, c
+
+
+# ---------------------------------------------------------------------------
+# device side
+# ---------------------------------------------------------------------------
+
+def _mask0(x: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(ok, x, jnp.zeros_like(x))
+
+
+def _u64_limbs(u: jnp.ndarray, nlimbs: int) -> list[jnp.ndarray]:
+    return [((u >> jnp.uint64(8 * j)) & jnp.uint64(0xFF)).astype(jnp.float32)
+            for j in range(nlimbs)]
+
+
+def _exact_pow2_f32(e: jnp.ndarray) -> jnp.ndarray:
+    """Bit-exact 2^e for int32 e in [-126, 127] (XLA's exp2 is a polynomial
+    approximation that can be 1 ulp off a true power of two, which breaks
+    the fixed-point digit extraction's exactness premise)."""
+    bits = (jnp.clip(e, -126, 127) + jnp.int32(127)) << 23
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _f4_scale_exp(absx: jnp.ndarray):
+    """(scale, E): scale = 2^-E exact power of two with max|v| * scale < 1."""
+    m = jnp.max(absx)
+    e = (jnp.floor(jnp.log2(jnp.maximum(m, jnp.float32(1e-38))))
+         .astype(jnp.int32) + 1)
+    e = jnp.clip(e, -125, 126)
+    sc = _exact_pow2_f32(-e)
+    bump = (m * sc) >= 1.0                      # guard log2 rounding
+    e = jnp.where(bump, e + 1, e)
+    sc = jnp.where(bump, sc * jnp.float32(0.5), sc)
+    return sc, e.astype(jnp.int32)
+
+
+def _f4_limb_cols(absx: jnp.ndarray, sc: jnp.ndarray) -> list[jnp.ndarray]:
+    """72-bit fixed-point limbs, low limb FIRST (matches _SlotRecipe)."""
+    x = absx * sc
+    high_first = []
+    for _ in range(F4_LIMBS):
+        x = x * jnp.float32(256.0)
+        d = jnp.floor(x)
+        x = x - d
+        high_first.append(d)
+    return list(reversed(high_first))
+
+
+def build_mxu_columns(key_vals: Sequence[DVal], aggs, arg_vals,
+                      mask: jnp.ndarray, n: int):
+    """N x S f32 column matrix + per-f4-slot exponents, in recipe order."""
+    cols: list[jnp.ndarray] = [mask.astype(jnp.float32)]       # col 0
+    f4_exps: list[jnp.ndarray] = []
+
+    for k in key_vals:
+        okk = mask & k.valid
+        kb = (k.data.astype(jnp.int64) + jnp.int64(1 << 31)).astype(jnp.uint64)
+        kb = jnp.where(okk, kb, jnp.uint64(0))
+        cols.extend(_u64_limbs(kb, 5))
+        cols.extend(_u64_limbs(kb * kb, 8))
+        cols.append(okk.astype(jnp.float32))
+
+    for inst, vals in zip(aggs, arg_vals):
+        a = vals[0] if vals else None
+        ok = mask if a is None else (mask & a.valid)
+        if len(vals) == 2:
+            ok = mask & vals[0].valid & vals[1].valid
+        for kind in inst.slots:
+            if not _kind_mxu_ok(kind, a.t if a is not None else None):
+                continue
+            if kind == "nrows":
+                cols.append(mask.astype(jnp.float32))
+            elif kind == "count":
+                cols.append(ok.astype(jnp.float32))
+            elif kind == "sum_i":
+                v = jnp.where(ok, a.data.astype(jnp.int64), jnp.int64(0))
+                biased = jnp.where(ok, v.astype(jnp.uint64) +
+                                   jnp.uint64(1 << 63), jnp.uint64(0))
+                cols.extend(_u64_limbs(biased, 8))
+                cols.append(ok.astype(jnp.float32))
+                cols.append(_mask0(jnp.abs(a.data.astype(jnp.float32)), ok))
+            elif kind == "sumsq_i":
+                v = jnp.where(ok, a.data.astype(jnp.int64), jnp.int64(0))
+                cols.extend(_u64_limbs((v * v).astype(jnp.uint64), 8))
+            elif kind == "sum_f":
+                absx = _mask0(jnp.abs(a.data.astype(jnp.float32)), ok)
+                sc, e = _f4_scale_exp(absx)
+                f4_exps.append(e)
+                pos = jnp.where(a.data > 0, absx, jnp.float32(0.0))
+                neg = jnp.where(a.data < 0, absx, jnp.float32(0.0))
+                cols.extend(_f4_limb_cols(pos, sc))
+                cols.extend(_f4_limb_cols(neg, sc))
+                cols.append(absx)
+    V = jnp.stack(cols, axis=1)
+    exps = (jnp.stack(f4_exps) if f4_exps else jnp.zeros(0, jnp.int32))
+    return V, exps
+
+
+def mxu_reduce(V: jnp.ndarray, seg_id: jnp.ndarray, G: int, n: int,
+               force_matmul: bool = False):
+    """Segmented one-hot matmul: (sums int64[G,S] exact ints,
+    fsums f64[G,S] for shadow columns).  seg_id == G drops the row.
+
+    Segments are HARD-capped at SEG_ROWS rows — per-segment f32 partial sums
+    must stay < 2^24 for the dot accumulation to be exact — so non-multiple
+    n pads with dead rows (seg_id G => all-zero one-hot row).
+
+    On the CPU backend (test/fallback environment, no systolic array) the
+    same contract is computed with exact int64/f64 segment sums instead —
+    a [n, 4096]-wide one-hot matmul on CPU costs seconds per program while
+    CPU scatters are cheap; the output is bit-identical for every integer
+    column."""
+    if jax.default_backend() == "cpu" and not force_matmul:
+        sums = jax.ops.segment_sum(V.astype(jnp.int64), seg_id,
+                                   num_segments=G)
+        fsums = jax.ops.segment_sum(V.astype(jnp.float64), seg_id,
+                                    num_segments=G)
+        return sums, fsums
+    rows = SEG_ROWS if n > SEG_ROWS else max(n, 1)
+    pad = (-n) % rows
+    if pad:
+        V = jnp.pad(V, ((0, pad), (0, 0)))
+        seg_id = jnp.pad(seg_id, (0, pad), constant_values=G)
+    nseg = (n + pad) // rows
+    oh = jax.nn.one_hot(seg_id.reshape(nseg, rows), G, dtype=jnp.bfloat16)
+    vb = V.reshape(nseg, rows, -1).astype(jnp.bfloat16)
+    part = jax.lax.dot_general(oh, vb, (((1,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+    sums = jnp.sum(part.astype(jnp.int64), axis=0)
+    fsums = jnp.sum(part.astype(jnp.float64), axis=0)
+    return sums, fsums
+
+
+# ---------------------------------------------------------------------------
+# host side
+# ---------------------------------------------------------------------------
+
+def _limb_int(sums: np.ndarray, g: int, idxs: Sequence[int]) -> int:
+    v = 0
+    for j, ci in enumerate(idxs):
+        v += int(sums[g, ci]) << (8 * j)
+    return v
+
+
+def mxu_host_groups(out, key_recipes, key_metas):
+    """Exact key-constancy check + key recovery over nonempty buckets.
+
+    Returns (collision, [(g, keyvals tuple)]); collision True triggers the
+    executor's salt-retry / sort-fallback, same as the scatter contract."""
+    sums = np.asarray(out["mxu_sums"])
+    nrows_b = sums[:, 0]
+    groups = []
+    for g in np.flatnonzero(nrows_b > 0):
+        g = int(g)
+        nb = int(nrows_b[g])
+        kv = []
+        for kr, meta in zip(key_recipes, key_metas):
+            nval = int(sums[g, kr.nval])
+            if nval not in (0, nb):
+                return True, []              # NULL/value mix in one bucket
+            if nval == 0:
+                kv.append(None)
+                continue
+            s1 = _limb_int(sums, g, kr.sum_limbs)
+            s2 = _limb_int(sums, g, kr.sumsq_limbs)
+            if nval * s2 != s1 * s1:
+                return True, []              # two distinct keys share bucket
+            kv.append(_decode_key(kr.t, s1 // nval - kr.bias, meta))
+        groups.append((g, tuple(kv)))
+    return False, groups
+
+
+def _decode_key(t: T, raw: int, meta):
+    if t in (T.TEXT, T.BPCHAR):
+        return meta.dictionary[raw] if meta and meta.dictionary else None
+    if t is T.BOOL:
+        return bool(raw)
+    return int(raw)
+
+
+def mxu_overflow(out, slot_recipes) -> bool:
+    """Any additive slot outside its exact window => host replay."""
+    fsums = np.asarray(out["mxu_fsums"])
+    for d in slot_recipes:
+        for kind, r in d.items():
+            if kind == "sum_i" and np.any(fsums[:, r.shadow] > float(1 << 61)):
+                return True
+            if kind == "sum_f":
+                sh = fsums[:, r.shadow]
+                # PG sums float4 stepwise in f32: if the absolute mass could
+                # reach f32-inf territory the host must replay sequentially
+                # to reproduce PostgreSQL's mid-sum overflow error (the same
+                # guard the scatter path applies on-device)
+                if (np.any(np.isinf(sh)) or np.any(np.isnan(sh))
+                        or np.any(sh > 3.0e38)):
+                    return True
+    return False
+
+
+def mxu_extract_slot(r: _SlotRecipe, out, g: int) -> dict:
+    """Host-exact partial(s) for one MXU slot kind at bucket g."""
+    sums = np.asarray(out["mxu_sums"])
+    if r.kind in ("nrows", "count"):
+        return {r.kind: int(sums[g, r.limbs[0]])}
+    if r.kind == "sum_i":
+        okcnt = int(sums[g, r.okcnt])
+        total = _limb_int(sums, g, r.limbs) - (okcnt << r.bias_bits)
+        total &= (1 << 64) - 1               # modular-int64 contract
+        if total >= (1 << 63):
+            total -= 1 << 64
+        return {"sum_i": total}
+    if r.kind == "sumsq_i":
+        return {"sumsq_i": _limb_int(sums, g, r.limbs)}
+    if r.kind == "sum_f":
+        E = int(np.asarray(out["mxu_f4exps"])[r.f4_slot_no])
+        m = _limb_int(sums, g, r.limbs) - _limb_int(sums, g, r.neg_limbs)
+        return {"sum_f": float(m) * 2.0 ** (E - F4_WINDOW)}
+    raise ValueError(r.kind)
+
+
+# ---------------------------------------------------------------------------
+# executor glue: one call consumes a fetched MXU-strategy chunk output
+# ---------------------------------------------------------------------------
+
+def mxu_absorb(out_host, group_exprs, aggs, key_metas, states, displays,
+               merge_partials, extract_partials, canon_group_key):
+    """Merge one fetched MXU-strategy output into (states, displays).
+
+    Returns (collision, overflow): collision => executor re-salts / falls
+    back to the sort strategy; overflow => host replays the chunk (the
+    CpuReCheck contract).  Either way states are untouched on failure."""
+    key_types = [g.type for g in group_exprs]
+    arg_types = [tuple(a.type for a in inst.args) for inst in aggs]
+    keyr, slotr, _ = mxu_recipes(key_types, aggs, arg_types)
+    collision, groups = mxu_host_groups(out_host, keyr, key_metas)
+    if collision:
+        return True, False
+    if mxu_overflow(out_host, slotr):
+        return False, True
+    slots = [{k: np.asarray(v) for k, v in d.items()}
+             for d in out_host["slots"]]
+    for g, kvals in groups:
+        ck = tuple(canon_group_key(v) for v in kvals)
+        parts = []
+        for inst, rd, arrs in zip(aggs, slotr, slots):
+            p = extract_partials(inst, arrs, g, skip=tuple(rd.keys()))
+            for kind, r in rd.items():
+                p.update(mxu_extract_slot(r, out_host, g))
+            parts.append(p)
+        if ck not in states:
+            states[ck] = parts
+            displays[ck] = kvals
+        else:
+            st = states[ck]
+            states[ck] = [merge_partials(inst, a, b)
+                          for inst, a, b in zip(aggs, st, parts)]
+    return False, False

@@ -30,3 +30,17 @@ assert jax.devices()[0].platform == "cpu", jax.devices()
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(20140601)  # reference v0 era
+
+
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_xla_compiler_state():
+    """Clear jit caches at each test module: the XLA CPU compiler crashes
+    (SIGABRT inside backend_compile, latent jaxlib bug) once a process
+    accumulates >~1000 compiled programs — the MXU strategy variants pushed
+    the full suite past that line.  Per-module recompiles are cheap on CPU
+    and keep every module hermetic."""
+    jax.clear_caches()
+    yield
