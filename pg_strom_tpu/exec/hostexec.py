@@ -92,6 +92,13 @@ def update_state(inst: AggInstance, s: dict[str, Any], args: Sequence[Any]) -> N
         s["nrows"] += 1
     if any(a is None for a in args):
         return  # strict aggregates skip rows with NULL in any argument
+    if getattr(inst, "distinct", False):
+        # agg(DISTINCT x): one transition per distinct argument tuple
+        seen = s.setdefault("__distinct_seen__", set())
+        key = tuple(canon_group_key(a) for a in args)
+        if key in seen:
+            return
+        seen.add(key)
     if "count" in s:
         s["count"] += 1
     for kind in inst.slots:

@@ -57,12 +57,26 @@ def _split_pairs(fn):
 
 
 class HashJoinExecutor:
-    """Inner equi-join: outer (probe) x inner (build).
+    """Equi-join: outer (probe) x inner (build); inner / left / full.
 
     probe_keys / build_keys: bound exprs over the respective table layouts.
     Output: a host Table with columns "<alias>.<col>" for the requested
     (side, column) pairs; round-1 materializes, the planner fuses
-    join->aggregate device-side where possible."""
+    join->aggregate device-side where possible.
+
+    jointype:
+      inner — matched pairs only (the reference's only device join shape,
+              gpuhashjoin.c; outer joins there stay on the PostgreSQL side —
+              here the engine IS the database, so they're first-class)
+      left  — plus probe rows with no (residual-surviving) match,
+              build columns NULL-extended
+      full  — plus unmatched build rows, probe columns NULL-extended
+      (RIGHT is planned as LEFT with sides swapped.)
+    residual: extra ON condition bound to the JOINED layout — a pair matches
+    only if it passes; evaluated with the device scan kernel over the
+    assembled pair table.  For outer joins probe_pred must be None (ON quals
+    gate matching, never probe-row survival) and for full joins build_pred
+    must be None too."""
 
     def __init__(self, probe: Table, build: Table,
                  probe_keys: Sequence[Expr], build_keys: Sequence[Expr],
@@ -71,6 +85,8 @@ class HashJoinExecutor:
                  build_pred: Optional[Expr] = None,
                  probe_alias: Optional[str] = "o",
                  build_alias: Optional[str] = "i",
+                 jointype: str = "inner",
+                 residual: Optional[Expr] = None,
                  perfmon: Perfmon | None = None):
         # alias=None => output columns keep their source names (planner
         # pre-renames tables to "alias.col", so names are already unique)
@@ -84,8 +100,16 @@ class HashJoinExecutor:
         self.build_pred = build_pred
         self.probe_alias = probe_alias
         self.build_alias = build_alias
+        self.jointype = jointype
+        self.residual = residual
+        assert jointype in ("inner", "left", "full")
+        assert jointype == "inner" or probe_pred is None
+        assert jointype != "full" or build_pred is None
         self.perfmon = perfmon or Perfmon()
         self._host_ht: dict | None = None
+        self._track = jointype != "inner" or residual is not None
+        self._pair_p: list[np.ndarray] = []   # global probe row ids per piece
+        self._pair_b: list[np.ndarray] = []   # build row ids per piece
 
     def _pname(self, c: str) -> str:
         return c if self.probe_alias is None else f"{self.probe_alias}.{c}"
@@ -118,7 +142,7 @@ class HashJoinExecutor:
                       and self._device_ok() and self.build.nrows > 0)
         if not use_device:
             self._host_join_all(collected)
-            return self._to_table(collected)
+            return self._finish(collected)
 
         pm = self.perfmon
         bl = self.build.column_names
@@ -135,7 +159,7 @@ class HashJoinExecutor:
             bchunk = next(iter(self.build.chunks(bcap)))
             if bchunk.row_recheck.any():
                 self._host_join_all(collected)
-                return self._to_table(collected)
+                return self._finish(collected)
             bschema = schema_from_chunk_columns(bl, [bchunk.columns[n] for n in bl])
             bplanes = tuple(planes_of_column(bchunk.columns[n]) for n in bl)
             build_fn = _cached_jit(
@@ -146,7 +170,7 @@ class HashJoinExecutor:
                 ht = build_fn(bplanes, np.int32(bchunk.nrows))
             if int(ht["err"]) != 0:
                 self._host_join_all(collected)
-                return self._to_table(collected)
+                return self._finish(collected)
             TCACHE.put_aux(ht_key, ht, self.build.name, bcols)
         nbuckets = int(ht["bucket_start"].shape[0]) - 1
 
@@ -190,7 +214,7 @@ class HashJoinExecutor:
                     self._drain(pending, out_cap, get_probe_fn, ht, collected)
                     streamed = 0
         self._drain(pending, out_cap, get_probe_fn, ht, collected)
-        return self._to_table(collected)
+        return self._finish(collected)
 
     def _drain(self, pending, out_cap, get_probe_fn, ht, collected) -> None:
         if not pending:
@@ -237,6 +261,9 @@ class HashJoinExecutor:
         for c in self.out_build_cols:
             collected[self._bname(c)].append(
                 ("planes", _gather_planes(self.build.columns[c], build_row)))
+        if self._track:
+            self._pair_p.append(np.asarray(probe_idx, np.int64) + chunk_start)
+            self._pair_b.append(np.asarray(build_row, np.int64))
 
     def _to_table(self, collected: dict[str, list]) -> Table:
         cols: dict[str, Column] = {}
@@ -263,6 +290,52 @@ class HashJoinExecutor:
                 cols[name] = column_from_values(ctype, values)
         return Table.from_columns("join_result", cols)
 
+    # -- residual ON + outer-join NULL extension ------------------------------
+
+    def _finish(self, collected: dict[str, list]) -> Table:
+        t = self._to_table(collected)
+        if not self._track:
+            return t
+        pidx = (np.concatenate(self._pair_p) if self._pair_p
+                else np.empty(0, np.int64))
+        bidx = (np.concatenate(self._pair_b) if self._pair_b
+                else np.empty(0, np.int64))
+        if self.residual is not None:
+            # a pair matches only if the residual ON condition holds — run
+            # the scan kernel over the assembled pair table
+            from .scan_exec import ScanExecutor
+            from ..expr.ir import bind_columns
+            lp = {n: i for i, n in enumerate(t.column_names)}
+            keep = np.asarray(ScanExecutor(
+                t, bind_columns(self.residual, lp),
+                self.perfmon).row_indexes(), dtype=np.int64)
+            t = _take_rows(t, keep)
+            pidx, bidx = pidx[keep], bidx[keep]
+        if self.jointype == "inner":
+            return t
+        matched_p = np.zeros(self.probe.nrows, np.bool_)
+        matched_p[pidx] = True
+        parts = [t]
+        parts.append(self._extend(np.flatnonzero(~matched_p), True, t))
+        if self.jointype == "full":
+            matched_b = np.zeros(self.build.nrows, np.bool_)
+            matched_b[bidx] = True
+            parts.append(self._extend(np.flatnonzero(~matched_b), False, t))
+        return _concat_tables(parts)
+
+    def _extend(self, idxs: np.ndarray, probe_side: bool, like: Table) -> Table:
+        """Preserved-side rows at idxs, other side NULL-extended."""
+        cols: dict[str, Column] = {}
+        for c in self.out_probe_cols:
+            src = self.probe.columns[c]
+            cols[self._pname(c)] = (_col_gather(src, idxs) if probe_side
+                                    else _col_null(src, len(idxs)))
+        for c in self.out_build_cols:
+            src = self.build.columns[c]
+            cols[self._bname(c)] = (_col_null(src, len(idxs)) if probe_side
+                                    else _col_gather(src, idxs))
+        return Table.from_columns("join_ext", cols)
+
     # -- host exact path -----------------------------------------------------
 
     def _host_hash_table(self) -> dict:
@@ -287,6 +360,7 @@ class HashJoinExecutor:
         pl = self.probe.column_names
         pvals = {c: [] for c in self.out_probe_cols}
         bvals = {c: [] for c in self.out_build_cols}
+        pp, pb = [], []
         for i in range(chunk.nrows):
             row = lambda s: chunk.columns[pl[s]].get(i)
             if self.probe_pred is not None and \
@@ -301,10 +375,16 @@ class HashJoinExecutor:
                     pvals[c].append(chunk.columns[c].get(i))
                 for c in self.out_build_cols:
                     bvals[c].append(self.build.columns[c].get(bi))
+                if self._track:
+                    pp.append(chunk.start + i)
+                    pb.append(bi)
         for c in self.out_probe_cols:
             collected[self._pname(c)].append(("vals", pvals[c]))
         for c in self.out_build_cols:
             collected[self._bname(c)].append(("vals", bvals[c]))
+        if self._track:
+            self._pair_p.append(np.asarray(pp, np.int64))
+            self._pair_b.append(np.asarray(pb, np.int64))
 
     def _host_join_all(self, collected: dict[str, list]) -> None:
         for chunk in self.probe.chunks():
@@ -344,3 +424,58 @@ def _concat_planes(ctype, src_col: Column, pieces: list[dict]) -> Column:
                 col._exact[off + pos] = d
             off += len(p["data"])
     return col
+
+
+def _col_gather(c: Column, idx: np.ndarray) -> Column:
+    idx = np.asarray(idx, dtype=np.int64)
+    nc = Column(type=c.type, data=c.data[idx], valid=c.valid[idx],
+                dictionary=c.dictionary)
+    if c.type is T.NUMERIC:
+        nc.num_exp = c.num_exp[idx]
+        nc.num_dscale = c.num_dscale[idx]
+        nc.recheck = c.recheck[idx]
+        if nc.recheck.any():
+            for newpos in np.flatnonzero(nc.recheck):
+                nc._exact[int(newpos)] = c._exact[int(idx[newpos])]
+    return nc
+
+
+def _col_null(like: Column, n: int) -> Column:
+    nc = Column(type=like.type, data=np.zeros(n, dtype=like.data.dtype),
+                valid=np.zeros(n, dtype=np.bool_), dictionary=like.dictionary)
+    if like.type is T.NUMERIC:
+        nc.num_exp = np.zeros(n, dtype=np.int32)
+        nc.num_dscale = np.zeros(n, dtype=np.int32)
+        nc.recheck = np.zeros(n, dtype=np.bool_)
+    return nc
+
+
+def _take_rows(t: Table, idx: np.ndarray) -> Table:
+    return Table.from_columns(t.name, {nm: _col_gather(c, idx)
+                                       for nm, c in t.columns.items()})
+
+
+def _concat_tables(parts: list[Table]) -> Table:
+    parts = [p for p in parts if p.nrows > 0] or parts[:1]
+    if len(parts) == 1:
+        return parts[0]
+    cols: dict[str, Column] = {}
+    for nm in parts[0].column_names:
+        cs = [p.columns[nm] for p in parts]
+        c0 = cs[0]
+        nc = Column(type=c0.type,
+                    data=np.concatenate([c.data for c in cs]),
+                    valid=np.concatenate([c.valid for c in cs]),
+                    dictionary=c0.dictionary)
+        if c0.type is T.NUMERIC:
+            nc.num_exp = np.concatenate([c.num_exp for c in cs])
+            nc.num_dscale = np.concatenate([c.num_dscale for c in cs])
+            nc.recheck = np.concatenate([c.recheck for c in cs])
+            off = 0
+            for c in cs:
+                if c.recheck is not None and c.recheck.any():
+                    for i, d in c._exact.items():
+                        nc._exact[off + int(i)] = d
+                off += len(c)
+        cols[nm] = nc
+    return Table.from_columns(parts[0].name, cols)

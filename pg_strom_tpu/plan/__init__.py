@@ -8,4 +8,4 @@ is no PostgreSQL optimizer to hook into.
 """
 
 from .binder import BindError  # noqa: F401
-from .planner import plan_select, PlannedQuery  # noqa: F401
+from .planner import plan_select, plan_query, PlannedQuery  # noqa: F401

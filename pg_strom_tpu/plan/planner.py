@@ -193,7 +193,7 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
     def add_ref(tr: ast.TableRef):
         if tr.subquery is not None:
             alias = tr.alias or f"subquery{len(rels)}"
-            sub = plan_select(tr.subquery, db)
+            sub = plan_query(tr.subquery, db)
             sub_plans[alias] = sub
             rels.append((alias, sub))
         else:
@@ -235,10 +235,18 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
     where = bind_expr(stmt.where, scope, allow_aggs=False) if stmt.where else None
     if where is not None and where.type is not T.BOOL:
         raise BindError("argument of WHERE must be type boolean")
-    on_conjs: list[Expr] = []
+    bound_ons: list[list[Expr]] = []
     for jc in stmt.joins:
-        if jc.on is not None:
-            on_conjs.extend(conjuncts(bind_expr(jc.on, scope, allow_aggs=False)))
+        bound_ons.append(conjuncts(bind_expr(jc.on, scope, allow_aggs=False))
+                         if jc.on is not None else [])
+    has_outer = any(jc.jointype in ("left", "right", "full")
+                    for jc in stmt.joins)
+    # Outer joins: ON conditions gate MATCHING (a failed ON still emits the
+    # NULL-extended row), so they must stay attached to their join — and no
+    # WHERE qual may be pushed below a join whose output can NULL-extend it.
+    # The pooled-conjunct fast path below is inner-join-only.
+    on_conjs: list[Expr] = ([] if has_outer
+                            else [c for cs in bound_ons for c in cs])
 
     group_exprs = [bind_expr(g, scope, allow_aggs=False) for g in stmt.group_by]
     items: list[tuple[str, Expr]] = []
@@ -285,20 +293,25 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
     per_rel: dict[str, list[Expr]] = {a: [] for a, _ in rels}
     join_equis: list[Expr] = []
     post_join: list[Expr] = []
-    for cj in all_conjs:
-        rs = rels_of(cj)
-        if len(rs) <= 1:
-            if rs:
-                per_rel[next(iter(rs))].append(cj)
+    if has_outer:
+        # correctness first: WHERE applies to the (NULL-extended) join
+        # result, so nothing is pushed below the chain
+        post_join = list(all_conjs)
+    else:
+        for cj in all_conjs:
+            rs = rels_of(cj)
+            if len(rs) <= 1:
+                if rs:
+                    per_rel[next(iter(rs))].append(cj)
+                else:
+                    post_join.append(cj)  # pseudo-constant qual
+            elif (len(rs) == 2 and isinstance(cj, FuncExpr)
+                  and cj.fname.startswith("=::")
+                  and isinstance(cj.args[0], ColumnRef)
+                  and isinstance(cj.args[1], ColumnRef)):
+                join_equis.append(cj)
             else:
-                post_join.append(cj)  # pseudo-constant qual
-        elif (len(rs) == 2 and isinstance(cj, FuncExpr)
-              and cj.fname.startswith("=::")
-              and isinstance(cj.args[0], ColumnRef)
-              and isinstance(cj.args[1], ColumnRef)):
-            join_equis.append(cj)
-        else:
-            post_join.append(cj)
+                post_join.append(cj)
 
     # ---- execution closure -------------------------------------------------
     plan_children: list[PlanNode] = []
@@ -313,17 +326,28 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
                                        group_exprs, items, having,
                                        order_specs, perfmon)
             if rows is not None:
+                if stmt.distinct:
+                    rows = _dedupe_rows(rows)
                 if stmt.offset:
                     rows = rows[stmt.offset:]
                 if stmt.limit is not None:
                     rows = rows[:stmt.limit]
                 return rows
-        current_alias_set = {rels[0][0]}
-        cur = tables[rels[0][0]]
-        cur_pred = and_all(per_rel[rels[0][0]])
-        pending_equis = list(join_equis)
+        if has_outer:
+            if len(stmt.frm) != 1:
+                raise SqlError("outer joins cannot mix with comma joins")
+            cur = _run_outer_chain(tables, rels, stmt.joins, bound_ons,
+                                   perfmon)
+            cur_pred = None
+            pending_equis = []
+            current_alias_set = {a for a, _ in rels}
+        else:
+            current_alias_set = {rels[0][0]}
+            cur = tables[rels[0][0]]
+            cur_pred = and_all(per_rel[rels[0][0]])
+            pending_equis = list(join_equis)
         # left-deep join chain in FROM order
-        for alias, _ in rels[1:]:
+        for alias, _ in (() if has_outer else rels[1:]):
             keys_l, keys_r = [], []
             rest = []
             for cj in pending_equis:
@@ -371,10 +395,14 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
                             order_specs, perfmon)
         else:
             limit_k = None
-            if stmt.limit is not None:
+            if stmt.limit is not None and not stmt.distinct:
+                # top-k pushdown is unsound under DISTINCT (k rows may
+                # collapse below k after dedup)
                 limit_k = stmt.limit + (stmt.offset or 0)
             rows = _run_plain(cur, cur_pred, items, order_specs, perfmon,
                               limit_k)
+        if stmt.distinct:
+            rows = _dedupe_rows(rows)   # stable: ORDER BY order preserved
         if stmt.offset:
             rows = rows[stmt.offset:]
         if stmt.limit is not None:
@@ -388,6 +416,112 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
     out_names = [nm for nm, _ in items]
     out_types = [e.type for _, e in items]
     return PlannedQuery(out_names, out_types, run, root, perfmon)
+
+
+def _run_outer_chain(tables, rels, joins, bound_ons, perfmon) -> Table:
+    """FROM t0 {LEFT|RIGHT|FULL|INNER} JOIN tN ON ... processed in order.
+
+    ON-clause split per join (PostgreSQL semantics):
+      equi pairs (cur = new)     -> hash join keys
+      nullable-side-only quals   -> residual match condition (a failed ON
+                                    still emits the NULL-extended row)
+      preserved-build-side quals -> pushed as build_pred (gate matching only)
+      mixed / non-equi           -> residual
+    RIGHT is executed as LEFT with probe/build swapped."""
+    alias0 = rels[0][0]
+    cur = tables[alias0]
+    cur_aliases = {alias0}
+    for jc, ons in zip(joins, bound_ons):
+        alias = jc.table.alias or jc.table.name
+        right = tables[alias]
+        jt = jc.jointype
+        if jt == "cross":
+            raise SqlError("CROSS JOIN inside an outer-join chain is not supported")
+        equis_cur: list[Expr] = []
+        equis_new: list[Expr] = []
+        cur_only: list[Expr] = []
+        new_only: list[Expr] = []
+        residual: list[Expr] = []
+        for cj in ons:
+            rs = rels_of(cj)
+            if (len(rs) == 2 and isinstance(cj, FuncExpr)
+                    and cj.fname.startswith("=::")
+                    and isinstance(cj.args[0], ColumnRef)
+                    and isinstance(cj.args[1], ColumnRef)):
+                a0 = cj.args[0].name.split(".", 1)[0]
+                a1 = cj.args[1].name.split(".", 1)[0]
+                if a0 in cur_aliases and a1 == alias:
+                    equis_cur.append(cj.args[0])
+                    equis_new.append(cj.args[1])
+                    continue
+                if a1 in cur_aliases and a0 == alias:
+                    equis_cur.append(cj.args[1])
+                    equis_new.append(cj.args[0])
+                    continue
+            if rs and rs <= cur_aliases:
+                cur_only.append(cj)
+            elif rs and rs <= {alias}:
+                new_only.append(cj)
+            else:
+                residual.append(cj)
+        if not equis_cur:
+            raise SqlError(f"{jt.upper()} JOIN with {alias} requires an "
+                           "equality join condition")
+        probe_pred = build_pred = None
+        if jt == "right":
+            probe, build = right, cur
+            pk, bk = equis_new, equis_cur
+            build_pred = and_all(cur_only)
+            residual += new_only
+            jt_exec = "left"
+        elif jt == "left":
+            probe, build = cur, right
+            pk, bk = equis_cur, equis_new
+            build_pred = and_all(new_only)
+            residual += cur_only
+            jt_exec = "left"
+        elif jt == "full":
+            probe, build = cur, right
+            pk, bk = equis_cur, equis_new
+            residual += cur_only + new_only
+            jt_exec = "full"
+        else:  # inner JOIN ... ON written inside an outer chain
+            probe, build = cur, right
+            pk, bk = equis_cur, equis_new
+            probe_pred = and_all(cur_only)
+            build_pred = and_all(new_only)
+            jt_exec = "inner"
+        lp = {n: i for i, n in enumerate(probe.column_names)}
+        rp = {n: i for i, n in enumerate(build.column_names)}
+        jx = HashJoinExecutor(
+            probe, build,
+            [bind_columns(k, lp) for k in pk],
+            [bind_columns(k, rp) for k in bk],
+            out_probe_cols=probe.column_names,
+            out_build_cols=build.column_names,
+            probe_pred=(bind_columns(probe_pred, lp)
+                        if probe_pred is not None else None),
+            build_pred=(bind_columns(build_pred, rp)
+                        if build_pred is not None else None),
+            probe_alias=None, build_alias=None,
+            jointype=jt_exec,
+            residual=and_all(residual),   # executor binds to joined layout
+            perfmon=perfmon)
+        cur = jx.run()
+        cur_aliases.add(alias)
+    return cur
+
+
+def _dedupe_rows(rows: list[tuple]) -> list[tuple]:
+    from ..exec.hostexec import canon_group_key
+    seen: set = set()
+    out: list[tuple] = []
+    for r in rows:
+        k = tuple(canon_group_key(v) for v in r)
+        if k not in seen:
+            seen.add(k)
+            out.append(r)
+    return out
 
 
 def _default_name(a, e: Expr) -> str:
@@ -447,7 +581,8 @@ def _try_fused_join_agg(tables, rels, per_rel, join_equis, group_exprs,
         d, fam = lookup_agg(ag.aggname, tuple(a.type for a in ag.args),
                             star=ag.star)
         insts.append(AggInstance(aggname=ag.aggname, family=fam,
-                                 slots=d.slots, args=tuple(ag.args)))
+                                 slots=d.slots, args=tuple(ag.args),
+                                 distinct=ag.distinct))
     from ..exec.joinagg_exec import JoinPreAggExecutor
     ex = JoinPreAggExecutor(
         tables[a0], tables[a1], keys_l, keys_r, group_exprs, insts,
@@ -507,7 +642,8 @@ def _run_agg(cur: Table, pred, group_exprs, items, having, order_specs,
                             star=ag.star)
         insts.append(AggInstance(
             aggname=ag.aggname, family=fam, slots=d.slots,
-            args=tuple(bind_columns(a, layout) for a in ag.args)))
+            args=tuple(bind_columns(a, layout) for a in ag.args),
+            distinct=ag.distinct))
     bound_groups = [bind_columns(g, layout) for g in group_exprs]
     bpred = bind_columns(pred, layout) if pred is not None else None
     ex = PreAggExecutor(cur, bpred, bound_groups, insts, perfmon=perfmon)
@@ -704,7 +840,8 @@ def _plan_table_less(stmt, db, perfmon) -> PlannedQuery:
             d, fam = lookup_agg(ag.aggname, tuple(a.type for a in ag.args),
                                 star=ag.star)
             insts.append(AggInstance(aggname=ag.aggname, family=fam,
-                                     slots=d.slots, args=tuple(ag.args)))
+                                     slots=d.slots, args=tuple(ag.args),
+                                     distinct=ag.distinct))
         states = [new_state(i2) for i2 in insts]
         for inst, s in zip(insts, states):
             args = [eval_expr_cpu(a, _norow) for a in inst.args]
@@ -772,3 +909,79 @@ def _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
     if stmt.limit is not None:
         node = PlanNode("Limit", {"Count": str(stmt.limit)}, [node])
     return node
+
+
+# ---------------------------------------------------------------------------
+# set operations (UNION / UNION ALL)
+# ---------------------------------------------------------------------------
+
+def plan_query(stmt, db: Database) -> PlannedQuery:
+    """Plan any query expression: SELECT or a UNION chain."""
+    if isinstance(stmt, ast.SetOpStmt):
+        return plan_setop(stmt, db)
+    return plan_select(stmt, db)
+
+
+def plan_setop(stmt: "ast.SetOpStmt", db: Database) -> PlannedQuery:
+    lpq = plan_query(stmt.left, db)
+    rpq = plan_query(stmt.right, db)
+    if len(lpq.out_types) != len(rpq.out_types):
+        raise SqlError("each UNION query must have the same number of columns")
+    for lt, rt in zip(lpq.out_types, rpq.out_types):
+        if lt is not rt:
+            raise SqlError(f"UNION types {lt.value} and {rt.value} "
+                           "cannot be matched")
+    out_names, out_types = list(lpq.out_names), list(lpq.out_types)
+    perfmon = Perfmon()
+
+    def run() -> list[tuple]:
+        rows = list(lpq.execute()) + list(rpq.execute())
+        if not stmt.all:
+            rows = _dedupe_rows(rows)
+        if stmt.order_by:
+            rows = _sort_rows_by_output(rows, stmt.order_by, out_names)
+        if stmt.offset:
+            rows = rows[stmt.offset:]
+        if stmt.limit is not None:
+            rows = rows[:stmt.limit]
+        return rows
+
+    root = PlanNode("Unique" if not stmt.all else "Append",
+                    {"op": "UNION" + (" ALL" if stmt.all else "")},
+                    [lpq.root, rpq.root])
+    if not stmt.all:
+        root.children = [PlanNode("Append", {}, [lpq.root, rpq.root])]
+    return PlannedQuery(out_names, out_types, run, root, perfmon)
+
+
+def _sort_rows_by_output(rows, order_by, out_names) -> list[tuple]:
+    """ORDER BY over a set-op result: output names / ordinals only (PG
+    requires ORDER BY of a UNION to reference output columns)."""
+    specs = []
+    for oi in order_by:
+        if isinstance(oi.expr, ast.ALiteral) and isinstance(oi.expr.value, int) \
+                and not oi.expr.is_string:
+            i = oi.expr.value - 1
+        elif isinstance(oi.expr, ast.AName) and len(oi.expr.parts) == 1 \
+                and oi.expr.parts[0] in out_names:
+            i = out_names.index(oi.expr.parts[0])
+        else:
+            raise SqlError("ORDER BY on a UNION must name an output column")
+        specs.append((i, oi.descending, oi.nulls_first))
+
+    def cmp(a, b):
+        for i, desc, nf in specs:
+            va, vb = a[i], b[i]
+            if va is None and vb is None:
+                continue
+            nulls_first = nf if nf is not None else desc  # PG: NULLs sort high
+            if va is None:
+                return -1 if nulls_first else 1
+            if vb is None:
+                return 1 if nulls_first else -1
+            c = cmp_values(va, vb)
+            if c:
+                return -c if desc else c
+        return 0
+
+    return sorted(rows, key=functools.cmp_to_key(cmp))

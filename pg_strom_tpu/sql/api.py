@@ -13,7 +13,7 @@ from typing import Any, Optional
 
 from ..config import config, set_config
 from ..datastore import Database
-from ..plan.planner import plan_select, PlannedQuery
+from ..plan.planner import plan_query, plan_select, PlannedQuery
 from ..sql import parser as ast
 from ..utils.pgformat import value_out
 
@@ -63,7 +63,7 @@ def execute(sql: str, db: Database) -> Result:
         _apply_set(stmt)
         return Result(columns=[], rows=[], types=[], command="SET")
     if isinstance(stmt, ast.ExplainStmt):
-        pq = plan_select(stmt.query, db)
+        pq = plan_query(stmt.query, db)
         text = pq.explain(verbose=stmt.verbose)
         from ..sqltypes import T
         if stmt.analyze:
@@ -82,7 +82,7 @@ def execute(sql: str, db: Database) -> Result:
         return Result(columns=["QUERY PLAN"],
                       rows=[(line,) for line in text.splitlines()],
                       types=[T.TEXT], command="EXPLAIN")
-    pq = plan_select(stmt, db)
+    pq = plan_query(stmt, db)
     rows = pq.execute()
     return Result(columns=pq.out_names, rows=rows, types=pq.out_types)
 
@@ -90,8 +90,8 @@ def execute(sql: str, db: Database) -> Result:
 def explain(sql: str, db: Database, verbose: bool = False) -> str:
     stmt = ast.parse(sql)
     if isinstance(stmt, ast.ExplainStmt):
-        return plan_select(stmt.query, db).explain(verbose=stmt.verbose or verbose)
-    return plan_select(stmt, db).explain(verbose=verbose)
+        return plan_query(stmt.query, db).explain(verbose=stmt.verbose or verbose)
+    return plan_query(stmt, db).explain(verbose=verbose)
 
 
 def _apply_set(stmt: ast.SetStmt) -> None:

@@ -164,7 +164,7 @@ class TableRef:
 
 @dataclasses.dataclass
 class JoinClause:
-    jointype: str                   # 'inner' | 'cross' (round 1)
+    jointype: str                   # 'inner' | 'cross' | 'left' | 'right' | 'full'
     table: TableRef
     on: Optional[Any]
 
@@ -187,6 +187,19 @@ class SelectStmt:
     order_by: list[OrderItem]
     limit: Optional[int]
     offset: Optional[int]
+    distinct: bool = False
+
+
+@dataclasses.dataclass
+class SetOpStmt:
+    """UNION [ALL] chain; ORDER BY / LIMIT bind to the whole set op."""
+    op: str                         # 'union'
+    all: bool
+    left: Any                       # SelectStmt | SetOpStmt
+    right: Any                      # SelectStmt
+    order_by: list = dataclasses.field(default_factory=list)
+    limit: Optional[int] = None
+    offset: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -288,8 +301,38 @@ class Parser:
 
     # -- select --------------------------------------------------------------
 
-    def parse_select(self) -> SelectStmt:
+    def parse_select(self):
+        """Full query expression: select-core (UNION [ALL] select-core)*
+        with ORDER BY / LIMIT / OFFSET binding to the whole chain."""
+        node = self._select_core()
+        while self.accept_kw("union"):
+            all_ = bool(self.accept_kw("all"))
+            self.accept_kw("distinct")       # UNION DISTINCT == UNION
+            rhs = self._select_core()
+            node = SetOpStmt("union", all_, node, rhs)
+        order_by: list[OrderItem] = []
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            order_by.append(self._order_item())
+            while self.accept_op(","):
+                order_by.append(self._order_item())
+        limit = offset = None
+        if self.accept_kw("limit"):
+            limit = int(self.next().value)
+        if self.accept_kw("offset"):
+            offset = int(self.next().value)
+        node.order_by = order_by
+        node.limit = limit
+        node.offset = offset
+        return node
+
+    def _select_core(self) -> SelectStmt:
         self.expect_kw("select")
+        distinct = False
+        if self.accept_kw("distinct"):
+            distinct = True
+        else:
+            self.accept_kw("all")
         items = [self._select_item()]
         while self.accept_op(","):
             items.append(self._select_item())
@@ -311,8 +354,12 @@ class Parser:
                 elif self.accept_kw("cross"):
                     self.expect_kw("join")
                     jt = "cross"
-                elif self.peek().kind == "kw" and self.peek().value in ("left", "right", "full"):
-                    raise ParseError("outer joins not supported yet")
+                else:
+                    ojt = self.accept_kw("left", "right", "full")
+                    if ojt:
+                        self.accept_kw("outer")
+                        self.expect_kw("join")
+                        jt = ojt
                 if jt is None:
                     break
                 tr = self._table_ref()
@@ -330,19 +377,8 @@ class Parser:
             while self.accept_op(","):
                 group_by.append(self.parse_expr())
         having = self.parse_expr() if self.accept_kw("having") else None
-        order_by: list[OrderItem] = []
-        if self.accept_kw("order"):
-            self.expect_kw("by")
-            order_by.append(self._order_item())
-            while self.accept_op(","):
-                order_by.append(self._order_item())
-        limit = offset = None
-        if self.accept_kw("limit"):
-            limit = int(self.next().value)
-        if self.accept_kw("offset"):
-            offset = int(self.next().value)
         return SelectStmt(items, frm, joins, where, group_by, having,
-                          order_by, limit, offset)
+                          [], None, None, distinct=distinct)
 
     def _select_item(self) -> SelectItem:
         t = self.peek()

@@ -1,0 +1,149 @@
+"""Outer joins, DISTINCT, UNION, and DISTINCT aggregates.
+
+The reference accelerates only inner equi-joins and plain aggregates
+(gpuhashjoin.c, gpupreagg.c) and leaves the rest to PostgreSQL; here the
+engine IS the database, so these shapes are first-class.  Semantics are
+asserted against hand-derived PostgreSQL results.
+"""
+
+import numpy as np
+import pytest
+
+from pg_strom_tpu import T, Table, column_from_values
+from pg_strom_tpu.sql import execute
+from pg_strom_tpu.datastore import Database
+from pg_strom_tpu.config import override
+from pg_strom_tpu.errors import SqlError
+
+
+@pytest.fixture(scope="module")
+def db():
+    db = Database()
+    db.create(Table.from_columns("a", {
+        "k": column_from_values(T.INT4, [1, 2, 3, 4, None]),
+        "v": column_from_values(T.TEXT, ["one", "two", "three", "four", "nul"]),
+    }))
+    db.create(Table.from_columns("b", {
+        "k": column_from_values(T.INT4, [2, 3, 3, 5]),
+        "w": column_from_values(T.FLOAT8, [2.0, 3.0, 3.5, 5.0]),
+    }))
+    rng = np.random.default_rng(42)
+    n = 3000
+    db.create(Table.from_columns("big", {
+        "id": column_from_values(T.INT4, list(range(n))),
+        "k": column_from_values(T.INT4, list(rng.integers(0, 40, n))),
+        "x": column_from_values(T.FLOAT4, list(rng.random(n).astype(float))),
+    }))
+    db.create(Table.from_columns("dim", {
+        "k": column_from_values(T.INT4, list(range(0, 50, 2))),  # evens only
+        "nm": column_from_values(T.TEXT, [f"d{i}" for i in range(0, 50, 2)]),
+    }))
+    return db
+
+
+class TestOuterJoins:
+    def test_left_basic(self, db):
+        r = execute("select a.k, b.w from a left join b on a.k = b.k "
+                    "order by a.k nulls last, b.w", db).rows
+        assert r == [(1, None), (2, 2.0), (3, 3.0), (3, 3.5), (4, None),
+                     (None, None)]
+
+    def test_right_basic(self, db):
+        r = execute("select a.k, b.k, b.w from a right join b on a.k = b.k "
+                    "order by b.k, b.w", db).rows
+        assert r == [(2, 2, 2.0), (3, 3, 3.0), (3, 3, 3.5), (None, 5, 5.0)]
+
+    def test_full_basic(self, db):
+        r = execute("select a.k, b.k from a full join b on a.k = b.k", db).rows
+        assert len(r) == 7
+        assert (1, None) in r and (None, 5) in r and (None, None) in r
+        assert r.count((3, 3)) == 2
+
+    def test_left_outer_keyword(self, db):
+        r = execute("select count(*) from a left outer join b on a.k = b.k",
+                    db).rows
+        assert r == [(6,)]
+
+    def test_residual_on_qual(self, db):
+        # probe-side ON qual gates MATCHING, not probe survival
+        r = execute("select a.k, b.w from a left join b on a.k = b.k "
+                    "and a.k >= 3 order by a.k nulls last, b.w", db).rows
+        assert r == [(1, None), (2, None), (3, 3.0), (3, 3.5), (4, None),
+                     (None, None)]
+
+    def test_where_after_outer(self, db):
+        # anti-join pattern: WHERE applies to the NULL-extended result
+        r = execute("select a.k from a left join b on a.k = b.k "
+                    "where b.w is null order by a.k nulls last", db).rows
+        assert r == [(1,), (4,), (None,)]
+
+    def test_left_then_aggregate(self, db):
+        r = execute("select count(*), count(b.w), sum(b.w) "
+                    "from a left join b on a.k = b.k", db).rows
+        assert r == [(6, 3, 8.5)]
+
+    def test_left_big_device_path(self, db):
+        # the probe/inner machinery runs on the device tier; NULL extension
+        # must agree with a host-computed reference
+        with override(chunk_rows=1024):
+            r = execute("select count(*), count(dim.nm) from big "
+                        "left join dim on big.k = dim.k", db).rows
+        with override(enabled=False):
+            r2 = execute("select count(*), count(dim.nm) from big "
+                         "left join dim on big.k = dim.k", db).rows
+        assert r == r2
+        assert r[0][0] == 3000          # every probe row preserved
+        assert 0 < r[0][1] < 3000       # odds unmatched
+
+    def test_outer_requires_equi(self, db):
+        with pytest.raises(SqlError):
+            execute("select * from a left join b on a.k < b.k", db)
+
+
+class TestDistinct:
+    def test_select_distinct(self, db):
+        r = execute("select distinct k from b order by k", db).rows
+        assert r == [(2,), (3,), (5,)]
+
+    def test_distinct_multi_col(self, db):
+        r = execute("select distinct k, k + 1 from b order by k", db).rows
+        assert r == [(2, 3), (3, 4), (5, 6)]
+
+    def test_distinct_with_limit(self, db):
+        r = execute("select distinct k from b order by k limit 2", db).rows
+        assert r == [(2,), (3,)]
+
+    def test_count_distinct(self, db):
+        r = execute("select count(distinct k), count(k) from b", db).rows
+        assert r == [(3, 4)]
+
+    def test_sum_avg_distinct_grouped(self, db):
+        r = execute("select k, sum(distinct w) from b group by k order by k",
+                    db).rows
+        assert r == [(2, 2.0), (3, 6.5), (5, 5.0)]
+
+
+class TestUnion:
+    def test_union_dedupes(self, db):
+        r = execute("select k from a where k is not null "
+                    "union select k from b order by k", db).rows
+        assert r == [(1,), (2,), (3,), (4,), (5,)]
+
+    def test_union_all(self, db):
+        r = execute("select k from b union all select k from b "
+                    "order by k limit 3", db).rows
+        assert r == [(2,), (2,), (3,)]
+
+    def test_union_column_count_mismatch(self, db):
+        with pytest.raises(SqlError):
+            execute("select k, w from b union select k from b", db)
+
+    def test_union_order_desc_nulls(self, db):
+        r = execute("select k from a union select k from b "
+                    "order by k desc", db).rows
+        assert r == [(None,), (5,), (4,), (3,), (2,), (1,)]
+
+    def test_union_in_subquery(self, db):
+        r = execute("select count(*) from (select k from a union all "
+                    "select k from b) u", db).rows
+        assert r == [(9,)]
