@@ -79,13 +79,15 @@ def run_filter():
 
 
 def run_join():
-    """Hash join: 40k-row build side (testdb dim scale), 4M-row probe."""
+    """Hash join probe: 64k-row unique-PK build (testdb dim scale), 16M-row
+    probe — the executor's direct-address (dense) path for this shape."""
     import jax
     import pg_strom_tpu  # noqa: F401
     from pg_strom_tpu import T
     from pg_strom_tpu.expr.ir import ColumnRef
     from pg_strom_tpu.expr.lower_jax import ColMeta
-    from pg_strom_tpu.ops.hashjoin import build_hash_table, build_probe_fn
+    from pg_strom_tpu.ops.hashjoin import (
+        build_hash_table, build_probe_dense_fn, dense_cap_for)
 
     NB, NP_ = 1 << 16, 1 << 24
     bschema = [ColMeta("k", T.INT4)]
@@ -95,16 +97,15 @@ def run_join():
     bcols = ((jax.device_put(np.arange(NB, dtype=np.int32)),
               jax.device_put(np.ones(NB, np.bool_))),)
     btab = jax.jit(build_hash_table(bschema, [bk]))(bcols, np.int32(NB))
-    nbuckets = int(btab["bucket_start"].shape[0] - 1)
-    probe = jax.jit(build_probe_fn(pschema, [bk], (T.INT4,), nbuckets,
-                                   max_chain=4, out_cap=NP_))
-    ht = {k: btab[k] for k in ("bucket_start", "order", "key_planes")}
+    assert bool(btab["dense_ok"])
+    probe = jax.jit(build_probe_dense_fn(pschema, [bk], dense_cap_for(NB)))
+    ht = {k: btab[k] for k in ("dense", "kmin")}
     pc = []
     for s in range(3):
         pc.append(((jax.device_put(rng.integers(0, NB, NP_).astype(np.int32)),
                     jax.device_put(np.ones(NP_, np.bool_))),))
     c, dt = bench_call(lambda i: probe(ht, pc[i], np.int32(NP_)), 3)
-    bpr = 4 + 1 + 4 + 4              # probe key+valid in, pair out
+    bpr = 4 + 1 + 4 + 1              # probe key+valid in, build_row+match out
     return NP_, c, dt, bpr
 
 

@@ -24,7 +24,10 @@ from ..expr.ir import Expr, ColumnRef
 from ..expr.catalog import device_expression_supported
 from ..expr.eval_cpu import eval_expr_cpu
 from ..expr.lower_jax import schema_from_chunk_columns, planes_of_column
-from ..ops.hashjoin import build_hash_table, build_probe_fn, _next_pow2
+from ..ops.hashjoin import (
+    build_hash_table, build_probe_fn, build_probe_dense_fn, dense_cap_for,
+    _next_pow2,
+)
 from .devcache import TCACHE, CachedChunk, chunk_capacity, planes_on_device, fetch_host
 from .hostexec import canon_group_key
 from ..utils.perfmon import Perfmon
@@ -52,6 +55,16 @@ def _split_pairs(fn):
     def g(ht, cols, nrows):
         probe_idx, build_row, nout, err = fn(ht, cols, nrows)
         return (tuple(jnp.array_split(probe_idx, _D2H_PIECES)),
+                tuple(jnp.array_split(build_row, _D2H_PIECES)), nout, err)
+    return g
+
+
+def _split_dense(fn):
+    import jax.numpy as jnp
+
+    def g(ht, cols, nrows):
+        matched, build_row, nout, err = fn(ht, cols, nrows)
+        return (tuple(jnp.array_split(matched, _D2H_PIECES)),
                 tuple(jnp.array_split(build_row, _D2H_PIECES)), nout, err)
     return g
 
@@ -194,6 +207,21 @@ class HashJoinExecutor:
                 probe_fns[cap_now] = fn
             return fn
 
+        # single-int-key unique build => direct-address probe (one gather,
+        # row-aligned output, no regrow) — tools/bench_gather.py measured the
+        # chained probe at ~16 random-access passes vs 1 for dense
+        use_dense = bool(ht["dense_ok"])
+        dense_fn = None
+        if use_dense:
+            dense_fn = _cached_jit(
+                ("probe_dense",
+                 tuple((m.name, m.type, m.dict_id) for m in pschema),
+                 tuple(self.probe_keys), self.probe_pred,
+                 dense_cap_for(bcap), pcap),
+                lambda: _split_dense(build_probe_dense_fn(
+                    pschema, self.probe_keys, dense_cap_for(bcap),
+                    self.probe_pred)))
+
         # dispatch all probe chunks, then read results in batched transfers
         # (one round trip per drain instead of 4 per chunk); regrows re-run
         # individually (rare).  Streamed chunks drain every max_async_chunks
@@ -206,7 +234,12 @@ class HashJoinExecutor:
                     self._host_join_chunk(cc.host_chunk(self.probe), collected)
                 continue
             with pm.timer("dispatch"):
-                res = get_probe_fn(out_cap)(ht, cc.planes, np.int32(cc.nrows))
+                if use_dense:
+                    res = ("dense", dense_fn(ht, cc.planes, np.int32(cc.nrows)))
+                else:
+                    res = ("chain",
+                           get_probe_fn(out_cap)(ht, cc.planes,
+                                                 np.int32(cc.nrows)))
             pending.append((cc, res))
             if not planes_on_device(cc.planes):
                 streamed += 1
@@ -222,7 +255,23 @@ class HashJoinExecutor:
         pm = self.perfmon
         with pm.timer("device_wait"):
             results = fetch_host([r for _, r in pending])
-        for (cc, _), rh in zip(pending, results):
+        for (cc, _), (kind, rh) in zip(pending, results):
+            if kind == "dense":
+                matched_pieces, br_pieces, nout, err = rh
+                if int(err) != 0:
+                    pm.bump("recheck_chunks")
+                    with pm.timer("cpu_fallback"):
+                        self._host_join_chunk(cc.host_chunk(self.probe),
+                                              collected)
+                    continue
+                with pm.timer("materialize"):
+                    matched = np.concatenate(matched_pieces)
+                    build_rows = np.concatenate(br_pieces)
+                    probe_idx = np.flatnonzero(matched).astype(np.int32)
+                    self._materialize(cc.start, probe_idx,
+                                      build_rows[probe_idx], collected)
+                pm.bump("device_chunks")
+                continue
             pi_pieces, br_pieces, nout, err = rh
             cap_now = out_cap
             while int(err) == 0 and int(nout) > cap_now:

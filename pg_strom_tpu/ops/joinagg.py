@@ -22,9 +22,9 @@ from typing import Callable, Optional, Sequence
 import jax.numpy as jnp
 
 from ..sqltypes import T
-from ..expr.ir import Expr
+from ..expr.ir import Expr, ColumnRef
 from ..expr.lower_jax import ColMeta
-from .hashjoin import build_probe_fn
+from .hashjoin import build_probe_fn, build_probe_dense_fn
 from .preagg import AggInstance, build_preagg_fn
 
 
@@ -38,13 +38,52 @@ def build_join_preagg_fn(pschema: Sequence[ColMeta],
                          build_slots: Sequence[tuple[int, tuple]],
                          group_exprs: Sequence[Expr],
                          aggs: Sequence[AggInstance],
-                         G: int, strategy: str = "scatter") -> Callable:
+                         G: int, strategy: str = "scatter",
+                         dense: bool = False, dense_cap: int = 0) -> Callable:
     """Build f(ht, pcols, bcols, nrows, salt) -> preagg pytree + 'nout'.
 
     jschema describes the joined (projected) layout the group/agg exprs are
     bound to; each jschema slot is filled by gathering either a probe column
     (probe_slots[i] = probe layout index, or -1) or a build column
-    (build_slots entries are (jslot, bcol_index))."""
+    (build_slots entries are (jslot, bcol_index)).
+
+    dense=True (direct-address unique build, hashjoin.build_probe_dense_fn):
+    joined lanes stay ROW-ALIGNED with the probe chunk — probe columns pass
+    through untouched, build columns gather once at build_row, and the match
+    mask feeds the aggregation as a synthetic bool filter column.  No pair
+    materialization, no output capacity, no regrow."""
+    probe_slots = list(probe_slots)
+    build_map = dict(build_slots)
+
+    if dense:
+        dprobe_fn = build_probe_dense_fn(pschema, list(probe_keys),
+                                         dense_cap, probe_pred)
+        jschema_eff = list(jschema) + [ColMeta("__match__", T.BOOL)]
+        match_pred = ColumnRef(type=T.BOOL, name="__match__",
+                               index=len(jschema))
+        pre_fn = build_preagg_fn(jschema_eff, list(group_exprs), list(aggs),
+                                 match_pred, G, strategy)
+
+        def f_dense(ht: dict, pcols: tuple, bcols: tuple, nrows, salt):
+            matched, build_row, nout, jerr = dprobe_fn(ht, pcols, nrows)
+            jcols = []
+            for jslot in range(len(jschema)):
+                if probe_slots[jslot] >= 0:
+                    g = list(pcols[probe_slots[jslot]])
+                    g[1] = g[1] & matched
+                else:
+                    g = [p[build_row] for p in bcols[build_map[jslot]]]
+                    g[1] = g[1] & matched
+                jcols.append(tuple(g))
+            ones = jnp.ones_like(matched)
+            jcols.append((matched, ones))          # __match__ filter lane
+            out = pre_fn(tuple(jcols), nrows, salt)
+            out["err"] = jnp.maximum(out["err"], jerr)
+            out["nout"] = jnp.int32(0)             # row-aligned: no capacity
+            return out
+
+        return f_dense
+
     probe_fn = build_probe_fn(pschema, list(probe_keys), key_types, nbuckets,
                               max_chain, out_cap, probe_pred)
     # count(*)-only queries reference no columns; the preagg still needs a
@@ -52,8 +91,6 @@ def build_join_preagg_fn(pschema: Sequence[ColMeta],
     jschema_eff = list(jschema) or [ColMeta("__rows__", T.BOOL)]
     pre_fn = build_preagg_fn(jschema_eff, list(group_exprs), list(aggs), None,
                              G, strategy)
-    probe_slots = list(probe_slots)
-    build_map = dict(build_slots)
 
     def f(ht: dict, pcols: tuple, bcols: tuple, nrows, salt):
         probe_idx, build_row, nout, jerr = probe_fn(ht, pcols, nrows)
