@@ -39,7 +39,10 @@ class _Config:
     debug_force_offload: bool = False     # force TPU plan regardless of cost (test determinism)
 
     # --- sizing -------------------------------------------------------------
-    chunk_rows: int = 1 << 20             # rows per streamed columnar chunk (15MB analog)
+    # rows per streamed columnar chunk (15MB analog).  4M: per-launch sync
+    # through the tunnel costs ~20ms regardless of size, so bigger chunks
+    # amortize it; device-resident (tcache) planes make re-dispatch free
+    chunk_rows: int = 1 << 22
     min_async_chunks: int = 2             # pipeline low-water mark (main.c:142-151)
     max_async_chunks: int = 3             # pipeline high-water mark (main.c:152-161)
     max_groups_device: int = 1 << 12      # per-chunk device group-table slots (preagg)

@@ -567,7 +567,8 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
             # faster than scatter at 4-16M rows/chunk.  Non-additive slots
             # (min/max, numeric, f8) scatter over the same buckets.
             from .preagg_mxu import (
-                build_mxu_columns, mxu_reduce, _kind_mxu_ok,
+                build_mxu_columns, mxu_reduce, mxu_recipes, mxu_shadow_cols,
+                _kind_mxu_ok,
             )
             hs = [hash_column32(k.t, k.data, k.valid,
                                 k.exp if k.t is T.NUMERIC else None,
@@ -577,7 +578,12 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
             seg_id = jnp.where(mask, bucket, jnp.int32(G))
             seg_id, mask = jax.lax.optimization_barrier((seg_id, mask))
             V, f4exps = build_mxu_columns(keys, aggs, arg_vals, mask, n)
-            sums, fsums = mxu_reduce(V, seg_id, G, n)
+            # only shadow columns pay the (TPU-emulated) f64 reduction
+            _, slotr_static, _ = mxu_recipes(
+                [g.type for g in group_exprs], aggs,
+                [tuple(a.type for a in inst.args) for inst in aggs])
+            sums, fsums = mxu_reduce(V, seg_id, G, n,
+                                     fsum_cols=mxu_shadow_cols(slotr_static))
             row_idx = jnp.arange(n, dtype=jnp.int64)
             slot_out = []
             for inst, vs in zip(aggs, arg_vals):

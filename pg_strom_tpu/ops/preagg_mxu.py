@@ -55,7 +55,9 @@ SEG_ROWS = 1 << 16
 F4_LIMBS = 9
 F4_WINDOW = 8 * F4_LIMBS         # 72-bit fixed-point window for float4 sums
 
-_MXU_KINDS = {"nrows", "count", "sum_i", "sum_f", "sumsq_i"}
+_MXU_KINDS = {"nrows", "count", "sum_i", "sum_f", "sumsq_i", "sumsq_f",
+              "sum_x", "sum_y", "sum_xy", "sumsq_x", "sumsq_y"}
+_F64_KINDS = {"sumsq_f", "sum_x", "sum_y", "sum_xy", "sumsq_x", "sumsq_y"}
 _KEY_OK_TYPES = {T.BOOL, T.INT2, T.INT4, T.DATE, T.TEXT, T.BPCHAR}
 
 
@@ -64,11 +66,27 @@ def mxu_keys_supported(key_types: Sequence[T]) -> bool:
     return bool(key_types) and all(t in _KEY_OK_TYPES for t in key_types)
 
 
+# f64 double-float blocks widen kernels by ~37 columns per slot.  On TPU
+# that trades a ~100ms emulated-f64 scatter pass for ~1ms of extra matmul;
+# on the CPU backend (tests / no-TPU fallback) scatters are already cheap
+# and the wider programs trigger a latent XLA-CPU compiler segfault — so
+# f64 kinds ride the MXU only off-CPU.  Tests force them on explicitly.
+F64_BLOCKS_ON_CPU = False
+
+
+def _f64_blocks_enabled() -> bool:
+    return F64_BLOCKS_ON_CPU or jax.default_backend() != "cpu"
+
+
 def _kind_mxu_ok(kind: str, argtype: Optional[T]) -> bool:
     if kind not in _MXU_KINDS:
         return False
     if kind == "sum_f":
-        return argtype is T.FLOAT4
+        if argtype is T.FLOAT4:
+            return True
+        return argtype is T.FLOAT8 and _f64_blocks_enabled()
+    if kind in _F64_KINDS:
+        return _f64_blocks_enabled()
     if kind == "sumsq_i":
         return argtype in (T.INT2, T.INT4)
     return True
@@ -88,6 +106,11 @@ class _SlotRecipe:
     shadow: int = -1
     bias_bits: int = 0
     f4_slot_no: int = -1         # index into the kernel's f4_exps vector
+    # f64 (double-float) variant: limbs/neg_limbs hold the f32 HEAD, these
+    # hold the residual TAIL (q - f32(q)), each with its own exponent slot
+    lo_limbs: list[int] = dataclasses.field(default_factory=list)
+    lo_neg_limbs: list[int] = dataclasses.field(default_factory=list)
+    lo_slot_no: int = -1
 
 
 @dataclasses.dataclass
@@ -129,7 +152,7 @@ def mxu_recipes(key_types: Sequence[T], aggs, arg_types: Sequence[tuple]):
             elif kind == "sumsq_i":
                 d[kind] = _SlotRecipe(kind, list(range(c, c + 8)))
                 c += 8
-            elif kind == "sum_f":
+            elif kind == "sum_f" and a_t is T.FLOAT4:
                 d[kind] = _SlotRecipe(kind, list(range(c, c + F4_LIMBS)),
                                       neg_limbs=list(range(c + F4_LIMBS,
                                                            c + 2 * F4_LIMBS)),
@@ -137,6 +160,20 @@ def mxu_recipes(key_types: Sequence[T], aggs, arg_types: Sequence[tuple]):
                                       f4_slot_no=nf4)
                 nf4 += 1
                 c += 2 * F4_LIMBS + 1
+            else:
+                # f64 additive quantity: sign-split double-float fixed point
+                # (head + residual tail, each its own 72-bit window)
+                L = F4_LIMBS
+                d[kind] = _SlotRecipe(
+                    kind,
+                    limbs=list(range(c, c + L)),
+                    neg_limbs=list(range(c + L, c + 2 * L)),
+                    lo_limbs=list(range(c + 2 * L, c + 3 * L)),
+                    lo_neg_limbs=list(range(c + 3 * L, c + 4 * L)),
+                    shadow=c + 4 * L,
+                    f4_slot_no=nf4, lo_slot_no=nf4 + 1)
+                nf4 += 2
+                c += 4 * L + 1
         slotr.append(d)
     return keyr, slotr, c
 
@@ -201,6 +238,14 @@ def build_mxu_columns(key_vals: Sequence[DVal], aggs, arg_vals,
         cols.extend(_u64_limbs(kb * kb, 8))
         cols.append(okk.astype(jnp.float32))
 
+    def _f32_sign_block(x32: jnp.ndarray):
+        """(pos limbs, neg limbs, exp) of a masked f32 lane."""
+        absx = jnp.abs(x32)
+        sc, e = _f4_scale_exp(absx)
+        pos = jnp.where(x32 > 0, absx, jnp.float32(0.0))
+        neg = jnp.where(x32 < 0, absx, jnp.float32(0.0))
+        return _f4_limb_cols(pos, sc), _f4_limb_cols(neg, sc), e
+
     for inst, vals in zip(aggs, arg_vals):
         a = vals[0] if vals else None
         ok = mask if a is None else (mask & a.valid)
@@ -223,7 +268,7 @@ def build_mxu_columns(key_vals: Sequence[DVal], aggs, arg_vals,
             elif kind == "sumsq_i":
                 v = jnp.where(ok, a.data.astype(jnp.int64), jnp.int64(0))
                 cols.extend(_u64_limbs((v * v).astype(jnp.uint64), 8))
-            elif kind == "sum_f":
+            elif kind == "sum_f" and a.t is T.FLOAT4:
                 absx = _mask0(jnp.abs(a.data.astype(jnp.float32)), ok)
                 sc, e = _f4_scale_exp(absx)
                 f4_exps.append(e)
@@ -232,13 +277,50 @@ def build_mxu_columns(key_vals: Sequence[DVal], aggs, arg_vals,
                 cols.extend(_f4_limb_cols(pos, sc))
                 cols.extend(_f4_limb_cols(neg, sc))
                 cols.append(absx)
+            else:
+                # f64 additive quantity q -> head f32(q) + tail f32(q - head)
+                q = _f64_quantity(kind, vals, ok)
+                hi = q.astype(jnp.float32)
+                lo = (q - hi.astype(jnp.float64)).astype(jnp.float32)
+                hp, hn, he = _f32_sign_block(hi)
+                lp, ln, le = _f32_sign_block(lo)
+                f4_exps.append(he)
+                f4_exps.append(le)
+                cols.extend(hp)
+                cols.extend(hn)
+                cols.extend(lp)
+                cols.extend(ln)
+                cols.append(jnp.abs(hi))           # shadow: inf/nan guard
     V = jnp.stack(cols, axis=1)
     exps = (jnp.stack(f4_exps) if f4_exps else jnp.zeros(0, jnp.int32))
     return V, exps
 
 
+def _f64_quantity(kind: str, vals, ok: jnp.ndarray) -> jnp.ndarray:
+    """The per-row f64 value each additive f64 slot kind sums."""
+    x = jnp.where(ok, vals[0].data.astype(jnp.float64), 0.0)
+    if kind in ("sum_f", "sum_x"):
+        return x
+    if kind in ("sumsq_f", "sumsq_x"):
+        return x * x
+    y = jnp.where(ok, vals[1].data.astype(jnp.float64), 0.0)
+    if kind == "sum_y":
+        return y
+    if kind == "sumsq_y":
+        return y * y
+    if kind == "sum_xy":
+        return x * y
+    raise ValueError(kind)
+
+
+def mxu_shadow_cols(slotr) -> list[int]:
+    """Global column indexes needing the f64 shadow reduction (sorted)."""
+    return sorted(r.shadow for d in slotr for r in d.values()
+                  if r.shadow >= 0)
+
+
 def mxu_reduce(V: jnp.ndarray, seg_id: jnp.ndarray, G: int, n: int,
-               force_matmul: bool = False):
+               force_matmul: bool = False, fsum_cols=None):
     """Segmented one-hot matmul: (sums int64[G,S] exact ints,
     fsums f64[G,S] for shadow columns).  seg_id == G drops the row.
 
@@ -251,10 +333,15 @@ def mxu_reduce(V: jnp.ndarray, seg_id: jnp.ndarray, G: int, n: int,
     a [n, 4096]-wide one-hot matmul on CPU costs seconds per program while
     CPU scatters are cheap; the output is bit-identical for every integer
     column."""
+    S = V.shape[1]
+    if fsum_cols is None:
+        fsum_cols = list(range(S))
+    fsel = jnp.asarray(fsum_cols, dtype=jnp.int32) if fsum_cols \
+        else jnp.zeros(0, jnp.int32)
     if jax.default_backend() == "cpu" and not force_matmul:
         sums = jax.ops.segment_sum(V.astype(jnp.int64), seg_id,
                                    num_segments=G)
-        fsums = jax.ops.segment_sum(V.astype(jnp.float64), seg_id,
+        fsums = jax.ops.segment_sum(V[:, fsel].astype(jnp.float64), seg_id,
                                     num_segments=G)
         return sums, fsums
     rows = SEG_ROWS if n > SEG_ROWS else max(n, 1)
@@ -268,7 +355,8 @@ def mxu_reduce(V: jnp.ndarray, seg_id: jnp.ndarray, G: int, n: int,
     part = jax.lax.dot_general(oh, vb, (((1,), (1,)), ((0,), (0,))),
                                preferred_element_type=jnp.float32)
     sums = jnp.sum(part.astype(jnp.int64), axis=0)
-    fsums = jnp.sum(part.astype(jnp.float64), axis=0)
+    # only shadow columns need the (TPU-emulated) f64 reduction
+    fsums = jnp.sum(part[:, :, fsel].astype(jnp.float64), axis=0)
     return sums, fsums
 
 
@@ -320,20 +408,31 @@ def _decode_key(t: T, raw: int, meta):
 
 
 def mxu_overflow(out, slot_recipes) -> bool:
-    """Any additive slot outside its exact window => host replay."""
+    """Any additive slot outside its exact window => host replay.
+
+    mxu_fsums carries ONLY the shadow columns (mxu_shadow_cols order)."""
     fsums = np.asarray(out["mxu_fsums"])
+    spos = {c: i for i, c in enumerate(mxu_shadow_cols(slot_recipes))}
     for d in slot_recipes:
         for kind, r in d.items():
-            if kind == "sum_i" and np.any(fsums[:, r.shadow] > float(1 << 61)):
+            if kind == "sum_i" and np.any(
+                    fsums[:, spos[r.shadow]] > float(1 << 61)):
                 return True
-            if kind == "sum_f":
-                sh = fsums[:, r.shadow]
+            if kind == "sum_f" and not r.lo_limbs:
+                sh = fsums[:, spos[r.shadow]]
                 # PG sums float4 stepwise in f32: if the absolute mass could
                 # reach f32-inf territory the host must replay sequentially
                 # to reproduce PostgreSQL's mid-sum overflow error (the same
                 # guard the scatter path applies on-device)
                 if (np.any(np.isinf(sh)) or np.any(np.isnan(sh))
                         or np.any(sh > 3.0e38)):
+                    return True
+            elif r.lo_limbs:
+                # f64 double-float block: inf/nan head (value beyond the f32
+                # head range, or inf/nan input/square) => host replay — the
+                # same domain as the TPU-emulated-f64 recheck
+                sh = fsums[:, spos[r.shadow]]
+                if np.any(np.isinf(sh)) or np.any(np.isnan(sh)):
                     return True
     return False
 
@@ -352,11 +451,39 @@ def mxu_extract_slot(r: _SlotRecipe, out, g: int) -> dict:
         return {"sum_i": total}
     if r.kind == "sumsq_i":
         return {"sumsq_i": _limb_int(sums, g, r.limbs)}
-    if r.kind == "sum_f":
+    if r.kind == "sum_f" and not r.lo_limbs:
         E = int(np.asarray(out["mxu_f4exps"])[r.f4_slot_no])
         m = _limb_int(sums, g, r.limbs) - _limb_int(sums, g, r.neg_limbs)
         return {"sum_f": float(m) * 2.0 ** (E - F4_WINDOW)}
+    if r.lo_limbs:
+        exps = np.asarray(out["mxu_f4exps"])
+        Eh = int(exps[r.f4_slot_no])
+        El = int(exps[r.lo_slot_no])
+        mh = _limb_int(sums, g, r.limbs) - _limb_int(sums, g, r.neg_limbs)
+        ml = (_limb_int(sums, g, r.lo_limbs)
+              - _limb_int(sums, g, r.lo_neg_limbs))
+        # both terms are dyadic rationals: combine exactly in big ints and
+        # round ONCE — the correctly-rounded true sum (within the per-row
+        # 2^(E-72) truncation window)
+        emin = min(Eh, El) - F4_WINDOW
+        M = (mh << (Eh - F4_WINDOW - emin)) + (ml << (El - F4_WINDOW - emin))
+        return {r.kind: _dyadic_float(M, emin)}
     raise ValueError(r.kind)
+
+
+def _dyadic_float(M: int, e: int) -> float:
+    """Correctly rounded float of M * 2^e for arbitrary-width int M."""
+    if M == 0:
+        return 0.0
+    if e >= 0:
+        f = float(M)                      # one rounding
+        return f * (2.0 ** e) if e < 1024 else float(M << e)
+    # M / 2^-e: keep 54+ significant bits, let float division round once
+    shift = max(M.bit_length() - 63, 0)
+    if shift <= -e:
+        return float(M >> shift) / float(1 << (-e - shift)) if -e - shift < 1024 \
+            else float(M >> shift) * (2.0 ** (e + shift))
+    return float(M) * (2.0 ** e)
 
 
 # ---------------------------------------------------------------------------

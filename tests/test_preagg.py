@@ -79,11 +79,43 @@ def run_query(table, aggname, colname, coltype, pred=None, group=False,
     return [row_out(r, types, extra_float_digits=-3) for r in rows]
 
 
+def _rows_equivalent(got: list[str], want: list[str]) -> bool:
+    """Formatted-row compare; float fields tolerate last-digit drift.
+
+    Parallel float aggregation is order-independent while PostgreSQL's is
+    stepwise; under catastrophic cancellation the 12-digit rendering can
+    flip its final digit even though |device - host| is ~1e-12 (the device
+    fixed-point sum is the MORE accurate one).  pg_regress absorbs this via
+    extra_float_digits; a string compare at a rounding boundary cannot."""
+    import math
+    if got == want:
+        return True
+    if len(got) != len(want):
+        return False
+    for g, w in zip(got, want):
+        if g == w:
+            continue
+        gf, wf = g.split("|"), w.split("|")
+        if len(gf) != len(wf):
+            return False
+        for a, b in zip(gf, wf):
+            if a == b:
+                continue
+            try:
+                if not math.isclose(float(a), float(b),
+                                    rel_tol=1e-9, abs_tol=1e-9):
+                    return False
+            except ValueError:
+                return False
+    return True
+
+
 def assert_match(table, aggname, colname, coltype, pred=None, group=False):
     got = run_query(table, aggname, colname, coltype, pred, group, device=True)
     want = run_query(table, aggname, colname, coltype, pred, group, device=False)
-    assert got == want, (f"{aggname}({colname}) group={group}:\n"
-                         f"device: {got[:5]}\nhost  : {want[:5]}")
+    assert _rows_equivalent(got, want), (
+        f"{aggname}({colname}) group={group}:\n"
+        f"device: {got[:5]}\nhost  : {want[:5]}")
 
 
 @pytest.mark.parametrize("colname,coltype", TYPE_COLS,

@@ -15,7 +15,7 @@ from pg_strom_tpu.expr.lower_jax import DVal
 from pg_strom_tpu.ops.preagg import AggInstance
 from pg_strom_tpu.ops.preagg_mxu import (
     SEG_ROWS, build_mxu_columns, mxu_reduce, mxu_recipes, mxu_host_groups,
-    mxu_overflow, mxu_extract_slot, mxu_keys_supported,
+    mxu_overflow, mxu_extract_slot, mxu_keys_supported, mxu_shadow_cols,
 )
 
 
@@ -33,7 +33,8 @@ def _run(key_vals, key_types, aggs, arg_vals, arg_types, seg_id, G, n):
         # exact segment-sum shortcut) — these tests exist to prove the MXU
         # path's exactness claims
         sums, fsums = mxu_reduce(V, jnp.asarray(seg_id), G, n,
-                                 force_matmul=True)
+                                 force_matmul=True,
+                                 fsum_cols=mxu_shadow_cols(slotr))
         return {"mxu_sums": sums, "mxu_fsums": fsums, "mxu_f4exps": exps}
 
     out = jax.jit(f)()
@@ -155,3 +156,61 @@ class TestMxuPrimitives:
         for g in range(0, G, 7):
             s = mxu_extract_slot(slotr[0]["sum_i"], out, g)["sum_i"]
             assert s == int(np.sum(vi[seg == g], dtype=object))
+
+    def test_sum_f8_double_float(self):
+        rng = np.random.default_rng(23)
+        n, G = 4096, 8
+        seg = rng.integers(0, G, n).astype(np.int32)
+        vf = (rng.random(n) - 0.5) * 1e9          # full f64 values
+        ok = rng.random(n) > 0.1
+        a = _dval(T.FLOAT8, vf, ok)
+        inst = AggInstance("sum", "f8", ("count", "sum_f"), (None,))
+        _, slotr, out = _run([], [], [inst], [[a]], [(T.FLOAT8,)], seg, G, n)
+        assert not mxu_overflow(out, slotr)
+        for g in range(G):
+            s = mxu_extract_slot(slotr[0]["sum_f"], out, g)["sum_f"]
+            want = float(np.sum(vf[(seg == g) & ok]))
+            assert s == pytest.approx(want, rel=1e-12)
+
+    def test_pair_agg_covariance_slots(self):
+        rng = np.random.default_rng(29)
+        n, G = 2048, 4
+        seg = rng.integers(0, G, n).astype(np.int32)
+        x = (rng.random(n) - 0.5) * 100.0
+        y = (rng.random(n) - 0.3) * 50.0
+        ok = rng.random(n) > 0.05
+        ax = _dval(T.FLOAT8, x, ok)
+        ay = _dval(T.FLOAT8, y, ok)
+        slots = ("count", "sum_x", "sum_y", "sum_xy", "sumsq_x", "sumsq_y")
+        inst = AggInstance("covar_pop", "f8f8", slots, (None, None))
+        _, slotr, out = _run([], [], [inst], [[ax, ay]],
+                             [(T.FLOAT8, T.FLOAT8)], seg, G, n)
+        assert not mxu_overflow(out, slotr)
+        for g in range(G):
+            m = (seg == g) & ok
+            got = {}
+            for kind in slots[1:]:
+                got.update(mxu_extract_slot(slotr[0][kind], out, g))
+            assert got["sum_x"] == pytest.approx(float(np.sum(x[m])), rel=1e-12)
+            assert got["sum_xy"] == pytest.approx(float(np.sum(x[m] * y[m])),
+                                                  rel=1e-12)
+            assert got["sumsq_y"] == pytest.approx(float(np.sum(y[m] ** 2)),
+                                                   rel=1e-12)
+
+    def test_f8_inf_flags_overflow(self):
+        n, G = 256, 2
+        seg = np.zeros(n, np.int32)
+        vf = np.full(n, 1e308)
+        a = _dval(T.FLOAT8, vf, np.ones(n, np.bool_))
+        inst = AggInstance("sum", "f8", ("count", "sum_f"), (None,))
+        _, slotr, out = _run([], [], [inst], [[a]], [(T.FLOAT8,)], seg, G, n)
+        assert mxu_overflow(out, slotr)     # f32 head is inf -> host replay
+
+
+@pytest.fixture(autouse=True)
+def _enable_f64_blocks(monkeypatch):
+    """f64 double-float blocks are TPU-only in production (CPU keeps the
+    cheap scatter slots); these unit tests exercise them explicitly."""
+    from pg_strom_tpu.ops import preagg_mxu
+    monkeypatch.setattr(preagg_mxu, "F64_BLOCKS_ON_CPU", True)
+    yield
