@@ -45,7 +45,16 @@ class _Config:
     chunk_rows: int = 1 << 22
     min_async_chunks: int = 2             # pipeline low-water mark (main.c:142-151)
     max_async_chunks: int = 3             # pipeline high-water mark (main.c:152-161)
-    max_groups_device: int = 1 << 12      # per-chunk device group-table slots (preagg)
+    # per-chunk device group-bucket count.  One-hot traffic scales with
+    # N x G, so the executor starts here and escalates 4x on collision
+    # before falling back to the sort strategy at max_groups_cap
+    max_groups_device: int = 1 << 10
+    max_groups_cap: int = 1 << 12
+    # fused Pallas grouped reduction (ops/preagg_pallas.py): proven exact
+    # and faster at G>=1024, but this environment's tunneled TPU compiler
+    # rejects Pallas modules traced under x64 (BASELINE.md) — enable on
+    # runtimes with a local compiler
+    use_pallas_reduce: bool = False
     join_max_bucket_probe: int = 16       # bounded probe-chain length before fallback
     mqueue_timeout_ms: int = 60_000       # reference pg_strom.mqueue_timeout
     loader_threads: int = 0               # 0 = #CPUs (reference opencl_num_threads)

@@ -168,6 +168,7 @@ class JoinPreAggExecutor:
                                             [self.probe.columns[n] for n in pnames])
         pcap = chunk_capacity(self.probe.nrows)
         G = config.max_groups_device
+        self._G = G
         max_chain = config.join_max_bucket_probe
         out_cap0 = max(2 * pcap, 1024)
         key_metas = self._key_metas(jnames)
@@ -181,7 +182,8 @@ class JoinPreAggExecutor:
         use_dense = bool(ht["dense_ok"])
         dcap = dense_cap_for(bcap)
 
-        def fused(out_cap, strategy=self._strategy):
+        def fused(out_cap, strategy=self._strategy, G=None):
+            G = G if G is not None else self._G
             return _cached_jit(
                 ("joinagg",
                  tuple((m.name, m.type, m.dict_id) for m in pschema),
@@ -235,19 +237,24 @@ class JoinPreAggExecutor:
 
     def _consume(self, cc, out, out_cap, ht, bcc, fused, states, displays,
                  key_metas, jnames, jlayout, bound_groups, bound_aggs) -> None:
-        """Retry ladder: regrow (DataStoreNoSpace analog) -> salted bucket
-        strategies -> exact sort strategy -> host replay."""
+        """Retry ladder: regrow (DataStoreNoSpace analog) -> salted buckets
+        at G -> 4x G escalation -> exact sort strategy -> host replay."""
         pm = self.perfmon
-        salts = (0, 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F)
+        ladder = [(self._G, 0x9E3779B97F4A7C15, self._strategy)]
+        G2 = min(4 * self._G, config.max_groups_cap)
+        if G2 > self._G:
+            ladder += [(G2, 0, self._strategy),
+                       (G2, 0xC2B2AE3D27D4EB4F, self._strategy)]
+        ladder.append((config.max_groups_cap, 0, "sort"))
         attempt = 0
         overflow = False
-        strategy = self._strategy
-        cur_salt = 0
+        cur = (self._G, 0, self._strategy)
 
         def redispatch():
-            return fetch_host(fused(out_cap, strategy)(
+            g, salt, strategy = cur
+            return fetch_host(fused(out_cap, strategy, g)(
                 ht, cc.planes, bcc.planes, np.int32(cc.nrows),
-                np.uint64(cur_salt)))
+                np.uint64(salt)))
 
         while True:
             err = int(out["err"])
@@ -277,17 +284,12 @@ class JoinPreAggExecutor:
                     absorb_preagg_out(out, bound_groups, bound_aggs,
                                       key_metas, states, displays, pm)
                     return
-            attempt += 1
-            if attempt < len(salts):
-                pm.bump("salt_retries")
-                cur_salt = salts[attempt]
-                out = redispatch()
-            elif attempt == len(salts):
-                pm.bump("sort_fallbacks")
-                strategy, cur_salt = "sort", 0
-                out = redispatch()
-            else:
+            if attempt >= len(ladder):
                 break
+            cur = ladder[attempt]
+            pm.bump("sort_fallbacks" if cur[2] == "sort" else "salt_retries")
+            out = redispatch()
+            attempt += 1
         pm.bump("recheck_chunks")
         with pm.timer("cpu_fallback"):
             self._host_chunk_agg(cc, states, displays, jnames, jlayout,

@@ -187,10 +187,15 @@ class PreAggExecutor:
 
     def _consume(self, cc: CachedChunk, out, states, displays,
                  key_metas) -> None:
-        """Retry ladder per chunk: (salted) bucket strategies until no
-        collision, then the exact sort strategy, then host replay."""
+        """Retry ladder per chunk: salted buckets at G, 4x G escalation,
+        the exact sort strategy, then host replay."""
         pm = self.perfmon
-        salts = (0, 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F)
+        # (G, salt) ladder: re-salt once, escalate bucket count (one-hot
+        # traffic scales with N*G, so start small), then sort-exact
+        ladder = [(self._G, 0x9E3779B97F4A7C15)]
+        G2 = min(4 * self._G, config.max_groups_cap)
+        if G2 > self._G:
+            ladder += [(G2, 0), (G2, 0xC2B2AE3D27D4EB4F)]
         attempt = 0
         overflow = False
         while True:
@@ -214,25 +219,28 @@ class PreAggExecutor:
                     absorb_preagg_out(out, self.group_exprs, self.aggs,
                                       key_metas, states, displays, pm)
                     return
-            attempt += 1
-            if attempt < len(salts):
+            if attempt < len(ladder):
                 pm.bump("salt_retries")
+                g, salt = ladder[attempt]
                 fn = _get_jitted(self._schema, tuple(self.group_exprs),
-                                 tuple(self.aggs), self.pred, self._G,
+                                 tuple(self.aggs), self.pred, g,
                                  self._cap, strategy=self._strategy)
                 out = fetch_host(fn(cc.planes, np.int32(cc.nrows),
-                                    np.uint64(salts[attempt])))
-            elif attempt == len(salts):
-                # two distinct keys genuinely share every salted bucket:
-                # the sort strategy is exact for any key distribution
+                                    np.uint64(salt)))
+            elif attempt == len(ladder):
+                # distinct keys genuinely share every salted bucket (or
+                # more groups than buckets): sort is exact for any key
+                # distribution up to max_groups_cap groups
                 pm.bump("sort_fallbacks")
                 fn = _get_jitted(self._schema, tuple(self.group_exprs),
-                                 tuple(self.aggs), self.pred, self._G,
-                                 self._cap, strategy="sort")
+                                 tuple(self.aggs), self.pred,
+                                 config.max_groups_cap, self._cap,
+                                 strategy="sort")
                 out = fetch_host(fn(cc.planes, np.int32(cc.nrows),
                                     np.uint64(0)))
             else:
                 break
+            attempt += 1
         pm.bump("recheck_chunks")
         with pm.timer("cpu_fallback"):
             self._replay(cc.host_chunk(self.table), states, displays)

@@ -334,6 +334,7 @@ def mxu_reduce(V: jnp.ndarray, seg_id: jnp.ndarray, G: int, n: int,
     CPU scatters are cheap; the output is bit-identical for every integer
     column."""
     S = V.shape[1]
+    explicit_shadow = fsum_cols is not None
     if fsum_cols is None:
         fsum_cols = list(range(S))
     fsel = jnp.asarray(fsum_cols, dtype=jnp.int32) if fsum_cols \
@@ -344,6 +345,21 @@ def mxu_reduce(V: jnp.ndarray, seg_id: jnp.ndarray, G: int, n: int,
         fsums = jax.ops.segment_sum(V[:, fsel].astype(jnp.float64), seg_id,
                                     num_segments=G)
         return sums, fsums
+    from ..config import config as _cfg
+    if (getattr(_cfg, "use_pallas_reduce", False)
+            and jax.default_backend() != "cpu" and not force_matmul
+            and explicit_shadow):
+        # Fused Pallas kernel: one-hot generated in VMEM (the XLA
+        # formulation materializes N x G bf16 in HBM).  Proven exact and
+        # faster at G>=1024 (tools/pallas_proto.py) but OFF by default:
+        # this environment's tunneled compile service rejects ANY Pallas
+        # module traced under jax_enable_x64 (HTTP 500 / Mosaic convert
+        # recursion — tools/pallas_bisect.py), and the engine needs x64
+        # for SQL bigint lanes.  Flip config.use_pallas_reduce on runtimes
+        # with a local TPU compiler.
+        from .preagg_pallas import pallas_reduce, MAX_G
+        if G <= MAX_G:
+            return pallas_reduce(V, seg_id, G, n, list(fsum_cols))
     rows = SEG_ROWS if n > SEG_ROWS else max(n, 1)
     pad = (-n) % rows
     if pad:
