@@ -381,9 +381,12 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
             cur = jx.run()
             cur_pred = None
             current_alias_set.add(alias)
-        # leftover post-join quals
+        # leftover post-join quals force a materializing scan; a plain
+        # single-relation predicate stays in cur_pred and FUSES into the
+        # downstream aggregate/scan kernel (no row-id materialization,
+        # no host subset, no re-upload)
         leftover = and_all(post_join + pending_equis)
-        if leftover is not None or cur_pred is not None:
+        if leftover is not None:
             pred = and_all([p for p in (cur_pred, leftover) if p is not None])
             lp = {n: i for i, n in enumerate(cur.column_names)}
             idxs = ScanExecutor(cur, bind_columns(pred, lp), perfmon).row_indexes()
