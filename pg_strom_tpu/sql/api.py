@@ -62,6 +62,15 @@ def execute(sql: str, db: Database) -> Result:
     if isinstance(stmt, ast.SetStmt):
         _apply_set(stmt)
         return Result(columns=[], rows=[], types=[], command="SET")
+    if isinstance(stmt, ast.CreateStmt):
+        return _exec_create(stmt, db)
+    if isinstance(stmt, ast.DropStmt):
+        db.drop(stmt.name, missing_ok=stmt.if_exists)
+        return Result(columns=[], rows=[], types=[], command="DROP TABLE")
+    if isinstance(stmt, ast.InsertStmt):
+        return _exec_insert(stmt, db)
+    if isinstance(stmt, ast.CopyStmt):
+        return _exec_copy(stmt, db)
     if isinstance(stmt, ast.ExplainStmt):
         pq = plan_query(stmt.query, db)
         text = pq.explain(verbose=stmt.verbose)
@@ -115,3 +124,126 @@ def _apply_set(stmt: ast.SetStmt) -> None:
             pass
         raise KeyError(f'unrecognized configuration parameter "{name}"')
     # unknown non-engine settings are accepted and ignored (psql compat)
+
+
+# ---------------------------------------------------------------------------
+# DDL / DML (the engine IS the database here; the reference delegated these
+# to PostgreSQL)
+# ---------------------------------------------------------------------------
+
+def _value_in(t, v):
+    """Coerce a python/SQL-literal value to a column type's host value."""
+    import datetime
+    from decimal import Decimal
+    from ..sqltypes import T, type_from_sql  # noqa: F401
+    from ..pgops import check_int_range
+    if v is None:
+        return None
+    if t in (T.INT2, T.INT4, T.INT8):
+        return check_int_range(t, int(v))
+    if t in (T.FLOAT4, T.FLOAT8):
+        return float(v)
+    if t is T.NUMERIC:
+        return v if isinstance(v, Decimal) else Decimal(str(v))
+    if t is T.BOOL:
+        if isinstance(v, str):
+            return v.strip().lower() in ("t", "true", "yes", "on", "1")
+        return bool(v)
+    if t is T.DATE:
+        if isinstance(v, (int,)):
+            return int(v)
+        d = datetime.date.fromisoformat(str(v).strip())
+        return (d - datetime.date(2000, 1, 1)).days
+    if t is T.TIME:
+        if isinstance(v, int):
+            return v
+        tt = datetime.time.fromisoformat(str(v).strip())
+        return ((tt.hour * 60 + tt.minute) * 60 + tt.second) * 1_000_000 \
+            + tt.microsecond
+    if t is T.TIMESTAMP:
+        if isinstance(v, int):
+            return v
+        ts = datetime.datetime.fromisoformat(str(v).strip())
+        return round((ts - datetime.datetime(2000, 1, 1)).total_seconds()
+                     * 1_000_000)
+    return str(v)
+
+
+def _exec_create(stmt: ast.CreateStmt, db: Database) -> Result:
+    from ..sqltypes import type_from_sql
+    from ..datastore import Table, column_from_values
+    if stmt.name in db and stmt.if_not_exists:
+        return Result([], [], [], command="CREATE TABLE")
+    cols = {cn: column_from_values(type_from_sql(tn), [])
+            for cn, tn in stmt.columns}
+    db.create(Table.from_columns(stmt.name, cols),
+              replace=False if not stmt.if_not_exists else True)
+    return Result([], [], [], command="CREATE TABLE")
+
+
+def _exec_insert(stmt: ast.InsertStmt, db: Database) -> Result:
+    from ..errors import SqlError
+    from ..datastore import Table, column_from_values
+    from ..plan.planner import plan_query
+    from ..plan.binder import Scope, bind_expr
+    from ..expr.eval_cpu import eval_expr_cpu
+    tbl = db.get(stmt.name)
+    names = list(tbl.column_names)
+    tgt = stmt.columns or names
+    unknown = [c for c in tgt if c not in names]
+    if unknown:
+        raise SqlError(f'column "{unknown[0]}" of relation '
+                       f'"{stmt.name}" does not exist')
+    if stmt.query is not None:
+        rows = plan_query(stmt.query, db).execute()
+    else:
+        scope = Scope(rels=[])
+
+        def norow(_):
+            raise SqlError("INSERT VALUES may not reference columns")
+        rows = []
+        for r in stmt.values:
+            vals = []
+            for e in r:
+                be = bind_expr(e, scope, allow_aggs=False)
+                vals.append(eval_expr_cpu(be, norow))
+            rows.append(vals)
+    for r in rows:
+        if len(r) != len(tgt):
+            raise SqlError("INSERT has more or fewer expressions than "
+                           "target columns")
+    # rebuild columns (columns are immutable; acceptable for DML-scale
+    # inserts — bulk ingest goes through COPY / the native CSV loader)
+    per_tgt = {c: i for i, c in enumerate(tgt)}
+    new_cols = {}
+    for cn in names:
+        c = tbl.columns[cn]
+        old = [c.get(i) for i in range(tbl.nrows)]
+        if cn in per_tgt:
+            old.extend(_value_in(c.type, r[per_tgt[cn]]) for r in rows)
+        else:
+            old.extend(None for _ in rows)
+        new_cols[cn] = column_from_values(c.type, old)
+    db.create(Table.from_columns(stmt.name, new_cols))
+    return Result([], [], [], command=f"INSERT 0 {len(rows)}")
+
+
+def _exec_copy(stmt: ast.CopyStmt, db: Database) -> Result:
+    import csv as _csv
+    from ..datastore import Table, column_from_values
+    tbl = db.get(stmt.name)
+    names = list(tbl.column_names)
+    with open(stmt.filename, newline="") as f:
+        rd = _csv.reader(f, delimiter=stmt.delimiter)
+        rows = list(rd)
+    if stmt.header and rows:
+        rows = rows[1:]
+    new_cols = {}
+    for j, cn in enumerate(names):
+        c = tbl.columns[cn]
+        old = [c.get(i) for i in range(tbl.nrows)]
+        old.extend(_value_in(c.type, r[j]) if j < len(r) and r[j] != ""
+                   else None for r in rows)
+        new_cols[cn] = column_from_values(c.type, old)
+    db.create(Table.from_columns(stmt.name, new_cols))
+    return Result([], [], [], command=f"COPY {len(rows)}")

@@ -41,6 +41,7 @@ KEYWORDS = {
     "left", "right", "full", "outer", "cross", "on", "using", "union",
     "all", "coalesce", "exists", "explain", "verbose", "costs", "analyze",
     "set", "to", "show", "isnull", "notnull",
+    "create", "table", "drop", "insert", "into", "values", "copy",
 }
 
 
@@ -211,6 +212,35 @@ class ExplainStmt:
 
 
 @dataclasses.dataclass
+class CreateStmt:
+    name: str
+    columns: list            # [(colname, typename)]
+    if_not_exists: bool = False
+
+
+@dataclasses.dataclass
+class DropStmt:
+    name: str
+    if_exists: bool = False
+
+
+@dataclasses.dataclass
+class InsertStmt:
+    name: str
+    columns: Optional[list]          # explicit column list or None
+    values: Optional[list]           # rows of expression ASTs
+    query: Optional[Any] = None      # INSERT INTO ... SELECT
+
+
+@dataclasses.dataclass
+class CopyStmt:
+    name: str
+    filename: str
+    header: bool = False
+    delimiter: str = ","
+
+
+@dataclasses.dataclass
 class SetStmt:
     name: str
     value: str
@@ -283,6 +313,77 @@ class Parser:
                     verbose = True
             return ExplainStmt(self.parse_select(), verbose=verbose,
                                costs=costs, analyze=analyze)
+        if self.accept_kw("create"):
+            self.expect_kw("table")
+            ine = False
+            if self._accept_word("if"):
+                self.expect_kw("not")
+                self.expect_kw("exists")
+                ine = True
+            name = ".".join(self._qualified_name())
+            self.expect_op("(")
+            cols = []
+            while True:
+                cname = self.next().value
+                cols.append((cname, self._typename()))
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            return CreateStmt(name, cols, if_not_exists=ine)
+        if self.accept_kw("drop"):
+            self.expect_kw("table")
+            ife = False
+            if self._accept_word("if"):
+                self.expect_kw("exists")
+                ife = True
+            return DropStmt(".".join(self._qualified_name()), if_exists=ife)
+        if self.accept_kw("insert"):
+            self.expect_kw("into")
+            name = ".".join(self._qualified_name())
+            cols = None
+            if self.accept_op("("):
+                cols = [self.next().value]
+                while self.accept_op(","):
+                    cols.append(self.next().value)
+                self.expect_op(")")
+            if self.accept_kw("values"):
+                rows = []
+                while True:
+                    self.expect_op("(")
+                    row = [self.parse_expr()]
+                    while self.accept_op(","):
+                        row.append(self.parse_expr())
+                    self.expect_op(")")
+                    rows.append(row)
+                    if not self.accept_op(","):
+                        break
+                return InsertStmt(name, cols, rows)
+            return InsertStmt(name, cols, None, query=self.parse_select())
+        if self.accept_kw("copy"):
+            name = ".".join(self._qualified_name())
+            self.expect_kw("from")
+            fname = self.next().value
+            if fname.startswith("'"):
+                fname = fname[1:-1].replace("''", "'")
+            header = False
+            delim = ","
+            if self._accept_word("with") or self.peek().value == "(":
+                if self.accept_op("("):
+                    while True:
+                        opt = self.next().value
+                        if opt == "format":
+                            self.next()            # csv
+                        elif opt == "header":
+                            if self.peek().value in ("true", "false", "on", "off"):
+                                header = self.next().value in ("true", "on")
+                            else:
+                                header = True
+                        elif opt == "delimiter":
+                            delim = self.next().value.strip("'")
+                        if not self.accept_op(","):
+                            break
+                    self.expect_op(")")
+            return CopyStmt(name, fname, header=header, delimiter=delim)
         if self.accept_kw("set"):
             name = self._qualified_name()
             if not self.accept_kw("to"):
@@ -298,6 +399,27 @@ class Parser:
         while self.accept_op("."):
             parts.append(self.next().value)
         return parts
+
+    def _accept_word(self, w: str) -> bool:
+        t = self.peek()
+        if t.kind in ("kw", "ident") and t.value == w:
+            self.next()
+            return True
+        return False
+
+    def _typename(self) -> str:
+        """Type name with optional length/precision mods (discarded)."""
+        base = self.next().value
+        if base == "double" and self._accept_word("precision"):
+            base = "double precision"
+        elif base == "character" and self._accept_word("varying"):
+            base = "character varying"
+        if self.accept_op("("):
+            self.next()
+            if self.accept_op(","):
+                self.next()
+            self.expect_op(")")
+        return base
 
     # -- select --------------------------------------------------------------
 

@@ -1,0 +1,103 @@
+"""DDL / DML / COPY and the CLI shell.
+
+The reference rides PostgreSQL for all of these; here the engine is the
+database, so CREATE/INSERT/COPY and an interactive shell are part of the
+product surface.
+"""
+
+import os
+import tempfile
+
+import pytest
+
+from pg_strom_tpu.datastore import Database
+from pg_strom_tpu.sql import execute
+from pg_strom_tpu.errors import SqlError
+
+
+@pytest.fixture()
+def db():
+    db = Database()
+    execute("create table emp (id int, name text, salary numeric(10,2), "
+            "hired date, active boolean)", db)
+    execute("insert into emp values "
+            "(1, 'ada', 120000.50, '2020-01-15', true), "
+            "(2, 'bob', 95000, '2021-06-01', true), "
+            "(3, 'eve', 87000.25, '2019-03-10', false)", db)
+    return db
+
+
+class TestDDL:
+    def test_create_insert_select(self, db):
+        r = execute("select count(*), sum(salary) from emp", db)
+        from decimal import Decimal
+        assert r.rows == [(3, Decimal("302000.75"))]
+
+    def test_date_and_bool_ingest(self, db):
+        r = execute("select name from emp where active "
+                    "order by hired", db).rows
+        assert r == [("ada",), ("bob",)]
+        r = execute("select min(hired) from emp", db).formatted(-3)
+        assert r == ["2019-03-10"]
+
+    def test_partial_column_insert_nulls(self, db):
+        execute("insert into emp (id, name) values (4, 'kim')", db)
+        r = execute("select count(*), count(salary) from emp", db).rows
+        assert r == [(4, 3)]
+
+    def test_insert_select(self, db):
+        execute("create table e2 (id int, nm text)", db)
+        execute("insert into e2 select id, name from emp where id < 3", db)
+        assert execute("select count(*) from e2", db).rows == [(2,)]
+
+    def test_insert_arity_mismatch(self, db):
+        with pytest.raises(SqlError):
+            execute("insert into emp (id, name) values (9)", db)
+
+    def test_create_if_not_exists_and_drop(self, db):
+        execute("create table if not exists emp (id int)", db)  # no-op
+        assert execute("select count(*) from emp", db).rows == [(3,)]
+        execute("drop table if exists nothere", db)
+        execute("drop table emp", db)
+        with pytest.raises(KeyError):
+            execute("select 1 from emp", db)
+
+    def test_copy_csv(self, db):
+        fd, path = tempfile.mkstemp(suffix=".csv")
+        os.close(fd)
+        try:
+            with open(path, "w") as f:
+                f.write("id,name,salary,hired,active\n"
+                        "5,zoe,101000,2022-02-02,t\n"
+                        "6,max,,2023-08-08,f\n")
+            r = execute(f"copy emp from '{path}' with (format csv, header)",
+                        db)
+            assert r.command == "COPY 2"
+            rows = execute("select count(*), count(salary) from emp", db).rows
+            assert rows == [(5, 4)]
+        finally:
+            os.unlink(path)
+
+
+class TestShell:
+    def test_run_stmt_and_describe(self, capsys, db):
+        from pg_strom_tpu.cli import Shell
+        sh = Shell()
+        sh.db = db
+        sh.run_stmt("select id, name from emp order by id limit 2")
+        out = capsys.readouterr().out
+        assert "ada" in out and "(2 rows)" in out
+        assert sh.backslash("\\d emp")
+        out = capsys.readouterr().out
+        assert "salary" in out
+        assert not sh.backslash("\\q")
+
+    def test_run_file(self, tmp_path, capsys):
+        from pg_strom_tpu.cli import Shell
+        f = tmp_path / "s.sql"
+        f.write_text("create table t (x int);\n"
+                     "insert into t values (1), (2), (3);\n"
+                     "select sum(x) from t;\n")
+        sh = Shell()
+        sh.run_file(str(f))
+        assert "6" in capsys.readouterr().out
