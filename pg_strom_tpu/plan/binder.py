@@ -35,8 +35,11 @@ AGG_NAMES = {name for name, _ in AGG_CATALOG}
 @dataclasses.dataclass
 class Scope:
     """Visible relations: list of (alias, Table).  Column refs resolve to
-    'alias.col' names; bare names must be unambiguous."""
+    'alias.col' names; bare names must be unambiguous.  `db` enables
+    uncorrelated subquery expressions (scalar / IN / EXISTS), which plan
+    and run their subplan at bind time."""
     rels: list[tuple[str, Table]]
+    db: Any = None
 
     def resolve(self, parts: tuple[str, ...]) -> tuple[str, T]:
         if len(parts) == 2:
@@ -160,13 +163,44 @@ def bind_expr(a: Any, scope: Scope, allow_aggs: bool = False) -> Expr:
         return e
     if isinstance(a, ast.AIn):
         arg = bind_expr(a.arg, scope, allow_aggs)
-        eqs = tuple(resolve_function("=", _retype_nulls(
-            [arg, bind_expr(x, scope, allow_aggs)])) for x in a.items)
+        if isinstance(a.items, ast.ASubquery):
+            vals = _run_subquery(a.items.query, scope, ncols=1)
+            items = [Const(type=vals[1][0], value=r[0]) for r in vals[0]]
+            if not items:
+                # IN (empty set) = FALSE, NOT IN (empty set) = TRUE — even
+                # for NULL arguments (PostgreSQL semantics)
+                return Const(type=T.BOOL, value=bool(a.negated))
+        else:
+            items = [bind_expr(x, scope, allow_aggs) for x in a.items]
+        eqs = tuple(resolve_function("=", _retype_nulls([arg, x]))
+                    for x in items)
         e = eqs[0] if len(eqs) == 1 else BoolExpr(type=T.BOOL, op="or", args=eqs)
         if a.negated:
             e = BoolExpr(type=T.BOOL, op="not", args=(e,))
         return e
+    if isinstance(a, ast.ASubquery):
+        rows, types = _run_subquery(a.query, scope, ncols=1)
+        if len(rows) > 1:
+            raise BindError("more than one row returned by a subquery "
+                            "used as an expression")
+        v = rows[0][0] if rows else None
+        return Const(type=types[0], value=v)
+    if isinstance(a, ast.AExists):
+        rows, _ = _run_subquery(a.query, scope, ncols=None)
+        return Const(type=T.BOOL, value=bool(rows) != a.negated)
     raise BindError(f"cannot bind {type(a).__name__}")
+
+
+def _run_subquery(q, scope: Scope, ncols):
+    """Plan + run an uncorrelated subquery at bind time (PG runs InitPlans
+    once per query too; correlated subqueries are not supported yet)."""
+    if scope.db is None:
+        raise BindError("subquery expressions need a database context")
+    from .planner import plan_query
+    pq = plan_query(q, scope.db)
+    if ncols is not None and len(pq.out_types) != ncols:
+        raise BindError("subquery must return only one column")
+    return pq.execute(), pq.out_types
 
 
 def _parse_text_literal(s: str, dst: T) -> Any:

@@ -229,7 +229,7 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
                 for nm, t in zip(obj.out_names, obj.out_types)})
         return obj
 
-    scope = Scope(rels=[(a, shell(a, o)) for a, o in rels])
+    scope = Scope(rels=[(a, shell(a, o)) for a, o in rels], db=db)
 
     # ---- bind WHERE / JOIN ON / targets -----------------------------------
     where = bind_expr(stmt.where, scope, allow_aggs=False) if stmt.where else None
@@ -820,7 +820,7 @@ def _kernel_text(obj, alias: str, dev_quals: list[Expr]) -> str:
 def _plan_table_less(stmt, db, perfmon) -> PlannedQuery:
     """SELECT without FROM (e.g. `select sum(1E+48)` in recheck_agg —
     aggregates over a single virtual row, scalar expressions otherwise)."""
-    scope = Scope(rels=[])
+    scope = Scope(rels=[], db=db)
     items = []
     for it in stmt.items:
         e = bind_expr(it.expr, scope, allow_aggs=True)

@@ -146,8 +146,19 @@ class ABetween:
 @dataclasses.dataclass
 class AIn:
     arg: Any
-    items: list
+    items: Any                  # list of exprs, or ASubquery
     negated: bool
+
+
+@dataclasses.dataclass
+class ASubquery:
+    query: Any                  # SelectStmt | SetOpStmt (uncorrelated)
+
+
+@dataclasses.dataclass
+class AExists:
+    query: Any
+    negated: bool = False
 
 
 @dataclasses.dataclass
@@ -615,6 +626,10 @@ class Parser:
             return ABetween(e, lo, hi, neg)
         if self.accept_kw("in"):
             self.expect_op("(")
+            if self.peek().kind == "kw" and self.peek().value == "select":
+                q = self.parse_select()
+                self.expect_op(")")
+                return AIn(e, ASubquery(q), neg)
             items = [self.parse_expr()]
             while self.accept_op(","):
                 items.append(self.parse_expr())
@@ -717,6 +732,11 @@ class Parser:
                 tn = self._typename()
                 self.expect_op(")")
                 return ACast(e, tn)
+            if self.accept_kw("exists"):
+                self.expect_op("(")
+                q = self.parse_select()
+                self.expect_op(")")
+                return AExists(q)
             if self.accept_kw("coalesce"):
                 self.expect_op("(")
                 args = [self.parse_expr()]
@@ -726,6 +746,10 @@ class Parser:
                 return AFunc("coalesce", args)
         if t.kind == "op" and t.value == "(":
             self.next()
+            if self.peek().kind == "kw" and self.peek().value == "select":
+                q = self.parse_select()
+                self.expect_op(")")
+                return ASubquery(q)
             e = self.parse_expr()
             self.expect_op(")")
             return e

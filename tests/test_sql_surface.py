@@ -147,3 +147,42 @@ class TestUnion:
         r = execute("select count(*) from (select k from a union all "
                     "select k from b) u", db).rows
         assert r == [(9,)]
+
+
+class TestSubqueries:
+    def test_in_subquery(self, db):
+        r = execute("select k from b where k in (select k from a) "
+                    "order by k", db).rows
+        assert r == [(2,), (3,), (3,)]
+
+    def test_not_in_subquery(self, db):
+        r = execute("select distinct k from b where k not in "
+                    "(select k from a where k is not null) order by k",
+                    db).rows
+        assert r == [(5,)]
+
+    def test_scalar_subquery(self, db):
+        r = execute("select k from b where w > (select avg(w) from b) "
+                    "order by k", db).rows
+        assert r == [(3,), (5,)]
+
+    def test_scalar_subquery_in_select_list(self, db):
+        r = execute("select k, (select max(w) from b) from a "
+                    "where k = 1", db).rows
+        assert r == [(1, 5.0)]
+
+    def test_exists(self, db):
+        r = execute("select exists (select 1 from b where k = 2), "
+                    "exists (select 1 from b where k = 99)", db).rows
+        assert r == [(True, False)]
+
+    def test_empty_in_and_not_in(self, db):
+        assert execute("select count(*) from a where k in "
+                       "(select k from b where k > 90)", db).rows == [(0,)]
+        assert execute("select count(*) from a where k not in "
+                       "(select k from b where k > 90)", db).rows == [(5,)]
+
+    def test_scalar_subquery_multirow_errors(self, db):
+        from pg_strom_tpu.plan.binder import BindError
+        with pytest.raises((SqlError, BindError)):
+            execute("select (select k from b)", db)
