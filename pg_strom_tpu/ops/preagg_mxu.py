@@ -291,7 +291,10 @@ def build_mxu_columns(key_vals: Sequence[DVal], aggs, arg_vals,
                 cols.extend(lp)
                 cols.extend(ln)
                 cols.append(jnp.abs(hi))           # shadow: inf/nan guard
-    V = jnp.stack(cols, axis=1)
+    # bf16 column matrix: every integer column is <= 255 (exact in bf16's
+    # 8-bit significand); shadow columns are threshold guards with a 4x
+    # band, so bf16 quantization is safe.  Halves V's HBM traffic vs f32.
+    V = jnp.stack([c.astype(jnp.bfloat16) for c in cols], axis=1)
     exps = (jnp.stack(f4_exps) if f4_exps else jnp.zeros(0, jnp.int32))
     return V, exps
 
@@ -367,7 +370,9 @@ def mxu_reduce(V: jnp.ndarray, seg_id: jnp.ndarray, G: int, n: int,
         seg_id = jnp.pad(seg_id, (0, pad), constant_values=G)
     nseg = (n + pad) // rows
     oh = jax.nn.one_hot(seg_id.reshape(nseg, rows), G, dtype=jnp.bfloat16)
-    vb = V.reshape(nseg, rows, -1).astype(jnp.bfloat16)
+    vb = V.reshape(nseg, rows, -1)
+    if vb.dtype != jnp.bfloat16:
+        vb = vb.astype(jnp.bfloat16)
     part = jax.lax.dot_general(oh, vb, (((1,), (1,)), ((0,), (0,))),
                                preferred_element_type=jnp.float32)
     sums = jnp.sum(part.astype(jnp.int64), axis=0)
