@@ -670,6 +670,14 @@ def _run_plain(cur: Table, pred, items, order_specs, perfmon,
             return rows
     idxs = ScanExecutor(cur, bpred, perfmon).row_indexes()
     cols = list(cur.columns.values())
+    # vectorized materialization for plain column projections (the common
+    # SELECT cols ... shape): batch numpy gathers + tolist instead of a
+    # per-row python eval loop — ~10x on megarow outputs
+    if (not borders and all(isinstance(e, ColumnRef) for e in bitems)):
+        import numpy as _np
+        ii = _np.asarray(idxs, dtype=_np.int64)
+        lanes = [_column_values_at(cols[e.index], ii) for e in bitems]
+        return list(zip(*lanes)) if lanes else [() for _ in idxs]
     out = []
     for i in idxs:
         row = lambda s: cols[s].get(i)
@@ -677,6 +685,30 @@ def _run_plain(cur: Table, pred, items, order_specs, perfmon,
         okeys = tuple(eval_expr_cpu(o, row) for o, _, _ in borders)
         out.append((okeys, vals))
     return _order_and_strip(out, borders)
+
+
+def _column_values_at(c: Column, ii) -> list:
+    """Vectorized python values of column c at row indexes ii."""
+    import numpy as _np
+    t = c.type
+    valid = c.valid[ii]
+    if t is T.NUMERIC:
+        return [c.get(int(i)) for i in ii]          # Decimal: per-row exact
+    data = c.data[ii]
+    if t in (T.TEXT, T.BPCHAR):
+        d = c.dictionary or []
+        if not d:
+            return [None] * len(ii)                 # all-NULL text column
+        vals = [d[k] for k in data.tolist()]
+    elif t is T.BOOL:
+        vals = [bool(v) for v in data.tolist()]
+    else:
+        vals = data.tolist()                         # ints / floats exact
+    if not valid.all():
+        bad = _np.flatnonzero(~valid)
+        for j in bad.tolist():
+            vals[j] = None
+    return vals
 
 
 def _topk_rows(cur: Table, bpred, bitems, borders, k: int,
