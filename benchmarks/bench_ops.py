@@ -54,7 +54,7 @@ def run_filter():
     from pg_strom_tpu.expr.ir import (ColumnRef, Const, BoolExpr,
         resolve_function)
     from pg_strom_tpu.expr.lower_jax import ColMeta
-    from pg_strom_tpu.ops.filter import build_filter_compact_fn
+    from pg_strom_tpu.ops.filter import build_filter_mask_fn
 
     N = 1 << 24
     schema = [ColMeta("x", T.FLOAT4), ColMeta("y", T.INT4)]
@@ -63,7 +63,7 @@ def run_filter():
     pred = BoolExpr(type=T.BOOL, op="and", args=(
         resolve_function(">", (x, Const(type=T.FLOAT4, value=0.25))),
         resolve_function("<", (y, Const(type=T.INT4, value=900)))))
-    fn = jax.jit(build_filter_compact_fn(pred, schema))
+    fn = jax.jit(build_filter_mask_fn(pred, schema))
     rng = np.random.default_rng(0)
     colsets = []
     for s in range(3):
@@ -74,7 +74,7 @@ def run_filter():
              jax.device_put(np.ones(N, np.bool_))),
         ))
     c, dt = bench_call(lambda i: fn(colsets[i], np.int32(N)), 3)
-    bpr = 4 + 1 + 4 + 1 + 4          # x, vx, y, vy data + row-id out
+    bpr = 4 + 1 + 4 + 1              # x, vx, y, vy in; 1-bit mask out
     return N, c, dt, bpr
 
 

@@ -22,29 +22,18 @@ from ..expr.ir import Expr
 from ..expr.catalog import device_expression_supported
 from ..expr.eval_cpu import eval_expr_cpu
 from ..expr.lower_jax import schema_from_chunk_columns, planes_of_column
-from ..ops.filter import build_filter_compact_fn
+from ..ops.filter import build_filter_mask_fn
 from .devcache import TCACHE, CachedChunk, chunk_capacity, planes_on_device, fetch_host
 from ..utils.perfmon import Perfmon
 
 _JIT_CACHE: dict[Any, Any] = {}
 
-# a tunneled TPU streams ONE large device->host buffer pathologically slowly
-# (4MB leaf measured 23s) but fetches many smaller leaves in parallel at full
-# rate (16x256KB in 150ms) — split the row-id output before transfer
-_D2H_PIECES = 16
-
-
-def _split_row_ids(fn):
-    import jax.numpy as jnp
-
-    def g(cols, nrows):
-        row_ids, nmatch, err = fn(cols, nrows)
-        return tuple(jnp.array_split(row_ids, _D2H_PIECES)), nmatch, err
-    return g
 
 
 class ScanExecutor:
-    """Yields global row indexes of `table` passing `pred` (None = all)."""
+    """Yields global row indexes (int64 ndarray) of `table` rows passing
+    `pred` (None = all).  Kept as numpy end to end — consumers gather with
+    it directly; a python int list at megarow scale costs ~1s alone."""
 
     def __init__(self, table: Table, pred: Optional[Expr],
                  perfmon: Perfmon | None = None):
@@ -52,21 +41,21 @@ class ScanExecutor:
         self.pred = pred
         self.perfmon = perfmon or Perfmon()
 
-    def row_indexes(self) -> list[int]:
+    def row_indexes(self) -> np.ndarray:
         t = self.table
         if t.nrows == 0:
-            return []
+            return np.empty(0, np.int64)
         if self.pred is None:
-            return list(range(t.nrows))
+            return np.arange(t.nrows, dtype=np.int64)
         use_device = (config.enabled and config.enable_tpuscan
                       and device_expression_supported(self.pred))
-        out: list[int] = []
+        out: list[np.ndarray] = []
         pm = self.perfmon
         if not use_device:
             for chunk in t.chunks():
                 with pm.timer("cpu_fallback"):
-                    out.extend(self._replay(chunk))
-            return out
+                    out.append(self._replay(chunk))
+            return np.concatenate(out) if out else np.empty(0, np.int64)
         names = t.column_names
         schema = schema_from_chunk_columns(names, [t.columns[n] for n in names])
         cap = chunk_capacity(t.nrows)
@@ -74,8 +63,10 @@ class ScanExecutor:
                self.pred, cap)
         fn = _JIT_CACHE.get(key)
         if fn is None:
-            fn = jax.jit(_split_row_ids(build_filter_compact_fn(self.pred,
-                                                                schema)))
+            # bit-packed match mask: no device compaction scatter (~150ms
+            # per 16M rows) and a 32x smaller device->host result; the host
+            # recovers row ids with unpackbits + flatnonzero
+            fn = jax.jit(build_filter_mask_fn(self.pred, schema))
             _JIT_CACHE[key] = fn
         # dispatch all chunks, read results back in batched transfers (one
         # device->host read per drain, not 3 per chunk — round trips on a
@@ -97,33 +88,34 @@ class ScanExecutor:
                     self._drain(pending, out)
                     streamed = 0
         self._drain(pending, out)
-        return out
+        return np.concatenate(out) if out else np.empty(0, np.int64)
 
-    def _drain(self, pending, out: list[int]) -> None:
+    def _drain(self, pending, out: list[np.ndarray]) -> None:
         if not pending:
             return
         with self.perfmon.timer("device_wait"):
             results = fetch_host([r for _, r in pending])
         for (cc, _), rh in zip(pending, results):
-            out.extend(self._consume(cc, rh))
+            out.append(self._consume(cc, rh))
         pending.clear()
 
-    def _consume(self, cc: CachedChunk, res) -> list[int]:
+    def _consume(self, cc: CachedChunk, res) -> np.ndarray:
         pm = self.perfmon
-        row_pieces, nmatch, err = res
+        maskbits, nmatch, err = res
         if int(err) != 0:
             pm.bump("recheck_chunks")
             with pm.timer("cpu_fallback"):
                 return self._replay(cc.host_chunk(self.table))
         pm.bump("device_chunks")
-        ids = np.concatenate(row_pieces)[:int(nmatch)]
-        return list((ids.astype(np.int64) + cc.start))
+        bits = np.unpackbits(np.asarray(maskbits), bitorder="little")
+        ids = np.flatnonzero(bits[:cc.nrows])
+        return ids + cc.start
 
-    def _replay(self, chunk: Chunk) -> list[int]:
+    def _replay(self, chunk: Chunk) -> np.ndarray:
         names = self.table.column_names
         cols = [chunk.columns[n] for n in names]
         out = []
         for i in range(chunk.nrows):
             if eval_expr_cpu(self.pred, lambda s: cols[s].get(i)) is True:
                 out.append(chunk.start + i)
-        return out
+        return np.asarray(out, dtype=np.int64)

@@ -43,6 +43,44 @@ def compact_mask(mask: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return row_ids, nmatch
 
 
+def bitpack_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """bool[n] -> uint8[n/8] bitmask (n padded to a multiple of 8).
+
+    Pure elementwise + tiny reduce — replaces the cumsum+scatter compaction
+    (a TPU scatter costs ~150ms per 16M rows; this runs at streaming speed)
+    and shrinks the device->host result 32x vs padded int32 row ids.  The
+    host recovers row ids with np.unpackbits + flatnonzero."""
+    n = mask.shape[0]
+    pad = (-n) % 8
+    if pad:
+        mask = jnp.pad(mask, (0, pad))
+    m = mask.reshape(-1, 8).astype(jnp.uint8)
+    import numpy as _np
+    weights = _np.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=_np.uint8)
+    return jnp.sum(m * weights, axis=1, dtype=jnp.uint8)
+
+
+def build_filter_mask_fn(pred: Optional[Expr],
+                         schema: Sequence[ColMeta]) -> Callable:
+    """f(cols, nrows) -> (maskbits uint8[ceil(n/8)], nmatch, err_max).
+
+    The standalone GpuScan with a bit-packed match mask instead of
+    device-side compaction (see bitpack_mask)."""
+    def f(cols: tuple, nrows):
+        n = cols[0][0].shape[0] if cols else 0
+        live = jnp.arange(n, dtype=jnp.int32) < nrows
+        lw = Lowerer(schema, cols, live)
+        mask = live
+        if pred is not None:
+            v = lw.lower(pred, live)
+            mask = live & v.valid & v.data.astype(jnp.bool_)
+        nmatch = jnp.sum(mask.astype(jnp.int32))
+        err = jnp.max(jnp.where(live, lw.err, jnp.uint8(0))) if n \
+            else jnp.uint8(0)
+        return bitpack_mask(mask), nmatch, err
+    return f
+
+
 def build_filter_compact_fn(pred: Expr, schema: Sequence[ColMeta]) -> Callable:
     """f(cols, nrows) -> (row_ids, nmatch, err_max).
 
