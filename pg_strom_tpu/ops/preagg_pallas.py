@@ -47,18 +47,21 @@ def _build(N: int, G: int, S1: int, S2: int, TILE: int):
     nsteps = N // TILE
     flush_every = max(FLUSH_ROWS // TILE, 1)
 
+    # x64-cleanliness (this tunnel's Mosaic service): every scalar op uses
+    # explicit int32 — implicit python-int promotion under jax_enable_x64
+    # RecursionErrors in the convert rule at trace time
     def kernel(seg_ref, vi_ref, vs_ref, hi_ref, lo_ref, sh_ref,
                acc, hi_acc, lo_acc, sh_acc):
         sb = pl.program_id(0)
         step = pl.program_id(1)
 
-        @pl.when(step == 0)
+        @pl.when(step == jnp.int32(0))
         def _():
             acc[:] = jnp.zeros_like(acc)
             hi_acc[:] = jnp.zeros_like(hi_acc)
             lo_acc[:] = jnp.zeros_like(lo_acc)
 
-        @pl.when((sb == 0) & (step == 0))
+        @pl.when((sb == jnp.int32(0)) & (step == jnp.int32(0)))
         def _():
             sh_acc[:] = jnp.zeros_like(sh_acc)
 
@@ -70,30 +73,35 @@ def _build(N: int, G: int, S1: int, S2: int, TILE: int):
             oh, vi_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-        @pl.when(sb == 0)
+        @pl.when(sb == jnp.int32(0))
         def _():
             sh_acc[:] += jax.lax.dot_general(
                 oh, vs_ref[:], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        @pl.when((step % flush_every == flush_every - 1)
-                 | (step == nsteps - 1))
+        @pl.when((step % jnp.int32(flush_every)
+                  == jnp.int32(flush_every - 1))
+                 | (step == jnp.int32(nsteps - 1)))
         def _():
             t = acc[:].astype(jnp.int32)
-            lo_acc[:] += t & 0xFFF
-            hi_acc[:] += t >> 12
+            lo_acc[:] += t & jnp.int32(0xFFF)
+            hi_acc[:] += t >> jnp.int32(12)
             acc[:] = jnp.zeros_like(acc)
 
-        @pl.when(step == nsteps - 1)
+        @pl.when(step == jnp.int32(nsteps - 1))
         def _():
             hi_ref[:] = hi_acc[:]
             lo_ref[:] = lo_acc[:]
 
-            @pl.when(sb == 0)
+            @pl.when(sb == jnp.int32(0))
             def _():
                 sh_ref[:] = sh_acc[:]
 
     n_sblocks = S1 // 128
+    # index maps write literal 0 as `sb * 0`: a literal constant in a
+    # BlockSpec index map under jax_enable_x64 becomes an i64 scalar this
+    # tunnel's Mosaic cannot legalize ("failed to legalize func.return",
+    # HTTP 500) — tools/pallas_x64_bisect2.py isolates it
     return pl.pallas_call(
         kernel,
         grid=(n_sblocks, nsteps),
@@ -102,15 +110,15 @@ def _build(N: int, G: int, S1: int, S2: int, TILE: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 128), lambda sb, i: (i, sb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, S2), lambda sb, i: (i, 0),
+            pl.BlockSpec((TILE, S2), lambda sb, i: (i, sb * 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((G, 128), lambda sb, i: (0, sb),
+            pl.BlockSpec((G, 128), lambda sb, i: (i * 0, sb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 128), lambda sb, i: (0, sb),
+            pl.BlockSpec((G, 128), lambda sb, i: (i * 0, sb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, S2), lambda sb, i: (0, 0),
+            pl.BlockSpec((G, S2), lambda sb, i: (i * 0, sb * 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct((G, S1), jnp.int32),

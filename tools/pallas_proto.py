@@ -25,7 +25,7 @@ def make_int8(N, G, S, TILE):
     def kernel(seg_ref, v_ref, out_ref, acc_ref):
         step = pl.program_id(0)
 
-        @pl.when(step == 0)
+        @pl.when(step == jnp.int32(0))
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
@@ -38,7 +38,7 @@ def make_int8(N, G, S, TILE):
             oht, v_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
 
-        @pl.when(step == nsteps - 1)
+        @pl.when(step == jnp.int32(nsteps - 1))
         def _():
             out_ref[:] = acc_ref[:]
 
@@ -66,7 +66,7 @@ def make_bf16(N, G, S, TILE, FLUSH_ROWS=1 << 16):
     def kernel(seg_ref, v_ref, hi_ref, lo_ref, acc_ref, hi_acc, lo_acc):
         step = pl.program_id(0)
 
-        @pl.when(step == 0)
+        @pl.when(step == jnp.int32(0))
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
             hi_acc[:] = jnp.zeros_like(hi_acc)
@@ -79,15 +79,19 @@ def make_bf16(N, G, S, TILE, FLUSH_ROWS=1 << 16):
             oh, v_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-        @pl.when((step % flush_every == flush_every - 1)
-                 | (step == nsteps - 1))
+        # x64-clean: explicit int32 everywhere — implicit python-int
+        # promotion inside a Pallas trace under jax_enable_x64 hits a
+        # RecursionError in the convert rule (the whole "Pallas+x64 broken"
+        # story reduces to this)
+        @pl.when((step % jnp.int32(flush_every) == jnp.int32(flush_every - 1))
+                 | (step == jnp.int32(nsteps - 1)))
         def _():
             t = acc_ref[:].astype(jnp.int32)
-            lo_acc[:] += t & 0xFFF
-            hi_acc[:] += t >> 12
+            lo_acc[:] += t & jnp.int32(0xFFF)
+            hi_acc[:] += t >> jnp.int32(12)
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        @pl.when(step == nsteps - 1)
+        @pl.when(step == jnp.int32(nsteps - 1))
         def _():
             hi_ref[:] = hi_acc[:]
             lo_ref[:] = lo_acc[:]
