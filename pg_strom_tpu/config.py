@@ -50,10 +50,14 @@ class _Config:
     # before falling back to the sort strategy at max_groups_cap
     max_groups_device: int = 1 << 10
     max_groups_cap: int = 1 << 12
-    # fused Pallas grouped reduction (ops/preagg_pallas.py): proven exact
-    # and faster at G>=1024, but this environment's tunneled TPU compiler
-    # rejects Pallas modules traced under x64 (BASELINE.md) — enable on
-    # runtimes with a local compiler
+    # fully fused Pallas grouped aggregation (ops/preagg_fused.py): builds
+    # the limb matrix AND the one-hot in VMEM — the default TPU path
+    use_fused_preagg: bool = True
+    # run the fused kernel in Pallas interpret mode on the CPU backend
+    # (tests); off by default — interpret mode is slow
+    force_fused_preagg_cpu: bool = False
+    # older half-fused Pallas reduction (ops/preagg_pallas.py): takes a
+    # pre-materialized V, pads it to 128 lanes in HBM; kept for comparison
     use_pallas_reduce: bool = False
     join_max_bucket_probe: int = 16       # bounded probe-chain length before fallback
     mqueue_timeout_ms: int = 60_000       # reference pg_strom.mqueue_timeout

@@ -577,13 +577,29 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
             bucket = (h & jnp.uint32(G - 1)).astype(jnp.int32)
             seg_id = jnp.where(mask, bucket, jnp.int32(G))
             seg_id, mask = jax.lax.optimization_barrier((seg_id, mask))
-            V, f4exps = build_mxu_columns(keys, aggs, arg_vals, mask, n)
-            # only shadow columns pay the (TPU-emulated) f64 reduction
-            _, slotr_static, _ = mxu_recipes(
-                [g.type for g in group_exprs], aggs,
-                [tuple(a.type for a in inst.args) for inst in aggs])
-            sums, fsums = mxu_reduce(V, seg_id, G, n,
-                                     fsum_cols=mxu_shadow_cols(slotr_static))
+            key_ts = [g.type for g in group_exprs]
+            arg_ts = [tuple(a.type for a in inst.args) for inst in aggs]
+            fused = None
+            from ..config import config as _cfg
+            if (getattr(_cfg, "use_fused_preagg", True)
+                    and (jax.default_backend() != "cpu"
+                         or getattr(_cfg, "force_fused_preagg_cpu", False))
+                    and G <= 2048):
+                # fused Pallas kernel: limb-matrix build + one-hot matmul in
+                # VMEM (the XLA formulation spends ~80% of chunk time
+                # materializing the limb matrix in HBM — preagg_fused.py)
+                from .preagg_fused import fused_supported, fused_mxu_reduce
+                if fused_supported(key_ts, aggs, arg_ts):
+                    fused = fused_mxu_reduce(keys, aggs, arg_vals, mask,
+                                             seg_id, G, n, key_ts, arg_ts)
+            if fused is not None:
+                sums, fsums, f4exps = fused
+            else:
+                V, f4exps = build_mxu_columns(keys, aggs, arg_vals, mask, n)
+                # only shadow columns pay the (TPU-emulated) f64 reduction
+                _, slotr_static, _ = mxu_recipes(key_ts, aggs, arg_ts)
+                sums, fsums = mxu_reduce(
+                    V, seg_id, G, n, fsum_cols=mxu_shadow_cols(slotr_static))
             row_idx = jnp.arange(n, dtype=jnp.int64)
             slot_out = []
             for inst, vs in zip(aggs, arg_vals):

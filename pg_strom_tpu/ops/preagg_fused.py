@@ -1,0 +1,443 @@
+"""Fused Pallas grouped-aggregation kernel: V-matrix build + one-hot matmul
+in VMEM.
+
+The XLA MXU strategy (ops/preagg_mxu.py) materializes the N x S bf16 limb
+matrix in HBM before the one-hot dot; measured on v5e that materialization
+is ~80% of the flagship chunk time (tools/bench_vbuild.py: 40ms of 44ms at
+16M rows).  This kernel reads the per-slot *source lanes* (u32 limb words,
+f32 magnitude lanes, bool ok lanes — a few hundred MB) and builds each
+(TILE, 128) column tile in VMEM, so the limb matrix never exists in HBM:
+
+    per tile:  limbs/digits (VPU)  ->  V tile (VMEM, bf16)
+               one-hot(seg tile)   ->  (TILE, G) bf16 (VMEM)
+               acc[G, 128] += oh^T @ V   (MXU, f32)
+    every 64k rows: flush acc into int32 (hi, lo) pairs — f32 partial sums
+    stay < 2^24 so integer columns are EXACT; shadow lanes accumulate in a
+    separate f32 accumulator (threshold guards; inf/nan propagate).
+
+Output contract is bit-compatible with preagg_mxu: the XLA epilogue maps
+physical kernel columns onto the mxu_recipes layout ((G, S) int64 sums +
+shadow fsums), so mxu_host_groups / mxu_extract_slot / mxu_absorb run
+unchanged.  Key sumsq avoids 64-bit device math by decomposing
+kb^2 = a^2*2^32 + ab*2^17 + b^2 (kb = a*2^16 + b) into three u32 limb
+blocks the epilogue recombines at the right limb positions.
+
+Supported slot kinds: nrows / count / sum_i / sumsq_i / sum_f(float4) +
+the key constancy (Cauchy-Schwarz) blocks.  Chunks needing f64 double-float
+blocks (float8 sums, stddev/corr families) fall back to the XLA MXU path.
+
+x64-cleanliness (this tunnel's Mosaic service): explicit jnp.int32/uint32
+scalars everywhere; BlockSpec index maps write `i * 0`, never a literal 0
+(tools/pallas_x64_bisect2.py: a literal becomes an i64 scalar Mosaic fails
+to legalize).
+
+Reference parity: the gpupreagg preparation+reduction pipeline
+(opencl_gpupreagg.h:380-615) as a single fused systolic-array kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..sqltypes import T
+from .preagg_mxu import (F4_LIMBS, _kind_mxu_ok, _f4_scale_exp,
+                         mxu_recipes, mxu_shadow_cols)
+
+FLUSH_ROWS = 1 << 16           # f32 partial sums of 8-bit limbs stay < 2^24
+MAX_G = 1 << 11
+LANES = 128                    # kernel accumulator width (one MXU block)
+
+_FUSED_KINDS = {"nrows", "count", "sum_i", "sumsq_i", "sum_f"}
+
+
+def fused_supported(key_types: Sequence[T], aggs, arg_types) -> bool:
+    """True when every MXU-eligible slot kind of the plan is fusable.
+
+    Kinds outside the MXU set (min/max/numeric) run their scatter side-path
+    either way; an MXU-eligible kind we can't fuse (f64 double-float
+    blocks) means the whole chunk should use the XLA MXU formulation so the
+    recipe layout stays consistent."""
+    if not key_types:
+        return False
+    for inst, at in zip(aggs, arg_types):
+        a_t = at[0] if at else None
+        for kind in inst.slots:
+            if not _kind_mxu_ok(kind, a_t):
+                continue                       # scatter side-path, fine
+            if kind not in _FUSED_KINDS:
+                return False
+            if kind == "sum_f" and a_t is not T.FLOAT4:
+                return False                   # f64 double-float block
+    return True
+
+
+# ---------------------------------------------------------------------------
+# plan: static description of kernel inputs + physical columns + epilogue map
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class _Plan:
+    # ops: tuple of (opcode, input_index[, f4_slot_no])
+    #   "mask"   -> 1 col   (seg != G)
+    #   "bool"   -> 1 col   (bool lane & mask)
+    #   "limbs4" -> 4 cols  (u32 lane, already masked/encoded by XLA)
+    #   "f4"     -> F4_LIMBS cols (masked magnitude f32 lane, scale slot)
+    #   "f32"    -> 1 col   (masked f32 lane, bf16-quantized shadow)
+    ops: tuple
+    n_inputs: int
+    n_f4: int
+    ncols: int                 # physical columns (<= LANES)
+    # epilogue: (recipe_col, phys_col, int multiplier) for integer sums
+    int_map: tuple
+    # (recipe_shadow_col, phys_col) pairs, recipe order = mxu_shadow_cols
+    shadow_map: tuple
+
+
+def _build_plan(key_types: Sequence[T], aggs, arg_types):
+    keyr, slotr, S = mxu_recipes(key_types, aggs, arg_types)
+    ops: list = []
+    int_map: list = []
+    shadow_map: list = []
+    n_in = 0
+    n_f4 = 0
+    col = 0
+
+    def new_in() -> int:
+        nonlocal n_in
+        n_in += 1
+        return n_in - 1
+
+    def emit(op) -> int:
+        nonlocal col
+        ops.append(op)
+        k = {"mask": 1, "bool": 1, "limbs4": 4, "f32": 1}.get(op[0], F4_LIMBS)
+        c = col
+        col += k
+        return c
+
+    # col 0: bucket row count (mask) — recipe col 0
+    int_map.append((0, emit(("mask",)), 1))
+
+    for kr in keyr:
+        kb = new_in()              # u32: biased masked key
+        a2, ab, b2 = new_in(), new_in(), new_in()
+        okk = new_in()             # bool
+        c = emit(("limbs4", kb))
+        for j in range(4):
+            int_map.append((kr.sum_limbs[j], c + j, 1))
+        # kb^2 = a^2*2^32 + ab*2^17 + b^2   (2^17 = 2 * 2^16 -> limb 2, x2)
+        c = emit(("limbs4", b2))
+        for j in range(4):
+            int_map.append((kr.sumsq_limbs[j], c + j, 1))
+        c = emit(("limbs4", ab))
+        for j in range(4):
+            int_map.append((kr.sumsq_limbs[j + 2], c + j, 2))
+        c = emit(("limbs4", a2))
+        for j in range(4):
+            int_map.append((kr.sumsq_limbs[j + 4], c + j, 1))
+        int_map.append((kr.nval, emit(("bool", okk)), 1))
+
+    for inst, at, rd in zip(aggs, arg_types, slotr):
+        for kind, r in rd.items():
+            if kind in ("nrows", "count"):
+                i = new_in()       # bool ok lane (mask applied in kernel)
+                int_map.append((r.limbs[0], emit(("bool", i)), 1))
+            elif kind == "sum_i":
+                lo, hi = new_in(), new_in()
+                c = emit(("limbs4", lo))
+                for j in range(4):
+                    int_map.append((r.limbs[j], c + j, 1))
+                c = emit(("limbs4", hi))
+                for j in range(4):
+                    int_map.append((r.limbs[j + 4], c + j, 1))
+                okc = new_in()
+                int_map.append((r.okcnt, emit(("bool", okc)), 1))
+                sh = new_in()      # |v| f32, masked by XLA
+                shadow_map.append((r.shadow, emit(("f32", sh))))
+            elif kind == "sumsq_i":
+                lo, hi = new_in(), new_in()
+                c = emit(("limbs4", lo))
+                for j in range(4):
+                    int_map.append((r.limbs[j], c + j, 1))
+                c = emit(("limbs4", hi))
+                for j in range(4):
+                    int_map.append((r.limbs[j + 4], c + j, 1))
+            elif kind == "sum_f":
+                pos, neg = new_in(), new_in()
+                c = emit(("f4", pos, n_f4))
+                for j in range(F4_LIMBS):
+                    int_map.append((r.limbs[j], c + j, 1))
+                c = emit(("f4", neg, n_f4))
+                for j in range(F4_LIMBS):
+                    int_map.append((r.neg_limbs[j], c + j, 1))
+                sh = new_in()      # absx = pos + neg, but masked lane is
+                shadow_map.append((r.shadow, emit(("f32", sh))))
+                n_f4 += 1
+            else:                  # pragma: no cover — fused_supported gates
+                raise ValueError(kind)
+
+    if col > LANES:
+        return None, S
+    shadow_map.sort(key=lambda p: p[0])
+    return _Plan(ops=tuple(ops), n_inputs=n_in, n_f4=n_f4, ncols=col,
+                 int_map=tuple(int_map), shadow_map=tuple(shadow_map)), S
+
+
+@functools.lru_cache(maxsize=256)
+def _plan_cached(key_types: tuple, slots_sig: tuple, arg_types: tuple):
+    class _Inst:                      # minimal view for mxu_recipes
+        def __init__(self, slots):
+            self.slots = slots
+    aggs = [_Inst(list(s)) for s in slots_sig]
+    return _build_plan(list(key_types), aggs, list(arg_types))
+
+
+def _pick_tile(G: int) -> int:
+    t = max(512, min(2048, (4 << 20) // (2 * G)))
+    return 1 << (t.bit_length() - 1)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _build_kernel(plan: _Plan, N: int, G: int, TILE: int):
+    # interpret (CPU) vs compiled (TPU) must not share cache entries
+    return _build_kernel_impl(plan, N, G, TILE,
+                              jax.default_backend() == "cpu")
+
+
+@functools.lru_cache(maxsize=128)
+def _build_kernel_impl(plan: _Plan, N: int, G: int, TILE: int,
+                       interpret: bool):
+    nsteps = N // TILE
+    flush_every = max(FLUSH_ROWS // TILE, 1)
+    K = plan.ncols
+    nsc = max(plan.n_f4, 1)
+
+    def kernel(*refs):
+        seg_ref = refs[0]
+        in_refs = refs[1:1 + plan.n_inputs]
+        sc_ref = refs[1 + plan.n_inputs]
+        hi_ref, lo_ref, sh_ref = refs[2 + plan.n_inputs:5 + plan.n_inputs]
+        acc, hi_acc, lo_acc, sh_acc = refs[5 + plan.n_inputs:]
+        step = pl.program_id(0)
+
+        @pl.when(step == jnp.int32(0))
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+            hi_acc[:] = jnp.zeros_like(hi_acc)
+            lo_acc[:] = jnp.zeros_like(lo_acc)
+            sh_acc[:] = jnp.zeros_like(sh_acc)
+
+        # TRANSPOSED build: every computed column lives as a (1, TILE) row
+        # (lane dim = TILE — the natural TPU vector layout; a (TILE, 1)
+        # column block pads to 128 lanes and OOMs VMEM 128x).  Lanes arrive
+        # 1-D and are reshaped to (1, TILE) in their integer/float dtype
+        # (bf16 1-D reshapes are the one case Mosaic rejects).
+        seg = seg_ref[:].reshape(1, TILE)      # int32
+        mask = seg < jnp.int32(G)
+
+        rows: list = []
+        for op in plan.ops:
+            if op[0] == "mask":
+                rows.append(mask.astype(jnp.bfloat16))
+            elif op[0] == "bool":
+                b = in_refs[op[1]][:].reshape(1, TILE) & mask
+                rows.append(b.astype(jnp.bfloat16))
+            elif op[0] == "limbs4":
+                u = in_refs[op[1]][:].reshape(1, TILE)
+                sh = (jax.lax.broadcasted_iota(jnp.uint32, (4, TILE), 0)
+                      * jnp.uint32(8))
+                # Mosaic has no u32->bf16 cast; limbs are <= 255 so i32 is
+                # an exact intermediate
+                rows.append(((u >> sh) & jnp.uint32(0xFF))
+                            .astype(jnp.int32).astype(jnp.bfloat16))
+            elif op[0] == "f4":
+                x = in_refs[op[1]][:].reshape(1, TILE)
+                sc = sc_ref[0, op[2]]          # static indices (not traced)
+                v = x * sc
+                high_first = []
+                for _ in range(F4_LIMBS):
+                    v = v * jnp.float32(256.0)
+                    d = jnp.floor(v)
+                    v = v - d
+                    high_first.append(d.astype(jnp.bfloat16))
+                rows.extend(reversed(high_first))
+            else:                      # "f32" shadow lane
+                rows.append(in_refs[op[1]][:].reshape(1, TILE)
+                            .astype(jnp.bfloat16))
+        if K < LANES:
+            rows.append(jnp.zeros((LANES - K, TILE), jnp.bfloat16))
+        Vt = jnp.concatenate(rows, axis=0)     # (LANES, TILE)
+
+        oht = (seg == jax.lax.broadcasted_iota(jnp.int32, (G, TILE), 0)
+               ).astype(jnp.bfloat16)          # (G, TILE)
+        acc[:] += jax.lax.dot_general(
+            oht, Vt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when((step % jnp.int32(flush_every)
+                  == jnp.int32(flush_every - 1))
+                 | (step == jnp.int32(nsteps - 1)))
+        def _():
+            a = acc[:]
+            sh_acc[:] += a            # shadow lanes; int lanes unused there
+            t = a.astype(jnp.int32)   # int lanes; shadow lanes unused there
+            lo_acc[:] += t & jnp.int32(0xFFF)
+            hi_acc[:] += t >> jnp.int32(12)
+            acc[:] = jnp.zeros_like(acc)
+
+        @pl.when(step == jnp.int32(nsteps - 1))
+        def _():
+            hi_ref[:] = hi_acc[:]
+            lo_ref[:] = lo_acc[:]
+            sh_ref[:] = sh_acc[:]
+
+    lane_spec = pl.BlockSpec((TILE,), lambda i: (i,),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((G, LANES), lambda i: (i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+    # CPU (tests / no-TPU): interpret mode executes the same kernel in
+    # python semantics — exactness tests run without a chip
+    return pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        interpret=interpret,
+        in_specs=([lane_spec] * (1 + plan.n_inputs)
+                  + [pl.BlockSpec((1, nsc), lambda i: (i * 0, i * 0),
+                                  memory_space=pltpu.VMEM)]),
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((G, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((G, LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((G, LANES), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((G, LANES), jnp.float32),
+                        pltpu.VMEM((G, LANES), jnp.int32),
+                        pltpu.VMEM((G, LANES), jnp.int32),
+                        pltpu.VMEM((G, LANES), jnp.float32)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLA side: lane encoding + kernel call + epilogue into the mxu layout
+# ---------------------------------------------------------------------------
+
+def _u64_split(u: jnp.ndarray):
+    lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (u >> jnp.uint64(32)).astype(jnp.uint32)
+    return lo, hi
+
+
+def fused_mxu_reduce(key_vals, aggs, arg_vals, mask: jnp.ndarray,
+                     seg_id: jnp.ndarray, G: int, n: int,
+                     key_types, arg_types):
+    """Drop-in for build_mxu_columns + mxu_reduce on TPU.
+
+    Returns (sums int64[G, S], fsums f64[G, n_shadow], f4exps) with the
+    exact preagg_mxu output contract, or None when the plan can't fuse."""
+    plan, S = _plan_cached(tuple(key_types),
+                           tuple(tuple(i.slots) for i in aggs),
+                           tuple(arg_types))
+    if plan is None:
+        return None
+
+    inputs: list = [None] * plan.n_inputs
+    f4_exps: list = []
+    scales: list = []
+    ii = 0
+
+    def put(v):
+        nonlocal ii
+        inputs[ii] = v
+        ii += 1
+
+    for k in key_vals:
+        okk = mask & k.valid
+        kb = (jax.lax.bitcast_convert_type(k.data.astype(jnp.int32),
+                                           jnp.uint32)
+              ^ jnp.uint32(0x80000000))
+        kb = jnp.where(okk, kb, jnp.uint32(0))
+        a = kb >> jnp.uint32(16)
+        b = kb & jnp.uint32(0xFFFF)
+        put(kb); put(a * a); put(a * b); put(b * b); put(okk)
+
+    for inst, vals in zip(aggs, arg_vals):
+        a_ = vals[0] if vals else None
+        ok = mask if a_ is None else (mask & a_.valid)
+        if len(vals) == 2:
+            ok = mask & vals[0].valid & vals[1].valid
+        for kind in inst.slots:
+            if not _kind_mxu_ok(kind, a_.t if a_ is not None else None):
+                continue
+            if kind in ("nrows", "count"):
+                put(mask if kind == "nrows" else ok)
+            elif kind == "sum_i":
+                v = jnp.where(ok, a_.data.astype(jnp.int64), jnp.int64(0))
+                lo, hi = _u64_split(jnp.where(
+                    ok, v.astype(jnp.uint64) + jnp.uint64(1 << 63),
+                    jnp.uint64(0)))
+                put(lo); put(hi); put(ok)
+                put(jnp.where(ok, jnp.abs(a_.data.astype(jnp.float32)),
+                              jnp.float32(0.0)))
+            elif kind == "sumsq_i":
+                v = jnp.where(ok, a_.data.astype(jnp.int64), jnp.int64(0))
+                lo, hi = _u64_split((v * v).astype(jnp.uint64))
+                put(lo); put(hi)
+            elif kind == "sum_f":
+                absx = jnp.where(ok, jnp.abs(a_.data.astype(jnp.float32)),
+                                 jnp.float32(0.0))
+                sc, e = _f4_scale_exp(absx)
+                f4_exps.append(e)
+                scales.append(sc)
+                put(jnp.where(a_.data > 0, absx, jnp.float32(0.0)))
+                put(jnp.where(a_.data < 0, absx, jnp.float32(0.0)))
+                put(absx)
+    assert ii == plan.n_inputs
+
+    TILE = _pick_tile(G)
+    pad = (-n) % TILE
+    if pad:
+        seg_id = jnp.pad(seg_id, (0, pad), constant_values=G)
+        inputs = [jnp.pad(v, (0, pad)) for v in inputs]
+    N = n + pad
+    sc_arr = (jnp.stack(scales).reshape(1, -1) if scales
+              else jnp.zeros((1, 1), jnp.float32))
+
+    hi, lo, sh = _build_kernel(plan, N, G, TILE)(seg_id, *inputs, sc_arr)
+    ints = (hi.astype(jnp.int64) << 12) + lo.astype(jnp.int64)
+
+    sums = jnp.zeros((G, S), jnp.int64)
+    # group epilogue adds by (recipe column, multiplier) so each scatter-add
+    # is one vectorized .at[].add
+    by_mult: dict = {}
+    for rc, pc, m in plan.int_map:
+        by_mult.setdefault(m, []).append((rc, pc))
+    for m, pairs in by_mult.items():
+        rcs = np.asarray([p[0] for p in pairs], np.int32)
+        pcs = np.asarray([p[1] for p in pairs], np.int32)
+        sums = sums.at[:, rcs].add(ints[:, pcs] * jnp.int64(m))
+
+    sh_cols = mxu_shadow_cols([
+        d for d in _recipes_slotr(key_types, aggs, arg_types)])
+    if plan.shadow_map:
+        assert [rc for rc, _ in plan.shadow_map] == sh_cols
+        pcs = np.asarray([pc for _, pc in plan.shadow_map], np.int32)
+        fsums = sh[:, pcs].astype(jnp.float64)
+    else:
+        fsums = jnp.zeros((G, 0), jnp.float64)
+
+    exps = (jnp.stack(f4_exps) if f4_exps else jnp.zeros(0, jnp.int32))
+    return sums, fsums, exps
+
+
+def _recipes_slotr(key_types, aggs, arg_types):
+    _, slotr, _ = mxu_recipes(list(key_types), aggs, list(arg_types))
+    return slotr
