@@ -772,11 +772,29 @@ def _topk_rows(cur: Table, bpred, bitems, borders, k: int,
                 streamed = 0
     drain()
 
+    def exact_rerun(cc):
+        """Prefix-tie overflow in the threshold top-k: re-run this chunk with
+        the exact full-sort variant (host-driven retry, the DataStoreNoSpace
+        analog — see ops/sort.build_sort_topk_fn)."""
+        ekey = key + ("exact",)
+        efn = _SCAN_JIT.get(ekey)
+        if efn is None:
+            import jax as _jax
+            efn = _jax.jit(build_sort_topk_fn(schema, list(specs), bpred,
+                                              min(k, cap), exact=True))
+            _SCAN_JIT[ekey] = efn
+        with perfmon.timer("dispatch"):
+            r = efn(cc.planes, np.int32(cc.nrows))
+        with perfmon.timer("device_wait"):
+            return fetch_host([r])[0]
+
     lanes_all: list[np.ndarray] = []
     gids_all: list[np.ndarray] = []
     nqual_total = 0
     nlanes = None
-    for cc, (top, tops, nqual, err) in results:
+    for cc, (top, tops, nqual, err, ovf) in results:
+        if bool(np.asarray(ovf)):
+            top, tops, nqual, err, ovf = exact_rerun(cc)
         if int(err) != 0:
             return None                # exactness escape: host path
         nqual_total += int(nqual)

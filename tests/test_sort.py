@@ -116,3 +116,77 @@ class TestSort:
         got, want = run_sort(spec, [SortSpec(ColumnRef(type=T.FLOAT4, name="x"),
                                              descending=True)])
         assert got == want
+
+
+def run_topk(cols_spec, specs, k, exact=False):
+    from pg_strom_tpu.ops.sort import build_sort_topk_fn
+    names = [n for n, _, _ in cols_spec]
+    cols = [column_from_values(t, vs) for _, t, vs in cols_spec]
+    n = len(cols_spec[0][2])
+    layout = {nm: i for i, nm in enumerate(names)}
+    bound = [SortSpec(bind_columns(s.expr, layout), s.descending, s.nulls_first)
+             for s in specs]
+    schema = schema_from_chunk_columns(names, cols)
+    fn = jax.jit(build_sort_topk_fn(schema, bound, None, k, exact=exact))
+    planes = tuple(planes_of_column(c) for c in cols)
+    top, tops, nqual, err, ovf = fn(planes, np.int32(n))
+    assert int(err) == 0
+    assert int(nqual) == n
+    top = np.asarray(top)
+    got = [tuple(cols[layout[s.expr.name]].get(int(p)) for s in specs)
+           for p in top]
+    rows = [tuple(cols[layout[s.expr.name]].get(i) for s in specs)
+            for i in range(n)]
+    want = sorted(rows, key=pg_sort_key([(s.descending, s.nulls_go_first())
+                                         for s in specs]))[:min(k, n)]
+    return got, want, bool(np.asarray(ovf))
+
+
+class TestTopK:
+    """build_sort_topk_fn's three strategies (packed / threshold / exact)."""
+
+    def test_packed_topk_int4(self):
+        # 1(qual)+1(null)+32 key bits + rbits fits one word -> packed path
+        rng = np.random.default_rng(11)
+        vals = [int(v) if rng.random() > 0.05 else None
+                for v in rng.integers(-1000, 1000, 4096)]
+        got, want, ovf = run_topk([("a", T.INT4, vals)],
+                                  [SortSpec(ColumnRef(type=T.INT4, name="a"))],
+                                  k=37)
+        assert not ovf and got == want
+
+    def test_threshold_topk_float8(self):
+        # 66 key bits -> threshold path; continuous data, few prefix ties
+        rng = np.random.default_rng(12)
+        vals = [float(v) if rng.random() > 0.05 else None
+                for v in rng.standard_normal(4096)]
+        got, want, ovf = run_topk(
+            [("x", T.FLOAT8, vals)],
+            [SortSpec(ColumnRef(type=T.FLOAT8, name="x"), descending=True)],
+            k=50)
+        assert not ovf and got == want
+
+    def test_threshold_topk_multikey(self):
+        rng = np.random.default_rng(13)
+        n = 4096
+        a = [int(v) for v in rng.integers(0, 8, n)]
+        b = [float(v) if rng.random() > 0.1 else None
+             for v in rng.standard_normal(n)]
+        got, want, ovf = run_topk(
+            [("a", T.INT4, a), ("b", T.FLOAT8, b)],
+            [SortSpec(ColumnRef(type=T.INT4, name="a"), descending=True),
+             SortSpec(ColumnRef(type=T.FLOAT8, name="b"))],
+            k=64)
+        assert not ovf and got == want
+
+    def test_threshold_overflow_flags_and_exact_matches(self):
+        # constant key: every row ties at the threshold prefix -> ovf set;
+        # the exact=True variant (what the planner re-runs) must be right
+        n = 4096
+        vals = [1.0] * n
+        spec = [("x", T.FLOAT8, vals)]
+        ss = [SortSpec(ColumnRef(type=T.FLOAT8, name="x"))]
+        _, _, ovf = run_topk(spec, ss, k=50)
+        assert ovf
+        got, want, ovf2 = run_topk(spec, ss, k=50, exact=True)
+        assert not ovf2 and got == want

@@ -186,3 +186,43 @@ class TestSubqueries:
         from pg_strom_tpu.plan.binder import BindError
         with pytest.raises((SqlError, BindError)):
             execute("select (select k from b)", db)
+
+
+class TestTopKPushdown:
+    """ORDER BY ... LIMIT through the planner's device top-k path
+    (plan/planner._topk_rows), including the prefix-tie overflow ->
+    exact-rerun retry contract."""
+
+    @pytest.fixture(scope="class")
+    def tdb(self):
+        rng = np.random.default_rng(7)
+        n = 4096
+        db = Database()
+        db.create(Table.from_columns("t", {
+            "id": column_from_values(T.INT4, list(range(n))),
+            "x": column_from_values(
+                T.FLOAT8, [float(v) for v in rng.standard_normal(n)]),
+            "c": column_from_values(T.FLOAT8, [1.0] * n),   # all ties
+        }))
+        return db
+
+    def test_threshold_topk(self, tdb):
+        r = execute("select id, x from t order by x desc limit 10", tdb).rows
+        xs = [row[1] for row in r]
+        assert xs == sorted(xs, reverse=True) and len(r) == 10
+        top = execute("select max(x) from t", tdb).rows[0][0]
+        assert xs[0] == top
+
+    def test_tie_overflow_exact_rerun(self, tdb):
+        # constant sort key: every prefix ties -> device flags ovf, planner
+        # re-runs the chunk with the exact full-sort variant; stability =
+        # row order, so the first 5 ids win
+        r = execute("select id from t order by c limit 5", tdb).rows
+        assert r == [(0,), (1,), (2,), (3,), (4,)]
+
+    def test_topk_with_where(self, tdb):
+        r = execute("select id, x from t where id >= 4000 "
+                    "order by x limit 3", tdb).rows
+        assert len(r) == 3 and all(row[0] >= 4000 for row in r)
+        xs = [row[1] for row in r]
+        assert xs == sorted(xs)
