@@ -50,6 +50,24 @@ def _get_jitted(schema, group_exprs, aggs, pred, G, cap, strategy="scatter"):
     return fn
 
 
+# Cross-query group-count memo: (key column uids, group expr reprs) ->
+# observed number of groups.  One-hot matmul cost scales linearly with the
+# bucket count G, so repeated GROUP BYs over unchanged data start at a
+# right-sized G instead of config.max_groups_device (the tcache analog of
+# the reference's cross-query hash-table reuse); column uids pin the data
+# version — any mutation assigns fresh uids and drops the memo.  The
+# salt/escalation retry ladder keeps correctness if the memo underestimates.
+_GROUP_STATS: dict[tuple, int] = {}
+_GROUP_STATS_CAP = 4096
+
+
+def _pow2_at_least(x: int) -> int:
+    p = 1
+    while p < x:
+        p <<= 1
+    return p
+
+
 def _device_supported(pred, group_exprs, aggs) -> bool:
     for e in ([] if pred is None else [pred]) + list(group_exprs):
         if not device_expression_supported(e):
@@ -99,6 +117,7 @@ class PreAggExecutor:
         self.aggs = list(aggs)
         self.layout_names = table.column_names
         self.perfmon = perfmon or Perfmon()
+        self._gskey: tuple | None = None
 
     def run(self) -> list[tuple]:
         """Returns rows: (key_values..., agg_values...) in no defined order."""
@@ -119,6 +138,14 @@ class PreAggExecutor:
             return self._finalize(states, displays)
 
         G = config.max_groups_device
+        self._gskey = self._gstats_key()
+        if self._gskey is not None:
+            obs = _GROUP_STATS.get(self._gskey)
+            if obs is not None:
+                # 2x headroom over the observed count; 128 floor = one MXU
+                # output block (smaller G pads back to 128 on the MXU anyway)
+                G = min(max(128, _pow2_at_least(2 * max(obs, 1))),
+                        config.max_groups_device)
         cap = chunk_capacity(self.table.nrows)
         self._schema = schema_from_chunk_columns(
             self.layout_names,
@@ -245,7 +272,23 @@ class PreAggExecutor:
         with pm.timer("cpu_fallback"):
             self._replay(cc.host_chunk(self.table), states, displays)
 
+    def _gstats_key(self) -> tuple | None:
+        if not self.group_exprs:
+            return None
+        uids = []
+        for g in self.group_exprs:
+            for nm in referenced_columns(g):
+                c = self.table.columns.get(nm)
+                if c is None:
+                    return None
+                uids.append(c.uid)
+        return (tuple(uids), tuple(repr(g) for g in self.group_exprs))
+
     def _finalize(self, states, displays) -> list[tuple]:
+        if self._gskey is not None:
+            if len(_GROUP_STATS) >= _GROUP_STATS_CAP:
+                _GROUP_STATS.pop(next(iter(_GROUP_STATS)))
+            _GROUP_STATS[self._gskey] = len(states)
         return finalize_agg_states(self.group_exprs, self.aggs, states,
                                    displays)
 

@@ -304,6 +304,42 @@ def _gref(garr: jnp.ndarray, seg_id) -> jnp.ndarray:
     return garr[0] if seg_id is None else garr[seg_id]
 
 
+_DENSE_KEY_TYPES = (T.BOOL, T.INT2, T.INT4, T.DATE, T.TEXT, T.BPCHAR,
+                    T.INT8, T.TIME, T.TIMESTAMP)
+
+
+def _bucket_ids(keys, mask: jnp.ndarray, salt, G: int) -> jnp.ndarray:
+    """Per-row bucket id in [0, G); rows outside `mask` get G (dropped).
+
+    A single narrow int-lane key (ints, date, dict-coded text) whose chunk
+    value range fits the bucket count uses DENSE range bucketing
+    (bucket = key - min(key); NULL keys get their own bucket at range+1) —
+    collision-free by construction, so the executor's salt/escalation retry
+    ladder never fires for the common small-key GROUP BY.  Everything else
+    falls back to salted-hash buckets with host-verified key constancy.
+    The dense test is per-chunk and in-trace: no host round trip, no stats."""
+    hs = [hash_column32(k.t, k.data, k.valid,
+                        k.exp if k.t is T.NUMERIC else None,
+                        getattr(k, "bits", None)) for k in keys]
+    h = _mix32(combine_hashes32(hs) ^ salt.astype(jnp.uint32))
+    bucket = (h & jnp.uint32(G - 1)).astype(jnp.int32)
+    if len(keys) == 1 and keys[0].t in _DENSE_KEY_TYPES:
+        k = keys[0]
+        okk = mask & k.valid
+        kd = k.data.astype(jnp.int64)
+        big = jnp.int64(1 << 62)
+        kmin = jnp.min(jnp.where(okk, kd, big))
+        kmax = jnp.max(jnp.where(okk, kd, -big))
+        # int64 wrap on a huge range flips rng negative -> dense_ok False
+        rng = kmax - kmin
+        # <= G-2 leaves bucket rng+1 free for the NULL-key group
+        dense_ok = (rng >= jnp.int64(0)) & (rng <= jnp.int64(G - 2))
+        dense = jnp.where(k.valid, (kd - kmin).astype(jnp.int32),
+                          (rng + 1).astype(jnp.int32))
+        bucket = jnp.where(dense_ok, dense, bucket)
+    return jnp.where(mask, bucket, jnp.int32(G))
+
+
 def _ndigits(m_abs: jnp.ndarray) -> jnp.ndarray:
     """decimal digit count of |mant| lanes (0 -> 0)."""
     nd = jnp.zeros_like(m_abs, dtype=jnp.int32)
@@ -570,12 +606,7 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
                 build_mxu_columns, mxu_reduce, mxu_recipes, mxu_shadow_cols,
                 _kind_mxu_ok,
             )
-            hs = [hash_column32(k.t, k.data, k.valid,
-                                k.exp if k.t is T.NUMERIC else None,
-                                getattr(k, "bits", None)) for k in keys]
-            h = _mix32(combine_hashes32(hs) ^ salt.astype(jnp.uint32))
-            bucket = (h & jnp.uint32(G - 1)).astype(jnp.int32)
-            seg_id = jnp.where(mask, bucket, jnp.int32(G))
+            seg_id = _bucket_ids(keys, mask, salt, G)
             seg_id, mask = jax.lax.optimization_barrier((seg_id, mask))
             key_ts = [g.type for g in group_exprs]
             arg_ts = [tuple(a.type for a in inst.args) for inst in aggs]
@@ -619,13 +650,7 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
         if group_exprs and strategy == "scatter":
             # all-uint32 hashing: u64 chains feeding scatters measured ~1000x
             # slower on TPU (emulated 64-bit ops in the scatter fusion)
-            hs = [hash_column32(k.t, k.data, k.valid,
-                                k.exp if k.t is T.NUMERIC else None,
-                                getattr(k, "bits", None)) for k in keys]
-            h = combine_hashes32(hs)
-            h = _mix32(h ^ salt.astype(jnp.uint32))
-            bucket = (h & jnp.uint32(G - 1)).astype(jnp.int32)
-            seg_id = jnp.where(mask, bucket, jnp.int32(G))
+            seg_id = _bucket_ids(keys, mask, salt, G)
             # keep the hash chain OUT of the scatter fusions: measured on
             # TPU, fusing the bucket computation into scatter operands
             # slows segment reductions by orders of magnitude

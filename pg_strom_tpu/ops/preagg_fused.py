@@ -11,6 +11,11 @@ f32 magnitude lanes, bool ok lanes — a few hundred MB) and builds each
     per tile:  limbs/digits (VPU)  ->  V tile (VMEM, bf16)
                one-hot(seg tile)   ->  (TILE, G) bf16 (VMEM)
                acc[G, 128] += oh^T @ V   (MXU, f32)
+
+    Derived-lane encode: the key-square limb blocks (b^2/ab/a^2 from the
+    biased key word) and the float pos/neg/|.| triplet (from one signed
+    lane) are computed IN-KERNEL rather than as XLA-encoded HBM lanes —
+    5 of the flagship's 13 input lanes never touch HBM.
     every 64k rows: flush acc into int32 (hi, lo) pairs — f32 partial sums
     stay < 2^24 so integer columns are EXACT; shadow lanes accumulate in a
     separate f32 accumulator (threshold guards; inf/nan propagate).
@@ -49,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..sqltypes import T
 from .preagg_mxu import (F4_LIMBS, _kind_mxu_ok, _f4_scale_exp,
-                         mxu_recipes, mxu_shadow_cols)
+                         mxu_recipes, mxu_shadow_cols, _KEY_WIDE_TYPES)
 
 FLUSH_ROWS = 1 << 16           # f32 partial sums of 8-bit limbs stay < 2^24
 MAX_G = 1 << 11
@@ -89,7 +94,13 @@ class _Plan:
     #   "mask"   -> 1 col   (seg != G)
     #   "bool"   -> 1 col   (bool lane & mask)
     #   "limbs4" -> 4 cols  (u32 lane, already masked/encoded by XLA)
+    #   "ksq12"  -> 12 cols (b^2, a*b, a^2 limb blocks derived IN-KERNEL from
+    #                        the biased key word kb = a*2^16 + b — saves three
+    #                        encoded u32 lanes of HBM traffic per key)
     #   "f4"     -> F4_LIMBS cols (masked magnitude f32 lane, scale slot)
+    #   "f4pm"   -> 2*F4_LIMBS cols (pos then neg digit blocks derived
+    #                        IN-KERNEL from one signed masked f32 lane)
+    #   "fabs"   -> 1 col   (|lane| bf16 shadow, derived in-kernel)
     #   "f32"    -> 1 col   (masked f32 lane, bf16-quantized shadow)
     ops: tuple
     n_inputs: int
@@ -118,7 +129,8 @@ def _build_plan(key_types: Sequence[T], aggs, arg_types):
     def emit(op) -> int:
         nonlocal col
         ops.append(op)
-        k = {"mask": 1, "bool": 1, "limbs4": 4, "f32": 1}.get(op[0], F4_LIMBS)
+        k = {"mask": 1, "bool": 1, "limbs4": 4, "ksq12": 12,
+             "f4pm": 2 * F4_LIMBS, "fabs": 1, "f32": 1}.get(op[0], F4_LIMBS)
         c = col
         col += k
         return c
@@ -126,24 +138,25 @@ def _build_plan(key_types: Sequence[T], aggs, arg_types):
     # col 0: bucket row count (mask) — recipe col 0
     int_map.append((0, emit(("mask",)), 1))
 
-    for kr in keyr:
-        kb = new_in()              # u32: biased masked key
-        a2, ab, b2 = new_in(), new_in(), new_in()
-        okk = new_in()             # bool
+    def emit_key_word(kb: int, sum_limbs, sumsq_limbs) -> None:
         c = emit(("limbs4", kb))
         for j in range(4):
-            int_map.append((kr.sum_limbs[j], c + j, 1))
-        # kb^2 = a^2*2^32 + ab*2^17 + b^2   (2^17 = 2 * 2^16 -> limb 2, x2)
-        c = emit(("limbs4", b2))
+            int_map.append((sum_limbs[j], c + j, 1))
+        # kb^2 = a^2*2^32 + ab*2^17 + b^2   (2^17 = 2 * 2^16 -> limb 2, x2);
+        # the b^2 / a*b / a^2 limb blocks are derived in-kernel from kb
+        c = emit(("ksq12", kb))
         for j in range(4):
-            int_map.append((kr.sumsq_limbs[j], c + j, 1))
-        c = emit(("limbs4", ab))
+            int_map.append((sumsq_limbs[j], c + j, 1))
         for j in range(4):
-            int_map.append((kr.sumsq_limbs[j + 2], c + j, 2))
-        c = emit(("limbs4", a2))
+            int_map.append((sumsq_limbs[j + 2], c + 4 + j, 2))
         for j in range(4):
-            int_map.append((kr.sumsq_limbs[j + 4], c + j, 1))
-        int_map.append((kr.nval, emit(("bool", okk)), 1))
+            int_map.append((sumsq_limbs[j + 4], c + 8 + j, 1))
+
+    for kr in keyr:
+        emit_key_word(new_in(), kr.sum_limbs, kr.sumsq_limbs)
+        if kr.sum_limbs_hi:        # 64-bit key: hi-word block
+            emit_key_word(new_in(), kr.sum_limbs_hi, kr.sumsq_limbs_hi)
+        int_map.append((kr.nval, emit(("bool", new_in())), 1))
 
     for inst, at, rd in zip(aggs, arg_types, slotr):
         for kind, r in rd.items():
@@ -171,15 +184,13 @@ def _build_plan(key_types: Sequence[T], aggs, arg_types):
                 for j in range(4):
                     int_map.append((r.limbs[j + 4], c + j, 1))
             elif kind == "sum_f":
-                pos, neg = new_in(), new_in()
-                c = emit(("f4", pos, n_f4))
+                v = new_in()       # ONE signed masked f32 lane; the kernel
+                c = emit(("f4pm", v, n_f4))   # derives pos/neg digit blocks
                 for j in range(F4_LIMBS):
                     int_map.append((r.limbs[j], c + j, 1))
-                c = emit(("f4", neg, n_f4))
                 for j in range(F4_LIMBS):
-                    int_map.append((r.neg_limbs[j], c + j, 1))
-                sh = new_in()      # absx = pos + neg, but masked lane is
-                shadow_map.append((r.shadow, emit(("f32", sh))))
+                    int_map.append((r.neg_limbs[j], c + F4_LIMBS + j, 1))
+                shadow_map.append((r.shadow, emit(("fabs", v))))
                 n_f4 += 1
             else:                  # pragma: no cover — fused_supported gates
                 raise ValueError(kind)
@@ -269,6 +280,37 @@ def _build_kernel_impl(plan: _Plan, N: int, G: int, TILE: int,
                 # an exact intermediate
                 rows.append(((u >> sh) & jnp.uint32(0xFF))
                             .astype(jnp.int32).astype(jnp.bfloat16))
+            elif op[0] == "ksq12":
+                # b^2, a*b, a^2 limb blocks from kb = a*2^16 + b; u32
+                # multiplies wrap exactly like the XLA encode did
+                u = in_refs[op[1]][:].reshape(1, TILE)
+                a = u >> jnp.uint32(16)
+                b = u & jnp.uint32(0xFFFF)
+                sh = (jax.lax.broadcasted_iota(jnp.uint32, (4, TILE), 0)
+                      * jnp.uint32(8))
+                for sq in (b * b, a * b, a * a):
+                    rows.append(((sq >> sh) & jnp.uint32(0xFF))
+                                .astype(jnp.int32).astype(jnp.bfloat16))
+            elif op[0] == "f4pm":
+                # pos / neg magnitude digit blocks from one signed lane;
+                # where() not maximum(): NaN rows must contribute 0 digits
+                # (exactly the lanes the XLA encode used to build)
+                x = in_refs[op[1]][:].reshape(1, TILE)
+                sc = sc_ref[0, op[2]]
+                zero = jnp.float32(0.0)
+                for part in (jnp.where(x > zero, x, zero),
+                             jnp.where(x < zero, -x, zero)):
+                    v = part * sc
+                    high_first = []
+                    for _ in range(F4_LIMBS):
+                        v = v * jnp.float32(256.0)
+                        d = jnp.floor(v)
+                        v = v - d
+                        high_first.append(d.astype(jnp.bfloat16))
+                    rows.extend(reversed(high_first))
+            elif op[0] == "fabs":
+                x = in_refs[op[1]][:].reshape(1, TILE)
+                rows.append(jnp.abs(x).astype(jnp.bfloat16))
             elif op[0] == "f4":
                 x = in_refs[op[1]][:].reshape(1, TILE)
                 sc = sc_ref[0, op[2]]          # static indices (not traced)
@@ -369,13 +411,20 @@ def fused_mxu_reduce(key_vals, aggs, arg_vals, mask: jnp.ndarray,
 
     for k in key_vals:
         okk = mask & k.valid
+        if k.t in _KEY_WIDE_TYPES:
+            # 64-bit key: biased word pair, squares derived in-kernel
+            u = (k.data.astype(jnp.int64).astype(jnp.uint64)
+                 ^ jnp.uint64(1 << 63))
+            u = jnp.where(okk, u, jnp.uint64(0))
+            put((u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+            put((u >> jnp.uint64(32)).astype(jnp.uint32))
+            put(okk)
+            continue
         kb = (jax.lax.bitcast_convert_type(k.data.astype(jnp.int32),
                                            jnp.uint32)
               ^ jnp.uint32(0x80000000))
         kb = jnp.where(okk, kb, jnp.uint32(0))
-        a = kb >> jnp.uint32(16)
-        b = kb & jnp.uint32(0xFFFF)
-        put(kb); put(a * a); put(a * b); put(b * b); put(okk)
+        put(kb); put(okk)     # a^2/ab/b^2 limb blocks derived in-kernel
 
     for inst, vals in zip(aggs, arg_vals):
         a_ = vals[0] if vals else None
@@ -405,9 +454,10 @@ def fused_mxu_reduce(key_vals, aggs, arg_vals, mask: jnp.ndarray,
                 sc, e = _f4_scale_exp(absx)
                 f4_exps.append(e)
                 scales.append(sc)
-                put(jnp.where(a_.data > 0, absx, jnp.float32(0.0)))
-                put(jnp.where(a_.data < 0, absx, jnp.float32(0.0)))
-                put(absx)
+                # ONE signed masked lane; the kernel splits pos/neg digit
+                # blocks and the |.| shadow from it (3 HBM lanes -> 1)
+                put(jnp.where(ok, a_.data.astype(jnp.float32),
+                              jnp.float32(0.0)))
     assert ii == plan.n_inputs
 
     TILE = _pick_tile(G, n)

@@ -58,7 +58,13 @@ F4_WINDOW = 8 * F4_LIMBS         # 72-bit fixed-point window for float4 sums
 _MXU_KINDS = {"nrows", "count", "sum_i", "sum_f", "sumsq_i", "sumsq_f",
               "sum_x", "sum_y", "sum_xy", "sumsq_x", "sumsq_y"}
 _F64_KINDS = {"sumsq_f", "sum_x", "sum_y", "sum_xy", "sumsq_x", "sumsq_y"}
-_KEY_OK_TYPES = {T.BOOL, T.INT2, T.INT4, T.DATE, T.TEXT, T.BPCHAR}
+_KEY_OK_TYPES = {T.BOOL, T.INT2, T.INT4, T.DATE, T.TEXT, T.BPCHAR,
+                 T.INT8, T.TIME, T.TIMESTAMP}
+# 64-bit key lanes ride as TWO independent 32-bit word blocks: constancy of
+# the lo word AND of the hi word within a bucket <=> constancy of the key,
+# so each word gets its own sum/sumsq Cauchy-Schwarz check and the host
+# reassembles the value from the two word means.
+_KEY_WIDE_TYPES = {T.INT8, T.TIME, T.TIMESTAMP}
 
 
 def mxu_keys_supported(key_types: Sequence[T]) -> bool:
@@ -120,6 +126,9 @@ class _KeyRecipe:
     nval: int
     bias: int
     t: T
+    # 64-bit keys: the hi-word block (sum_limbs/sumsq_limbs hold the lo word)
+    sum_limbs_hi: list[int] = dataclasses.field(default_factory=list)
+    sumsq_limbs_hi: list[int] = dataclasses.field(default_factory=list)
 
 
 def mxu_recipes(key_types: Sequence[T], aggs, arg_types: Sequence[tuple]):
@@ -130,10 +139,19 @@ def mxu_recipes(key_types: Sequence[T], aggs, arg_types: Sequence[tuple]):
     c = 1                                    # col 0: rows-per-bucket
     keyr: list[_KeyRecipe] = []
     for t in key_types:
-        s = list(range(c, c + 5)); c += 5
-        q = list(range(c, c + 8)); c += 8
-        nv = c; c += 1
-        keyr.append(_KeyRecipe(s, q, nv, 1 << 31, t))
+        if t in _KEY_WIDE_TYPES:
+            s_lo = list(range(c, c + 4)); c += 4
+            q_lo = list(range(c, c + 8)); c += 8
+            s_hi = list(range(c, c + 4)); c += 4
+            q_hi = list(range(c, c + 8)); c += 8
+            nv = c; c += 1
+            keyr.append(_KeyRecipe(s_lo, q_lo, nv, 1 << 63, t,
+                                   sum_limbs_hi=s_hi, sumsq_limbs_hi=q_hi))
+        else:
+            s = list(range(c, c + 5)); c += 5
+            q = list(range(c, c + 8)); c += 8
+            nv = c; c += 1
+            keyr.append(_KeyRecipe(s, q, nv, 1 << 31, t))
     slotr: list[dict[str, _SlotRecipe]] = []
     nf4 = 0
     for inst, at in zip(aggs, arg_types):
@@ -232,6 +250,16 @@ def build_mxu_columns(key_vals: Sequence[DVal], aggs, arg_vals,
 
     for k in key_vals:
         okk = mask & k.valid
+        if k.t in _KEY_WIDE_TYPES:
+            # 64-bit key: biased word pair, one sum/sumsq block per word
+            u = (k.data.astype(jnp.int64).astype(jnp.uint64)
+                 ^ jnp.uint64(1 << 63))
+            u = jnp.where(okk, u, jnp.uint64(0))
+            for w in (u & jnp.uint64(0xFFFFFFFF), u >> jnp.uint64(32)):
+                cols.extend(_u64_limbs(w, 4))
+                cols.extend(_u64_limbs(w * w, 8))
+            cols.append(okk.astype(jnp.float32))
+            continue
         kb = (k.data.astype(jnp.int64) + jnp.int64(1 << 31)).astype(jnp.uint64)
         kb = jnp.where(okk, kb, jnp.uint64(0))
         cols.extend(_u64_limbs(kb, 5))
@@ -415,7 +443,16 @@ def mxu_host_groups(out, key_recipes, key_metas):
             s2 = _limb_int(sums, g, kr.sumsq_limbs)
             if nval * s2 != s1 * s1:
                 return True, []              # two distinct keys share bucket
-            kv.append(_decode_key(kr.t, s1 // nval - kr.bias, meta))
+            if kr.sum_limbs_hi:
+                # 64-bit key: hi word must be constant too
+                h1 = _limb_int(sums, g, kr.sum_limbs_hi)
+                h2 = _limb_int(sums, g, kr.sumsq_limbs_hi)
+                if nval * h2 != h1 * h1:
+                    return True, []
+                raw = ((h1 // nval) << 32 | (s1 // nval)) - kr.bias
+                kv.append(_decode_key(kr.t, raw, meta))
+            else:
+                kv.append(_decode_key(kr.t, s1 // nval - kr.bias, meta))
         groups.append((g, tuple(kv)))
     return False, groups
 

@@ -191,3 +191,158 @@ class TestGroupKeyEdgeCases:
         with override(enabled=False):
             rows_host = PreAggExecutor(tbl, None, [g], [inst]).run()
         assert sorted(map(repr, rows_dev)) == sorted(map(repr, rows_host))
+
+
+class TestDenseBucketing:
+    """Single narrow int keys whose chunk range fits G use dense range
+    buckets (ops/preagg._bucket_ids): collision-free, so the salt/escalation
+    retry ladder never fires; wide ranges fall back to salted hashing."""
+
+    def _run(self, keys, vals, G=64):
+        import numpy as np
+        from pg_strom_tpu import Table, column_from_values
+        from pg_strom_tpu.utils.perfmon import Perfmon
+        table = Table.from_columns("t", {
+            "key": column_from_values(T.INT4, keys),
+            "x": column_from_values(T.FLOAT8, vals),
+        })
+        layout = {n: i for i, n in enumerate(table.column_names)}
+        arg = bind_columns(ColumnRef(type=T.FLOAT8, name="x"), layout)
+        d, fam = lookup_agg("sum", (T.FLOAT8,))
+        inst = AggInstance(aggname="sum", family=fam, slots=d.slots,
+                           args=(arg,))
+        g = bind_columns(ColumnRef(type=T.INT4, name="key"), layout)
+        pm = Perfmon()
+        with override(max_groups_device=G):
+            rows = PreAggExecutor(table, None, [g], [inst],
+                                  perfmon=pm).run()
+        got = {r[0]: r[1] for r in rows}
+        want = {}
+        for k, v in zip(keys, vals):
+            want[k] = want.get(k, 0.0) + v
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9 * max(1.0, abs(want[k]))
+        return pm
+
+    def test_dense_keys_zero_retries(self):
+        # 50 distinct keys into 64 buckets: hashing would collide w.h.p.
+        # (birthday ~1-exp(-50*49/128) ~ 1.0); dense bucketing never does
+        import numpy as np
+        rng = np.random.default_rng(9)
+        keys = [int(v) for v in rng.integers(100, 150, 4000)]
+        vals = [float(v) for v in rng.random(4000)]
+        pm = self._run(keys, vals, G=64)
+        assert pm.counts.get("salt_retries", 0) == 0
+        assert pm.counts.get("device_chunks", 0) >= 1
+
+    def test_dense_null_key_group(self):
+        keys = [1, 2, None, 2, None, 3, 1]
+        vals = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0]
+        pm = self._run(keys, vals, G=64)
+        assert pm.counts.get("salt_retries", 0) == 0
+
+    def test_wide_range_falls_back_exact(self):
+        # range >> G: dense ineligible; hash path (retries allowed) stays exact
+        import numpy as np
+        rng = np.random.default_rng(10)
+        keys = [int(v) * 100003 for v in rng.integers(0, 30, 2000)]
+        vals = [float(v) for v in rng.random(2000)]
+        self._run(keys, vals, G=64)
+
+    def test_negative_keys_dense(self):
+        keys = [-5, -3, -5, 0, 7, -3, 7]
+        vals = [1.0] * 7
+        pm = self._run(keys, vals, G=16)
+        assert pm.counts.get("salt_retries", 0) == 0
+
+
+class TestGroupCountMemo:
+    """Cross-query group-count memo (exec/preagg_exec._GROUP_STATS): repeated
+    GROUP BYs over unchanged columns start at a right-sized G; mutation
+    (fresh column uids) drops the memo."""
+
+    def test_second_run_uses_small_G(self):
+        import numpy as np
+        from pg_strom_tpu import Table, column_from_values
+        from pg_strom_tpu.exec import preagg_exec as pe
+        rng = np.random.default_rng(21)
+        keys = [int(v) for v in rng.integers(0, 10, 3000)]
+        vals = [float(v) for v in rng.random(3000)]
+        table = Table.from_columns("t", {
+            "key": column_from_values(T.INT4, keys),
+            "x": column_from_values(T.FLOAT8, vals),
+        })
+        layout = {n: i for i, n in enumerate(table.column_names)}
+        arg = bind_columns(ColumnRef(type=T.FLOAT8, name="x"), layout)
+        d, fam = lookup_agg("sum", (T.FLOAT8,))
+        inst = AggInstance(aggname="sum", family=fam, slots=d.slots,
+                           args=(arg,))
+        g = bind_columns(ColumnRef(type=T.INT4, name="key"), layout)
+
+        ex1 = PreAggExecutor(table, None, [g], [inst])
+        r1 = sorted(ex1.run())
+        assert pe._GROUP_STATS.get(ex1._gskey) == 10
+
+        ex2 = PreAggExecutor(table, None, [g], [inst])
+        r2 = sorted(ex2.run())
+        assert r1 == r2
+        # the memo must have produced the 128-bucket floor on the second run
+        assert ex2._G == 128
+
+    def test_mutation_invalidates_memo(self):
+        from pg_strom_tpu import Table, column_from_values
+        from pg_strom_tpu.exec import preagg_exec as pe
+        table = Table.from_columns("t", {
+            "key": column_from_values(T.INT4, [1, 2, 1]),
+            "x": column_from_values(T.FLOAT8, [1.0, 2.0, 3.0]),
+        })
+        layout = {n: i for i, n in enumerate(table.column_names)}
+        arg = bind_columns(ColumnRef(type=T.FLOAT8, name="x"), layout)
+        d, fam = lookup_agg("sum", (T.FLOAT8,))
+        inst = AggInstance(aggname="sum", family=fam, slots=d.slots,
+                           args=(arg,))
+        g = bind_columns(ColumnRef(type=T.INT4, name="key"), layout)
+        ex1 = PreAggExecutor(table, None, [g], [inst])
+        ex1.run()
+        k1 = ex1._gskey
+        # replace the key column (fresh uid, as DML does)
+        table.columns["key"] = column_from_values(T.INT4, [1, 2, 3])
+        ex2 = PreAggExecutor(table, None, [g], [inst])
+        ex2.run()
+        assert ex2._gskey != k1
+
+
+class TestWideKeyGrouping:
+    """GROUP BY int8/timestamp now rides the MXU strategy (64-bit keys as
+    two 32-bit word blocks, ops/preagg_mxu._KEY_WIDE_TYPES) instead of
+    scatter."""
+
+    def test_group_by_bigint_exact(self):
+        import numpy as np
+        from pg_strom_tpu import Table, column_from_values
+        rng = np.random.default_rng(33)
+        base = [0, -1, 1 << 62, -(1 << 62), 123456789012345678, -42]
+        keys = [base[int(i)] if rng.random() > 0.05 else None
+                for i in rng.integers(0, len(base), 3000)]
+        vals = [float(v) for v in rng.random(3000)]
+        table = Table.from_columns("t", {
+            "key": column_from_values(T.INT8, keys),
+            "x": column_from_values(T.FLOAT8, vals),
+        })
+        layout = {n: i for i, n in enumerate(table.column_names)}
+        arg = bind_columns(ColumnRef(type=T.FLOAT8, name="x"), layout)
+        d, fam = lookup_agg("sum", (T.FLOAT8,))
+        inst = AggInstance(aggname="sum", family=fam, slots=d.slots,
+                           args=(arg,))
+        g = bind_columns(ColumnRef(type=T.INT8, name="key"), layout)
+        ex = PreAggExecutor(table, None, [g], [inst])
+        rows = ex.run()
+        assert ex._strategy == "mxu"
+        got = {r[0]: r[1] for r in rows}
+        want = {}
+        for k, v in zip(keys, vals):
+            want[k] = want.get(k, 0.0) + v
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9 * max(1.0, abs(want[k]))

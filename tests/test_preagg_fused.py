@@ -213,3 +213,37 @@ def test_fused_supported_gating():
     if jax.default_backend() != "cpu":
         assert not fused_supported([T.INT4], f8, [(T.FLOAT8,)])
     assert not fused_supported([], ok, [(T.FLOAT4,), (T.FLOAT4,)])
+
+
+def test_wide_int8_key():
+    """64-bit group key: fused two-word limb blocks == XLA encode."""
+    rng = np.random.default_rng(31)
+    schema = [ColMeta("k", T.INT8), ColMeta("x", T.FLOAT4)]
+    k = ColumnRef(type=T.INT8, name="k", index=0)
+    x = ColumnRef(type=T.FLOAT4, name="x", index=1)
+    base = np.asarray([0, -1, (1 << 62), -(1 << 62), 123456789012345678,
+                       (1 << 33) + 7], dtype=np.int64)
+    insts = _insts([("sum", x), ("count", x)])
+    cols = _cols(
+        (base[rng.integers(0, len(base), N)], rng.random(N) > 0.05),
+        ((rng.random(N).astype(np.float32) - 0.4) * 10, rng.random(N) > 0.1),
+    )
+    out_f, out_x = _run_both(schema, [k], insts, None, cols)
+    _assert_semantic_equal(out_f, out_x, [k], insts)
+
+
+def test_wide_timestamp_key():
+    rng = np.random.default_rng(32)
+    schema = [ColMeta("k", T.TIMESTAMP), ColMeta("y", T.INT8)]
+    k = ColumnRef(type=T.TIMESTAMP, name="k", index=0)
+    y = ColumnRef(type=T.INT8, name="y", index=1)
+    base = (np.asarray([150, 700, 820, 123], dtype=np.int64)
+            * 86400_000_000 * 30)
+    insts = _insts([("sum", y), ("count", y)])
+    cols = _cols(
+        (base[rng.integers(0, len(base), N)], np.ones(N, np.bool_)),
+        (rng.integers(-(1 << 40), 1 << 40, N).astype(np.int64),
+         rng.random(N) > 0.1),
+    )
+    out_f, out_x = _run_both(schema, [k], insts, None, cols)
+    _assert_semantic_equal(out_f, out_x, [k], insts)

@@ -214,3 +214,64 @@ def _enable_f64_blocks(monkeypatch):
     from pg_strom_tpu.ops import preagg_mxu
     monkeypatch.setattr(preagg_mxu, "F64_BLOCKS_ON_CPU", True)
     yield
+
+
+class TestWideKeys:
+    """64-bit group keys (int8/time/timestamp) ride as two 32-bit word
+    blocks: per-word Cauchy-Schwarz constancy + host word reassembly."""
+
+    def _roundtrip(self, t, keys, kvalid, n=4096, G=64):
+        uniq = {}
+        seg = np.empty(n, np.int32)
+        for i in range(n):
+            kk = int(keys[i]) if kvalid[i] else None
+            seg[i] = uniq.setdefault(kk, len(uniq) % G)
+        kd = _dval(t, keys, kvalid)
+        inst = AggInstance("count", "star", ("nrows",), ())
+        assert mxu_keys_supported([t])
+        keyr, slotr, out = _run([kd], [t], [inst], [[]], [()], seg, G, n)
+        collision, groups = mxu_host_groups(out, keyr, [None])
+        assert not collision
+        got = {g: kv[0] for g, kv in groups}
+        for kk, g in uniq.items():
+            assert got[g] == kk, (t, kk, got[g])
+
+    def test_int8_large_magnitudes(self):
+        rng = np.random.default_rng(23)
+        base = np.asarray([0, -1, 1, (1 << 62), -(1 << 62),
+                           123456789012345678, -42, (1 << 33) + 7],
+                          dtype=np.int64)
+        keys = base[rng.integers(0, len(base), 4096)]
+        kvalid = rng.random(4096) > 0.05
+        self._roundtrip(T.INT8, keys, kvalid)
+
+    def test_timestamp_keys(self):
+        rng = np.random.default_rng(24)
+        # microseconds since 2000-01-01: ~2004-2026 range
+        base = (np.asarray([150, 700, 820, 123, 456], dtype=np.int64)
+                * 86400_000_000 * 30)
+        keys = base[rng.integers(0, len(base), 4096)]
+        self._roundtrip(T.TIMESTAMP, keys, np.ones(4096, dtype=bool))
+
+    def test_wide_key_collision_trips(self):
+        # same lo word, different hi word in one bucket -> must collide
+        n = 256
+        keys = np.where(np.arange(n) % 2 == 0,
+                        np.int64(5), np.int64(5 + (1 << 40)))
+        kd = _dval(T.INT8, keys, np.ones(n, dtype=bool))
+        inst = AggInstance("count", "star", ("nrows",), ())
+        keyr, slotr, out = _run([kd], [T.INT8], [inst], [[]], [()],
+                                np.zeros(n, np.int32), 16, n)
+        collision, _ = mxu_host_groups(out, keyr, [None])
+        assert collision
+
+    def test_wide_key_same_hi_diff_lo_collision(self):
+        n = 256
+        keys = np.where(np.arange(n) % 2 == 0,
+                        np.int64((1 << 40) + 1), np.int64((1 << 40) + 2))
+        kd = _dval(T.INT8, keys, np.ones(n, dtype=bool))
+        inst = AggInstance("count", "star", ("nrows",), ())
+        keyr, slotr, out = _run([kd], [T.INT8], [inst], [[]], [()],
+                                np.zeros(n, np.int32), 16, n)
+        collision, _ = mxu_host_groups(out, keyr, [None])
+        assert collision
