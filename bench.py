@@ -53,8 +53,12 @@ def main() -> None:
         insts.append(AggInstance(aggname=aggname, family=fam,
                                  slots=d.slots, args=(arg,)))
     # mxu = the engine's default grouped strategy (ops/preagg_mxu.py):
-    # every additive partial via ONE batched one-hot matmul on the MXU
-    fn = jax.jit(build_preagg_fn(schema, [key], insts, pred, G=256,
+    # every additive partial via ONE batched one-hot matmul on the MXU.
+    # G=128: the executor's cross-query group-count memo
+    # (exec/preagg_exec._GROUP_STATS) right-sizes repeated GROUP BYs to
+    # max(128, 2*observed) buckets — 128 is the engine's honest steady
+    # state for this 30-group key (and the MXU's minimum output block).
+    fn = jax.jit(build_preagg_fn(schema, [key], insts, pred, G=128,
                                  strategy="mxu"))
 
     rng = np.random.default_rng(0)

@@ -13,12 +13,16 @@ f32 magnitude lanes, bool ok lanes — a few hundred MB) and builds each
                acc[G, 128] += oh^T @ V   (MXU, f32)
 
     Derived-lane encode: the key-square limb blocks (b^2/ab/a^2 from the
-    biased key word) and the float pos/neg/|.| triplet (from one signed
+    biased key word) and the float signed-digit/|.| pair (from one signed
     lane) are computed IN-KERNEL rather than as XLA-encoded HBM lanes —
-    5 of the flagship's 13 input lanes never touch HBM.
-    every 64k rows: flush acc into int32 (hi, lo) pairs — f32 partial sums
-    stay < 2^24 so integer columns are EXACT; shadow lanes accumulate in a
-    separate f32 accumulator (threshold guards; inf/nan propagate).
+    5 of the flagship's 13 input lanes never touch HBM.  Float sums use
+    SIGNED digits (digit(|x|)*sign(x) in [-255, 255], exact in bf16): one
+    digit block instead of a pos/neg pair.
+    every 64k rows: flush acc into int32 (hi, lo) pairs — signed f32
+    partial sums stay within +-2^24 so integer columns are EXACT (the
+    hi/lo split uses arithmetic shift + non-negative low bits, exact for
+    negatives); shadow lanes accumulate in a separate f32 accumulator
+    (threshold guards; inf/nan propagate).
 
 Output contract is bit-compatible with preagg_mxu: the XLA epilogue maps
 physical kernel columns onto the mxu_recipes layout ((G, S) int64 sums +
@@ -27,9 +31,12 @@ unchanged.  Key sumsq avoids 64-bit device math by decomposing
 kb^2 = a^2*2^32 + ab*2^17 + b^2 (kb = a*2^16 + b) into three u32 limb
 blocks the epilogue recombines at the right limb positions.
 
-Supported slot kinds: nrows / count / sum_i / sumsq_i / sum_f(float4) +
-the key constancy (Cauchy-Schwarz) blocks.  Chunks needing f64 double-float
-blocks (float8 sums, stddev/corr families) fall back to the XLA MXU path.
+Supported slot kinds: nrows / count / sum_i / sumsq_i / sum_f + every f64
+double-float kind (float8 sums, stddev/var/corr/covar families) + the key
+constancy (Cauchy-Schwarz) blocks.  An f64 quantity rides as TWO signed f32
+lanes (head = f32(q), tail = f32(q - head), XLA-encoded) that each get a
+signed digit block in-kernel — f64 math never enters the kernel.  Plans
+wider than the 128-lane accumulator fall back to the XLA MXU path.
 
 x64-cleanliness (this tunnel's Mosaic service): explicit jnp.int32/uint32
 scalars everywhere; BlockSpec index maps write `i * 0`, never a literal 0
@@ -54,22 +61,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..sqltypes import T
 from .preagg_mxu import (F4_LIMBS, _kind_mxu_ok, _f4_scale_exp,
-                         mxu_recipes, mxu_shadow_cols, _KEY_WIDE_TYPES)
+                         _f64_quantity, mxu_recipes, mxu_shadow_cols,
+                         _KEY_WIDE_TYPES, _F64_KINDS)
 
 FLUSH_ROWS = 1 << 16           # f32 partial sums of 8-bit limbs stay < 2^24
 MAX_G = 1 << 11
 LANES = 128                    # kernel accumulator width (one MXU block)
 
-_FUSED_KINDS = {"nrows", "count", "sum_i", "sumsq_i", "sum_f"}
+_FUSED_KINDS = ({"nrows", "count", "sum_i", "sumsq_i", "sum_f"}
+                | _F64_KINDS)
 
 
 def fused_supported(key_types: Sequence[T], aggs, arg_types) -> bool:
     """True when every MXU-eligible slot kind of the plan is fusable.
 
     Kinds outside the MXU set (min/max/numeric) run their scatter side-path
-    either way; an MXU-eligible kind we can't fuse (f64 double-float
-    blocks) means the whole chunk should use the XLA MXU formulation so the
-    recipe layout stays consistent."""
+    either way; an MXU-eligible kind we can't fuse means the whole chunk
+    should use the XLA MXU formulation so the recipe layout stays
+    consistent."""
     if not key_types:
         return False
     for inst, at in zip(aggs, arg_types):
@@ -79,8 +88,6 @@ def fused_supported(key_types: Sequence[T], aggs, arg_types) -> bool:
                 continue                       # scatter side-path, fine
             if kind not in _FUSED_KINDS:
                 return False
-            if kind == "sum_f" and a_t is not T.FLOAT4:
-                return False                   # f64 double-float block
     return True
 
 
@@ -97,9 +104,10 @@ class _Plan:
     #   "ksq12"  -> 12 cols (b^2, a*b, a^2 limb blocks derived IN-KERNEL from
     #                        the biased key word kb = a*2^16 + b — saves three
     #                        encoded u32 lanes of HBM traffic per key)
-    #   "f4"     -> F4_LIMBS cols (masked magnitude f32 lane, scale slot)
-    #   "f4pm"   -> 2*F4_LIMBS cols (pos then neg digit blocks derived
-    #                        IN-KERNEL from one signed masked f32 lane)
+    #   "f4s"    -> F4_LIMBS cols (SIGNED digit block digit(|x|)*sign(x)
+    #                        derived IN-KERNEL from one signed masked f32
+    #                        lane; signed digits in [-255, 255] are exact in
+    #                        bf16 and keep f32 partial sums < 2^24)
     #   "fabs"   -> 1 col   (|lane| bf16 shadow, derived in-kernel)
     #   "f32"    -> 1 col   (masked f32 lane, bf16-quantized shadow)
     ops: tuple
@@ -130,7 +138,7 @@ def _build_plan(key_types: Sequence[T], aggs, arg_types):
         nonlocal col
         ops.append(op)
         k = {"mask": 1, "bool": 1, "limbs4": 4, "ksq12": 12,
-             "f4pm": 2 * F4_LIMBS, "fabs": 1, "f32": 1}.get(op[0], F4_LIMBS)
+             "f4s": F4_LIMBS, "fabs": 1, "f32": 1}[op[0]]
         c = col
         col += k
         return c
@@ -183,15 +191,25 @@ def _build_plan(key_types: Sequence[T], aggs, arg_types):
                 c = emit(("limbs4", hi))
                 for j in range(4):
                     int_map.append((r.limbs[j + 4], c + j, 1))
-            elif kind == "sum_f":
+            elif kind == "sum_f" and not r.lo_limbs:
                 v = new_in()       # ONE signed masked f32 lane; the kernel
-                c = emit(("f4pm", v, n_f4))   # derives pos/neg digit blocks
+                c = emit(("f4s", v, n_f4))   # derives the signed digit block
                 for j in range(F4_LIMBS):
                     int_map.append((r.limbs[j], c + j, 1))
-                for j in range(F4_LIMBS):
-                    int_map.append((r.neg_limbs[j], c + F4_LIMBS + j, 1))
                 shadow_map.append((r.shadow, emit(("fabs", v))))
                 n_f4 += 1
+            elif r.lo_limbs:
+                # f64 double-float: head + tail signed f32 lanes, one signed
+                # digit block each; shadow = |head| (inf/nan replay guard)
+                hi_, lo_ = new_in(), new_in()
+                c = emit(("f4s", hi_, n_f4))
+                for j in range(F4_LIMBS):
+                    int_map.append((r.limbs[j], c + j, 1))
+                c = emit(("f4s", lo_, n_f4 + 1))
+                for j in range(F4_LIMBS):
+                    int_map.append((r.lo_limbs[j], c + j, 1))
+                shadow_map.append((r.shadow, emit(("fabs", hi_))))
+                n_f4 += 2
             else:                  # pragma: no cover — fused_supported gates
                 raise ValueError(kind)
 
@@ -203,7 +221,11 @@ def _build_plan(key_types: Sequence[T], aggs, arg_types):
 
 
 @functools.lru_cache(maxsize=256)
-def _plan_cached(key_types: tuple, slots_sig: tuple, arg_types: tuple):
+def _plan_cached(key_types: tuple, slots_sig: tuple, arg_types: tuple,
+                 f64on: bool):
+    # f64on keys the cache only: _kind_mxu_ok consults the live setting,
+    # so a plan built under one f64-blocks state must not be reused by the
+    # other (the recipe layouts differ)
     class _Inst:                      # minimal view for mxu_recipes
         def __init__(self, slots):
             self.slots = slots
@@ -291,37 +313,29 @@ def _build_kernel_impl(plan: _Plan, N: int, G: int, TILE: int,
                 for sq in (b * b, a * b, a * a):
                     rows.append(((sq >> sh) & jnp.uint32(0xFF))
                                 .astype(jnp.int32).astype(jnp.bfloat16))
-            elif op[0] == "f4pm":
-                # pos / neg magnitude digit blocks from one signed lane;
-                # where() not maximum(): NaN rows must contribute 0 digits
-                # (exactly the lanes the XLA encode used to build)
-                x = in_refs[op[1]][:].reshape(1, TILE)
-                sc = sc_ref[0, op[2]]
-                zero = jnp.float32(0.0)
-                for part in (jnp.where(x > zero, x, zero),
-                             jnp.where(x < zero, -x, zero)):
-                    v = part * sc
-                    high_first = []
-                    for _ in range(F4_LIMBS):
-                        v = v * jnp.float32(256.0)
-                        d = jnp.floor(v)
-                        v = v - d
-                        high_first.append(d.astype(jnp.bfloat16))
-                    rows.extend(reversed(high_first))
-            elif op[0] == "fabs":
-                x = in_refs[op[1]][:].reshape(1, TILE)
-                rows.append(jnp.abs(x).astype(jnp.bfloat16))
-            elif op[0] == "f4":
+            elif op[0] == "f4s":
+                # SIGNED magnitude digit block from one signed lane:
+                # digit(|x|) * sign(x).  where() not abs(): NaN rows must
+                # contribute 0 digits (the fabs shadow carries the NaN to
+                # the host-replay guard)
                 x = in_refs[op[1]][:].reshape(1, TILE)
                 sc = sc_ref[0, op[2]]          # static indices (not traced)
-                v = x * sc
+                zero = jnp.float32(0.0)
+                pos = jnp.where(x > zero, x, zero)
+                neg = jnp.where(x < zero, -x, zero)
+                sgn = jnp.where(x < zero, jnp.float32(-1.0),
+                                jnp.float32(1.0))
+                v = (pos + neg) * sc
                 high_first = []
                 for _ in range(F4_LIMBS):
                     v = v * jnp.float32(256.0)
                     d = jnp.floor(v)
                     v = v - d
-                    high_first.append(d.astype(jnp.bfloat16))
+                    high_first.append((d * sgn).astype(jnp.bfloat16))
                 rows.extend(reversed(high_first))
+            elif op[0] == "fabs":
+                x = in_refs[op[1]][:].reshape(1, TILE)
+                rows.append(jnp.abs(x).astype(jnp.bfloat16))
             else:                      # "f32" shadow lane
                 rows.append(in_refs[op[1]][:].reshape(1, TILE)
                             .astype(jnp.bfloat16))
@@ -393,9 +407,10 @@ def fused_mxu_reduce(key_vals, aggs, arg_vals, mask: jnp.ndarray,
 
     Returns (sums int64[G, S], fsums f64[G, n_shadow], f4exps) with the
     exact preagg_mxu output contract, or None when the plan can't fuse."""
+    from .preagg_mxu import _f64_blocks_enabled
     plan, S = _plan_cached(tuple(key_types),
                            tuple(tuple(i.slots) for i in aggs),
-                           tuple(arg_types))
+                           tuple(arg_types), _f64_blocks_enabled())
     if plan is None:
         return None
 
@@ -448,16 +463,30 @@ def fused_mxu_reduce(key_vals, aggs, arg_vals, mask: jnp.ndarray,
                 v = jnp.where(ok, a_.data.astype(jnp.int64), jnp.int64(0))
                 lo, hi = _u64_split((v * v).astype(jnp.uint64))
                 put(lo); put(hi)
-            elif kind == "sum_f":
+            elif kind == "sum_f" and a_.t is T.FLOAT4:
                 absx = jnp.where(ok, jnp.abs(a_.data.astype(jnp.float32)),
                                  jnp.float32(0.0))
+                absx = jnp.where(jnp.isnan(absx), jnp.float32(0.0), absx)
                 sc, e = _f4_scale_exp(absx)
                 f4_exps.append(e)
                 scales.append(sc)
-                # ONE signed masked lane; the kernel splits pos/neg digit
-                # blocks and the |.| shadow from it (3 HBM lanes -> 1)
+                # ONE signed masked lane; the kernel derives the signed
+                # digit block and the |.| shadow from it (3 HBM lanes -> 1)
                 put(jnp.where(ok, a_.data.astype(jnp.float32),
                               jnp.float32(0.0)))
+            else:
+                # f64 double-float: encode head/tail f32 lanes in XLA (the
+                # only f64 math — two element-wise casts), digits in-kernel
+                q = _f64_quantity(kind, vals, ok)
+                hi64 = q.astype(jnp.float32)
+                lo64 = (q - hi64.astype(jnp.float64)).astype(jnp.float32)
+                for lane in (hi64, lo64):
+                    absx = jnp.where(jnp.isnan(lane), jnp.float32(0.0),
+                                     jnp.abs(lane))
+                    sc, e = _f4_scale_exp(absx)
+                    f4_exps.append(e)
+                    scales.append(sc)
+                    put(lane)
     assert ii == plan.n_inputs
 
     TILE = _pick_tile(G, n)

@@ -16,9 +16,12 @@ computes ALL additive partials with ONE batched one-hot matmul:
     the host reconstructs arbitrary-width integers with python big ints.
   - sum(int*) keeps the modular-int64 contract of the scatter path (exact
     when the true sum fits; a sum-|v| shadow column guards the window).
-  - sum(float4) uses sign-split 72-bit fixed point below the chunk max:
-    per-row truncation <= 2^(E-72), n-row error <= 2^(E-50) — below the
-    emulated-f64 precision of the old scatter path.
+  - sum(float4) uses SIGNED-digit 72-bit fixed point below the chunk max:
+    each column holds digit(|x|) * sign(x) in [-255, 255] (exact in bf16;
+    signed partial sums stay < 2^24 so the f32 dot is still exact), so one
+    digit block replaces the old pos/neg pair — half the columns and half
+    the digit-chain compute.  Per-row truncation <= 2^(E-72), n-row error
+    <= 2^(E-50) — below the emulated-f64 precision of the old scatter path.
   - Group keys, without per-bucket gathers: for each (narrow) key lane the
     kernel emits per-bucket n, sum(kb), sum(kb^2) with kb = key + 2^31 >= 0.
     The host checks  n * sum(kb^2) == sum(kb)^2  (Cauchy-Schwarz equality
@@ -72,7 +75,7 @@ def mxu_keys_supported(key_types: Sequence[T]) -> bool:
     return bool(key_types) and all(t in _KEY_OK_TYPES for t in key_types)
 
 
-# f64 double-float blocks widen kernels by ~37 columns per slot.  On TPU
+# f64 double-float blocks widen kernels by ~19 columns per slot.  On TPU
 # that trades a ~100ms emulated-f64 scatter pass for ~1ms of extra matmul;
 # on the CPU backend (tests / no-TPU fallback) scatters are already cheap
 # and the wider programs trigger a latent XLA-CPU compiler segfault — so
@@ -106,16 +109,15 @@ def _kind_mxu_ok(kind: str, argtype: Optional[T]) -> bool:
 @dataclasses.dataclass
 class _SlotRecipe:
     kind: str
-    limbs: list[int] = dataclasses.field(default_factory=list)   # low first
-    neg_limbs: list[int] = dataclasses.field(default_factory=list)
+    # signed-digit limb columns, low first: column j sums digit_j(|v|)*sign(v)
+    limbs: list[int] = dataclasses.field(default_factory=list)
     okcnt: int = -1
     shadow: int = -1
     bias_bits: int = 0
     f4_slot_no: int = -1         # index into the kernel's f4_exps vector
-    # f64 (double-float) variant: limbs/neg_limbs hold the f32 HEAD, these
-    # hold the residual TAIL (q - f32(q)), each with its own exponent slot
+    # f64 (double-float) variant: limbs hold the f32 HEAD, these hold the
+    # residual TAIL (q - f32(q)), each with its own exponent slot
     lo_limbs: list[int] = dataclasses.field(default_factory=list)
-    lo_neg_limbs: list[int] = dataclasses.field(default_factory=list)
     lo_slot_no: int = -1
 
 
@@ -172,26 +174,22 @@ def mxu_recipes(key_types: Sequence[T], aggs, arg_types: Sequence[tuple]):
                 c += 8
             elif kind == "sum_f" and a_t is T.FLOAT4:
                 d[kind] = _SlotRecipe(kind, list(range(c, c + F4_LIMBS)),
-                                      neg_limbs=list(range(c + F4_LIMBS,
-                                                           c + 2 * F4_LIMBS)),
-                                      shadow=c + 2 * F4_LIMBS,
+                                      shadow=c + F4_LIMBS,
                                       f4_slot_no=nf4)
                 nf4 += 1
-                c += 2 * F4_LIMBS + 1
+                c += F4_LIMBS + 1
             else:
-                # f64 additive quantity: sign-split double-float fixed point
-                # (head + residual tail, each its own 72-bit window)
+                # f64 additive quantity: signed-digit double-float fixed
+                # point (head + residual tail, each its own 72-bit window)
                 L = F4_LIMBS
                 d[kind] = _SlotRecipe(
                     kind,
                     limbs=list(range(c, c + L)),
-                    neg_limbs=list(range(c + L, c + 2 * L)),
-                    lo_limbs=list(range(c + 2 * L, c + 3 * L)),
-                    lo_neg_limbs=list(range(c + 3 * L, c + 4 * L)),
-                    shadow=c + 4 * L,
+                    lo_limbs=list(range(c + L, c + 2 * L)),
+                    shadow=c + 2 * L,
                     f4_slot_no=nf4, lo_slot_no=nf4 + 1)
                 nf4 += 2
-                c += 4 * L + 1
+                c += 2 * L + 1
         slotr.append(d)
     return keyr, slotr, c
 
@@ -230,15 +228,21 @@ def _f4_scale_exp(absx: jnp.ndarray):
     return sc, e.astype(jnp.int32)
 
 
-def _f4_limb_cols(absx: jnp.ndarray, sc: jnp.ndarray) -> list[jnp.ndarray]:
-    """72-bit fixed-point limbs, low limb FIRST (matches _SlotRecipe)."""
-    x = absx * sc
+def _f4_limb_cols(x: jnp.ndarray, sc: jnp.ndarray) -> list[jnp.ndarray]:
+    """SIGNED 72-bit fixed-point limbs of one f32 lane, low limb FIRST
+    (matches _SlotRecipe): column j is digit_j(|x|) * sign(x) in
+    [-255, 255].  NaN lanes contribute 0 digits (the |x| shadow column
+    carries the NaN to the host-replay guard)."""
+    pos = jnp.where(x > 0, x, jnp.float32(0.0))
+    neg = jnp.where(x < 0, -x, jnp.float32(0.0))     # NaN compares false
+    sgn = jnp.where(x < 0, jnp.float32(-1.0), jnp.float32(1.0))
+    v = (pos + neg) * sc
     high_first = []
     for _ in range(F4_LIMBS):
-        x = x * jnp.float32(256.0)
-        d = jnp.floor(x)
-        x = x - d
-        high_first.append(d)
+        v = v * jnp.float32(256.0)
+        d = jnp.floor(v)
+        v = v - d
+        high_first.append(d * sgn)
     return list(reversed(high_first))
 
 
@@ -266,13 +270,11 @@ def build_mxu_columns(key_vals: Sequence[DVal], aggs, arg_vals,
         cols.extend(_u64_limbs(kb * kb, 8))
         cols.append(okk.astype(jnp.float32))
 
-    def _f32_sign_block(x32: jnp.ndarray):
-        """(pos limbs, neg limbs, exp) of a masked f32 lane."""
-        absx = jnp.abs(x32)
+    def _f32_signed_block(x32: jnp.ndarray):
+        """(signed limbs, exp) of a masked f32 lane."""
+        absx = jnp.where(jnp.isnan(x32), jnp.float32(0.0), jnp.abs(x32))
         sc, e = _f4_scale_exp(absx)
-        pos = jnp.where(x32 > 0, absx, jnp.float32(0.0))
-        neg = jnp.where(x32 < 0, absx, jnp.float32(0.0))
-        return _f4_limb_cols(pos, sc), _f4_limb_cols(neg, sc), e
+        return _f4_limb_cols(x32, sc), e
 
     for inst, vals in zip(aggs, arg_vals):
         a = vals[0] if vals else None
@@ -297,31 +299,27 @@ def build_mxu_columns(key_vals: Sequence[DVal], aggs, arg_vals,
                 v = jnp.where(ok, a.data.astype(jnp.int64), jnp.int64(0))
                 cols.extend(_u64_limbs((v * v).astype(jnp.uint64), 8))
             elif kind == "sum_f" and a.t is T.FLOAT4:
-                absx = _mask0(jnp.abs(a.data.astype(jnp.float32)), ok)
+                x = _mask0(a.data.astype(jnp.float32), ok)
+                absx = jnp.where(jnp.isnan(x), jnp.float32(0.0), jnp.abs(x))
                 sc, e = _f4_scale_exp(absx)
                 f4_exps.append(e)
-                pos = jnp.where(a.data > 0, absx, jnp.float32(0.0))
-                neg = jnp.where(a.data < 0, absx, jnp.float32(0.0))
-                cols.extend(_f4_limb_cols(pos, sc))
-                cols.extend(_f4_limb_cols(neg, sc))
-                cols.append(absx)
+                cols.extend(_f4_limb_cols(x, sc))
+                cols.append(_mask0(jnp.abs(a.data.astype(jnp.float32)), ok))
             else:
                 # f64 additive quantity q -> head f32(q) + tail f32(q - head)
                 q = _f64_quantity(kind, vals, ok)
                 hi = q.astype(jnp.float32)
                 lo = (q - hi.astype(jnp.float64)).astype(jnp.float32)
-                hp, hn, he = _f32_sign_block(hi)
-                lp, ln, le = _f32_sign_block(lo)
+                hp, he = _f32_signed_block(hi)
+                lp, le = _f32_signed_block(lo)
                 f4_exps.append(he)
                 f4_exps.append(le)
                 cols.extend(hp)
-                cols.extend(hn)
                 cols.extend(lp)
-                cols.extend(ln)
                 cols.append(jnp.abs(hi))           # shadow: inf/nan guard
-    # bf16 column matrix: every integer column is <= 255 (exact in bf16's
-    # 8-bit significand); shadow columns are threshold guards with a 4x
-    # band, so bf16 quantization is safe.  Halves V's HBM traffic vs f32.
+    # bf16 column matrix: every integer column is in [-255, 255] (exact in
+    # bf16's 8-bit significand); shadow columns are threshold guards with a
+    # 4x band, so bf16 quantization is safe.  Halves V's HBM traffic vs f32.
     V = jnp.stack([c.astype(jnp.bfloat16) for c in cols], axis=1)
     exps = (jnp.stack(f4_exps) if f4_exps else jnp.zeros(0, jnp.int32))
     return V, exps
@@ -511,15 +509,14 @@ def mxu_extract_slot(r: _SlotRecipe, out, g: int) -> dict:
         return {"sumsq_i": _limb_int(sums, g, r.limbs)}
     if r.kind == "sum_f" and not r.lo_limbs:
         E = int(np.asarray(out["mxu_f4exps"])[r.f4_slot_no])
-        m = _limb_int(sums, g, r.limbs) - _limb_int(sums, g, r.neg_limbs)
+        m = _limb_int(sums, g, r.limbs)        # signed digit sums
         return {"sum_f": float(m) * 2.0 ** (E - F4_WINDOW)}
     if r.lo_limbs:
         exps = np.asarray(out["mxu_f4exps"])
         Eh = int(exps[r.f4_slot_no])
         El = int(exps[r.lo_slot_no])
-        mh = _limb_int(sums, g, r.limbs) - _limb_int(sums, g, r.neg_limbs)
-        ml = (_limb_int(sums, g, r.lo_limbs)
-              - _limb_int(sums, g, r.lo_neg_limbs))
+        mh = _limb_int(sums, g, r.limbs)
+        ml = _limb_int(sums, g, r.lo_limbs)
         # both terms are dyadic rationals: combine exactly in big ints and
         # round ONCE — the correctly-rounded true sum (within the per-row
         # 2^(E-72) truncation window)

@@ -35,9 +35,10 @@ G = 64
 def _insts(specs):
     out = []
     for aggname, arg in specs:
-        d, fam = lookup_agg(aggname, (arg.type,))
+        args = arg if isinstance(arg, tuple) else (arg,)
+        d, fam = lookup_agg(aggname, tuple(a.type for a in args))
         out.append(AggInstance(aggname=aggname, family=fam,
-                               slots=d.slots, args=(arg,)))
+                               slots=d.slots, args=args))
     return out
 
 
@@ -209,10 +210,71 @@ def test_fused_supported_gating():
     x8 = ColumnRef(type=T.FLOAT8, name="y", index=1)
     ok = _insts([("sum", x4), ("count", x4)])
     assert fused_supported([T.INT4], ok, [(T.FLOAT4,), (T.FLOAT4,)])
-    f8 = _insts([("sum", x8)])
-    if jax.default_backend() != "cpu":
-        assert not fused_supported([T.INT4], f8, [(T.FLOAT8,)])
+    # f64 double-float kinds fuse as head/tail signed-digit lane pairs
+    f8 = _insts([("sum", x8), ("stddev", x8)])
+    assert fused_supported([T.INT4], f8, [(T.FLOAT8,), (T.FLOAT8,)])
     assert not fused_supported([], ok, [(T.FLOAT4,), (T.FLOAT4,)])
+
+
+@pytest.fixture()
+def _f64_blocks(monkeypatch):
+    """f64 double-float blocks are TPU-only in production; force them on
+    the CPU backend so the fused head/tail lanes are exercised here."""
+    from pg_strom_tpu.ops import preagg_mxu
+    monkeypatch.setattr(preagg_mxu, "F64_BLOCKS_ON_CPU", True)
+    yield
+
+
+def test_f64_families_fused(_f64_blocks):
+    """float8 sum + stddev + corr: head/tail signed-digit pairs == XLA."""
+    rng = np.random.default_rng(41)
+    schema = [ColMeta("k", T.INT4), ColMeta("x", T.FLOAT8),
+              ColMeta("y", T.FLOAT8)]
+    k = ColumnRef(type=T.INT4, name="k", index=0)
+    x = ColumnRef(type=T.FLOAT8, name="x", index=1)
+    y = ColumnRef(type=T.FLOAT8, name="y", index=2)
+    insts = _insts([("sum", x), ("stddev", x)])
+    cols = _cols(
+        (_keys_int4(rng, 4), np.ones(N, np.bool_)),
+        ((rng.random(N) - 0.5) * 1e9, rng.random(N) > 0.1),
+        ((rng.random(N) - 0.5) * 1e3, rng.random(N) > 0.1),
+    )
+    out_f, out_x = _run_both(schema, [k], insts, None, cols)
+    _assert_semantic_equal(out_f, out_x, [k], insts)
+
+
+def test_f64_corr_fused(_f64_blocks):
+    """corr(x, y): five f64 blocks — widest fusable plan (114 columns)."""
+    rng = np.random.default_rng(42)
+    schema = [ColMeta("k", T.INT4), ColMeta("x", T.FLOAT8),
+              ColMeta("y", T.FLOAT8)]
+    k = ColumnRef(type=T.INT4, name="k", index=0)
+    x = ColumnRef(type=T.FLOAT8, name="x", index=1)
+    y = ColumnRef(type=T.FLOAT8, name="y", index=2)
+    insts = _insts([("corr", (x, y))])
+    cols = _cols(
+        (_keys_int4(rng, 4), np.ones(N, np.bool_)),
+        ((rng.random(N) - 0.5) * 100, rng.random(N) > 0.1),
+        ((rng.random(N) - 0.5) * 100, rng.random(N) > 0.1),
+    )
+    out_f, out_x = _run_both(schema, [k], insts, None, cols)
+    _assert_semantic_equal(out_f, out_x, [k], insts)
+
+
+def test_f4_stddev_fused(_f64_blocks):
+    """stddev(float4): sumsq_f f64 block alongside the f4 signed block."""
+    rng = np.random.default_rng(43)
+    schema = [ColMeta("k", T.INT4), ColMeta("x", T.FLOAT4)]
+    k = ColumnRef(type=T.INT4, name="k", index=0)
+    x = ColumnRef(type=T.FLOAT4, name="x", index=1)
+    insts = _insts([("stddev", x), ("sum", x)])
+    cols = _cols(
+        (_keys_int4(rng, 4), np.ones(N, np.bool_)),
+        ((rng.random(N).astype(np.float32) - 0.5) * 1e4,
+         rng.random(N) > 0.1),
+    )
+    out_f, out_x = _run_both(schema, [k], insts, None, cols)
+    _assert_semantic_equal(out_f, out_x, [k], insts)
 
 
 def test_wide_int8_key():

@@ -83,7 +83,7 @@ def main():
     arg_types = [(T.FLOAT4,), (T.FLOAT4,), (T.INT8,)]
     plan, S = pf._plan_cached((T.INT4,),
                               tuple(tuple(i.slots) for i in insts),
-                              tuple(arg_types))
+                              tuple(arg_types), True)
     print(f"plan: n_inputs={plan.n_inputs} ncols={plan.ncols} S={S}")
 
     def encode(cols, nrows):
@@ -116,14 +116,17 @@ def main():
     # match dtypes the plan expects: bool lanes vs u32 vs f32 — infer from ops
     ins = [None] * plan.n_inputs
     for op in plan.ops:
+        if op[0] == "mask":
+            continue
         if op[0] == "bool":
             ins[op[1]] = jax.device_put((rng.random(N) > 0.5))
-        elif op[0] == "limbs4":
+        elif op[0] in ("limbs4", "ksq12"):
             ins[op[1]] = jax.device_put(
                 rng.integers(0, 1 << 30, N).astype(np.uint32))
-        elif op[0] == "f4":
-            ins[op[1]] = jax.device_put(rng.random(N).astype(np.float32))
-        elif op[0] == "f32":
+        elif op[0] == "f4s":
+            ins[op[1]] = jax.device_put(
+                (rng.random(N) - 0.5).astype(np.float32))
+        else:                      # f32 / fabs
             ins[op[1]] = jax.device_put(rng.random(N).astype(np.float32))
     sc = jax.device_put(np.ones((1, max(plan.n_f4, 1)), np.float32))
 
