@@ -87,7 +87,8 @@ def run_join():
     from pg_strom_tpu.expr.ir import ColumnRef
     from pg_strom_tpu.expr.lower_jax import ColMeta
     from pg_strom_tpu.ops.hashjoin import (
-        build_hash_table, build_probe_dense_fn, dense_cap_for)
+        build_hash_table, build_probe_dense_fn, dense_cap_for,
+        mxu_dense_window)
 
     NB, NP_ = 1 << 16, 1 << 24
     bschema = [ColMeta("k", T.INT4)]
@@ -98,8 +99,12 @@ def run_join():
               jax.device_put(np.ones(NB, np.bool_))),)
     btab = jax.jit(build_hash_table(bschema, [bk]))(bcols, np.int32(NB))
     assert bool(btab["dense_ok"])
-    probe = jax.jit(build_probe_dense_fn(pschema, [bk], dense_cap_for(NB)))
-    ht = {k: btab[k] for k in ("dense", "kmin")}
+    # same path selection as the executor: MXU lookup when keys fit its window
+    use_mxu = bool(btab["dense_m_ok"])
+    dcap = mxu_dense_window(NB) if use_mxu else dense_cap_for(NB)
+    probe = jax.jit(build_probe_dense_fn(pschema, [bk], dcap,
+                                         use_mxu=use_mxu))
+    ht = btab
     pc = []
     for s in range(3):
         pc.append(((jax.device_put(rng.integers(0, NB, NP_).astype(np.int32)),

@@ -60,6 +60,9 @@ class _Config:
     # pre-materialized V, pads it to 128 lanes in HBM; kept for comparison
     use_pallas_reduce: bool = False
     join_max_bucket_probe: int = 16       # bounded probe-chain length before fallback
+    # dense-join probe via the MXU one-hot lookup kernel (ops/mxu_lookup.py)
+    # when the build keys span <= its window; off -> plain XLA gather
+    join_mxu_lookup: bool = True
     mqueue_timeout_ms: int = 60_000       # reference pg_strom.mqueue_timeout
     loader_threads: int = 0               # 0 = #CPUs (reference opencl_num_threads)
 

@@ -26,7 +26,7 @@ from ..expr.eval_cpu import eval_expr_cpu
 from ..expr.lower_jax import schema_from_chunk_columns, planes_of_column
 from ..ops.hashjoin import (
     build_hash_table, build_probe_fn, build_probe_dense_fn, dense_cap_for,
-    _next_pow2,
+    mxu_dense_window, _next_pow2,
 )
 from .devcache import TCACHE, CachedChunk, chunk_capacity, planes_on_device, fetch_host
 from .hostexec import canon_group_key
@@ -213,14 +213,20 @@ class HashJoinExecutor:
         use_dense = bool(ht["dense_ok"])
         dense_fn = None
         if use_dense:
+            # MXU one-hot lookup instead of an XLA gather when the build
+            # keys span the tighter mxu window (ops/mxu_lookup.py)
+            use_mxu = (config.join_mxu_lookup
+                       and bool(ht.get("dense_m_ok", False)))
+            dcap_p = mxu_dense_window(bcap) if use_mxu \
+                else dense_cap_for(bcap)
             dense_fn = _cached_jit(
                 ("probe_dense",
                  tuple((m.name, m.type, m.dict_id) for m in pschema),
                  tuple(self.probe_keys), self.probe_pred,
-                 dense_cap_for(bcap), pcap),
+                 dcap_p, pcap, use_mxu),
                 lambda: _split_dense(build_probe_dense_fn(
-                    pschema, self.probe_keys, dense_cap_for(bcap),
-                    self.probe_pred)))
+                    pschema, self.probe_keys, dcap_p,
+                    self.probe_pred, use_mxu=use_mxu)))
 
         # dispatch all probe chunks, then read results in batched transfers
         # (one round trip per drain instead of 4 per chunk); regrows re-run

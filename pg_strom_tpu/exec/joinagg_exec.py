@@ -25,7 +25,8 @@ from ..expr.ir import Expr, ColumnRef, referenced_columns, bind_columns
 from ..expr.catalog import device_expression_supported
 from ..expr.eval_cpu import eval_expr_cpu
 from ..expr.lower_jax import ColMeta, schema_from_chunk_columns, planes_of_column
-from ..ops.hashjoin import build_hash_table, dense_cap_for, _next_pow2
+from ..ops.hashjoin import build_hash_table, dense_cap_for, \
+    mxu_dense_window, _next_pow2
 from ..ops.joinagg import build_join_preagg_fn
 from ..ops.preagg import AggInstance
 from .devcache import TCACHE, chunk_capacity, planes_on_device, fetch_host
@@ -180,7 +181,9 @@ class JoinPreAggExecutor:
         # direct-address probe (one gather, row-aligned, no regrow) when the
         # build side is a unique single-int-key table — the dim-join shape
         use_dense = bool(ht["dense_ok"])
-        dcap = dense_cap_for(bcap)
+        use_mxu = (config.join_mxu_lookup
+                   and bool(ht.get("dense_m_ok", False)))
+        dcap = mxu_dense_window(bcap) if use_mxu else dense_cap_for(bcap)
 
         def fused(out_cap, strategy=self._strategy, G=None):
             G = G if G is not None else self._G
@@ -191,12 +194,12 @@ class JoinPreAggExecutor:
                  tuple((m.name, m.type, m.dict_id) for m in jschema),
                  tuple(probe_slots), tuple(build_slots),
                  tuple(bound_groups), tuple(bound_aggs), G, strategy,
-                 use_dense, dcap),
+                 use_dense, dcap, use_mxu),
                 lambda: build_join_preagg_fn(
                     pschema, pkeys, key_types, nbuckets, max_chain, out_cap,
                     ppred, jschema, probe_slots, build_slots, bound_groups,
                     bound_aggs, G, strategy,
-                    dense=use_dense, dense_cap=dcap))
+                    dense=use_dense, dense_cap=dcap, dense_mxu=use_mxu))
 
         # dispatch all probe chunks, read partials back in batched transfers
         # (one round trip per drain — see preagg_exec); retries re-run

@@ -37,6 +37,8 @@ from ..errors import ERR_CPU_RECHECK
 from ..expr.ir import Expr
 from ..expr.lower_jax import Lowerer, DVal, ColMeta
 from .hashing import hash_column32, combine_hashes32
+from .mxu_lookup import MAX_D as MXU_MAX_D, _HPAD as _MXU_HPAD_MIN, LANE, \
+    encode_table_jax, lookup_digits, mxu_lookup
 
 
 def _next_pow2(n: int) -> int:
@@ -69,6 +71,13 @@ def dense_cap_for(build_cap: int) -> int:
     """Static direct-address table size for a build capacity (4x slack lets
     serial PKs with gaps still qualify)."""
     return _next_pow2(max(4 * build_cap, 1024))
+
+
+def mxu_dense_window(build_cap: int) -> int:
+    """Static window of the MXU digit-matrix lookup table (tighter than
+    dense_cap_for when that exceeds the kernel's budget; ht['dense_m_ok']
+    certifies at runtime that live keys fit it)."""
+    return min(dense_cap_for(build_cap), MXU_MAX_D)
 
 
 def build_hash_table(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
@@ -132,13 +141,32 @@ def build_hash_table(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
                 rows, mode="drop")
             cnt = jnp.zeros(dcap, jnp.int32).at[tgt].add(1, mode="drop")
             dense_ok = fits & jnp.all(cnt <= 1)
+            # MXU digit-matrix view (ops/mxu_lookup.py): the probe replaces
+            # its one XLA gather (~150ms/16M rows — no hardware vector-gather
+            # on TPU) with a one-hot MXU contraction (~10-20ms).  Lookup cost
+            # scales with the window, so the matrix covers a TIGHTER static
+            # window D_m <= MXU_MAX_D than the 4x-slack dense table;
+            # dense_m_ok certifies at runtime that every live key fits it.
+            # Sentinel n ("empty slot") rides in the table itself.
+            D_m = min(dcap, MXU_MAX_D)
+            if D_m == dcap:
+                dense_m_ok = dense_ok
+            else:
+                dense_m_ok = dense_ok & jnp.all(
+                    jnp.where(allvalid, off < D_m, True))
+            vals = jnp.where(dense[:D_m] >= 0, dense[:D_m], jnp.int32(n))
+            K = lookup_digits(max(n, 1).bit_length())
+            dense_M = encode_table_jax(vals, D_m, K, pad_value=n)
         else:
             dense = jnp.full(1, -1, jnp.int32)
             kmin = jnp.int64(0)
             dense_ok = jnp.bool_(False)
+            dense_m_ok = jnp.bool_(False)
+            dense_M = jnp.zeros((LANE, _MXU_HPAD_MIN), jnp.bfloat16)
         return {"bucket_start": bucket_start, "order": order,
                 "key_planes": tuple(key_planes),
                 "dense": dense, "kmin": kmin, "dense_ok": dense_ok,
+                "dense_M": dense_M, "dense_m_ok": dense_m_ok,
                 "nbuild": jnp.sum(allvalid.astype(jnp.int32)),
                 "err": jnp.max(jnp.where(live, lw.err, jnp.uint8(0)))}
 
@@ -146,15 +174,20 @@ def build_hash_table(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
 
 
 def build_probe_dense_fn(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
-                         dense_cap: int,
-                         pred: Optional[Expr] = None) -> Callable:
+                         dense_cap: int, pred: Optional[Expr] = None,
+                         use_mxu: bool = False) -> Callable:
     """One-gather probe against a direct-address build table:
        f(ht, cols, nrows) -> (matched bool[n], build_row int32[n], nout, err).
 
     Output stays ROW-ALIGNED (no compaction pass): at most one match per
     probe row by construction (dense_ok => unique build keys), so the
     executor materializes pairs with a host flatnonzero.  Replaces the
-    two-phase chained probe's ~16 random-access passes with one."""
+    two-phase chained probe's ~16 random-access passes with one.
+
+    use_mxu (executor sets it when ht['dense_m_ok'] held): dense_cap is the
+    tighter mxu_dense_window and the slot lookup rides the MXU one-hot
+    contraction instead of an XLA gather (no hardware vector-gather on TPU:
+    a gather costs ~150ms/16M rows regardless of table size)."""
     key_exprs = list(key_exprs)
 
     def f(ht: dict, cols: tuple, nrows):
@@ -169,8 +202,14 @@ def build_probe_dense_fn(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
         off = k.data.astype(jnp.int64) - ht["kmin"]
         in_r = mask & k.valid & (off >= 0) & (off < dense_cap)
         slot = jnp.clip(off, 0, dense_cap - 1).astype(jnp.int32)
-        br = ht["dense"][slot]
-        matched = in_r & (br >= 0)
+        if use_mxu:                    # MXU one-hot lookup, no gather
+            nb = ht["order"].shape[0]
+            K = lookup_digits(max(nb, 1).bit_length())
+            br = mxu_lookup(slot, ht["dense_M"], dense_cap, K, n)
+            matched = in_r & (br < nb)
+        else:
+            br = ht["dense"][slot]
+            matched = in_r & (br >= 0)
         err = jnp.max(jnp.where(live, lw.err, jnp.uint8(0))) if n \
             else jnp.uint8(0)
         return (matched, jnp.where(matched, br, 0),

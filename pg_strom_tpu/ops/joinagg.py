@@ -39,7 +39,8 @@ def build_join_preagg_fn(pschema: Sequence[ColMeta],
                          group_exprs: Sequence[Expr],
                          aggs: Sequence[AggInstance],
                          G: int, strategy: str = "scatter",
-                         dense: bool = False, dense_cap: int = 0) -> Callable:
+                         dense: bool = False, dense_cap: int = 0,
+                         dense_mxu: bool = False) -> Callable:
     """Build f(ht, pcols, bcols, nrows, salt) -> preagg pytree + 'nout'.
 
     jschema describes the joined (projected) layout the group/agg exprs are
@@ -57,7 +58,8 @@ def build_join_preagg_fn(pschema: Sequence[ColMeta],
 
     if dense:
         dprobe_fn = build_probe_dense_fn(pschema, list(probe_keys),
-                                         dense_cap, probe_pred)
+                                         dense_cap, probe_pred,
+                                         use_mxu=dense_mxu)
         jschema_eff = list(jschema) + [ColMeta("__match__", T.BOOL)]
         match_pred = ColumnRef(type=T.BOOL, name="__match__",
                                index=len(jschema))

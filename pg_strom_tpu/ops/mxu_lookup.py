@@ -70,6 +70,25 @@ def encode_table(table: np.ndarray, D: int, K: int) -> np.ndarray:
     return M.astype(jnp.bfloat16)
 
 
+def encode_table_jax(vals: jnp.ndarray, D: int, K: int,
+                     pad_value: int = 0) -> jnp.ndarray:
+    """In-trace encode_table: vals int32[D] non-negative -> (K*128, Hp) bf16.
+
+    Runs inside the (jitted) hash-table build so the digit matrix lives in
+    HBM next to the table it encodes; slots beyond D are filled with
+    pad_value (callers pass their sentinel so padded reads stay unmatched).
+    """
+    assert vals.shape[0] == D and D <= MAX_D
+    H = -(-D // LANE)
+    Hp = -(-H // _HPAD) * _HPAD
+    t = jnp.full(Hp * LANE, jnp.int32(pad_value), jnp.int32)
+    t = t.at[:D].set(vals.astype(jnp.int32))
+    grid = t.reshape(Hp, LANE).T                       # [lo, hi]
+    rows = [((grid >> jnp.int32(8 * k)) & jnp.int32(0xFF)) for k in range(K)]
+    # Mosaic lacks u32->bf16; ints route via f32 (BASELINE truth #7)
+    return jnp.concatenate(rows, axis=0).astype(jnp.float32).astype(jnp.bfloat16)
+
+
 def _pick_tile(n: int) -> int:
     t = 4096
     while t > 512 and t > max(n, 1):

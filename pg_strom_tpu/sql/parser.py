@@ -320,8 +320,16 @@ class Parser:
                         break
                 self.expect_op(")")
             else:
-                if self.accept_kw("verbose"):
-                    verbose = True
+                # bare option words, PostgreSQL pre-9.0 style:
+                # EXPLAIN [ANALYZE] [VERBOSE] query
+                while True:
+                    if self.accept_kw("verbose"):
+                        verbose = True
+                    elif self._accept_word("analyze") \
+                            or self._accept_word("analyse"):
+                        analyze = True
+                    else:
+                        break
             return ExplainStmt(self.parse_select(), verbose=verbose,
                                costs=costs, analyze=analyze)
         if self.accept_kw("create"):
