@@ -123,6 +123,8 @@ for src in list(INT_TYPES) + list(FLOAT_TYPES) + [T.NUMERIC]:
         _reg(f"cast::{dst.name.lower()}", (src,), dst, ("cast", src, dst), cpu)
 _reg("cast::timestamp", (T.DATE,), T.TIMESTAMP, ("cast", T.DATE, T.TIMESTAMP),
      ops.date_to_timestamp)
+_reg("cast::date", (T.TIMESTAMP,), T.DATE, ("cast", T.TIMESTAMP, T.DATE),
+     ops.timestamp_to_date)
 _reg("cast::text", (T.BPCHAR,), T.TEXT, ("cast", T.BPCHAR, T.TEXT), lambda v: v)
 
 # ---------------------------------------------------------------------------

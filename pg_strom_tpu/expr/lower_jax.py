@@ -549,6 +549,12 @@ class Lowerer:
         if dst is T.TIMESTAMP and src is T.DATE:
             r = a.data.astype(jnp.int64) * 86_400_000_000
             return DVal(T.TIMESTAMP, r, valid)
+        if dst is T.DATE and src is T.TIMESTAMP:
+            # pgfn_timestamp_date analog (opencl_timelib.h): usec -> days,
+            # floored so pre-epoch timestamps land on the right day
+            r = jnp.floor_divide(a.data.astype(jnp.int64),
+                                 jnp.int64(86_400_000_000))
+            return DVal(T.DATE, r.astype(jnp.int32), valid)
         if dst is T.TEXT and src is T.BPCHAR:
             return DVal(T.TEXT, a.data, valid)
         raise NotImplementedError(f"device cast {src} -> {dst}")

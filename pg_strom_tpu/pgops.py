@@ -318,3 +318,8 @@ def date_mi_date(a: int, b: int) -> int:
 
 def date_to_timestamp(d: int) -> int:
     return d * 86_400_000_000
+
+
+def timestamp_to_date(ts: int) -> int:
+    # floored: pre-epoch timestamps land on the right day (timestamp2date)
+    return int(np.int32(ts // 86_400_000_000))

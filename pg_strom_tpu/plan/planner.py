@@ -821,22 +821,112 @@ def _topk_rows(cur: Table, bpred, bitems, borders, k: int,
 
 def _order_and_strip(rows: list[tuple], orders) -> list[tuple]:
     if orders:
-        def cmp(a, b):
-            for i, (_, desc, nf) in enumerate(orders):
-                va, vb = a[0][i], b[0][i]
-                nulls_first = desc if nf is None else nf
-                if va is None and vb is None:
-                    continue
-                if va is None:
-                    return -1 if nulls_first else 1
-                if vb is None:
-                    return 1 if nulls_first else -1
-                c = cmp_values(va, vb)
-                if c:
-                    return -c if desc else c
-            return 0
-        rows = sorted(rows, key=functools.cmp_to_key(cmp))
+        specs = [(i, desc, nf) for i, (_, desc, nf) in enumerate(orders)]
+        rows = _lexsort_rows(rows, specs, lambda r, i: r[0][i])
     return [v for _, v in rows]
+
+
+def _f64_orderkey_host(vals: list, nulls: "np.ndarray") -> "np.ndarray":
+    """int64 keys ordering python floats per PG float8_cmp (NaN greatest,
+    -0 == +0)."""
+    import numpy as np
+    a = np.array([0.0 if v is None else v for v in vals], dtype=np.float64)
+    a = np.where(np.isnan(a), np.float64("nan"), a)     # canonical quiet NaN
+    a = np.where(a == 0.0, 0.0, a)                      # -0 -> +0
+    bits = a.view(np.int64)
+    return np.where(bits < 0, np.int64(-1) - (bits & np.int64((1 << 63) - 1)),
+                    bits)
+
+
+def _encode_sort_column(vals: list, nulls: "np.ndarray"):
+    """int64 key array ordering the non-null values exactly as cmp_values
+    does (null slots hold 0).  Returns None when no vectorizable encoding
+    applies — the caller falls back to the python comparison sort."""
+    import datetime
+    import numpy as np
+    from decimal import Decimal as _Dec
+    nn = [v for v in vals if v is not None]
+    if not nn:
+        return np.zeros(len(vals), np.int64)
+    if all(isinstance(v, (int, bool)) and not isinstance(v, float)
+           for v in nn):
+        try:
+            return np.fromiter((0 if v is None else int(v) for v in vals),
+                               np.int64, len(vals))
+        except OverflowError:
+            return None
+    if all(isinstance(v, float) for v in nn):
+        return _f64_orderkey_host(vals, nulls)
+    # factorize: order-preserving integer codes over the distinct values
+    if all(isinstance(v, str) for v in nn):
+        ordered = sorted(set(nn), key=lambda s: s.encode())  # C collation
+        codes = {v: i for i, v in enumerate(ordered)}
+        return np.fromiter((0 if v is None else codes[v] for v in vals),
+                           np.int64, len(vals))
+    if all(isinstance(v, _Dec) for v in nn):
+        # Decimal NaN is unhashable and sorts greatest (PG numeric order)
+        nancode = None
+        finite = [v for v in nn if not v.is_nan()]
+        ordered = sorted(set(finite))
+        codes = {v: i for i, v in enumerate(ordered)}
+        if len(finite) != len(nn):
+            nancode = len(ordered)
+        return np.fromiter(
+            (0 if v is None else
+             (nancode if v.is_nan() else codes[v]) for v in vals),
+            np.int64, len(vals))
+    if all(isinstance(v, (datetime.date, datetime.time)) for v in nn) \
+            and len({type(v) for v in nn}) == 1:
+        ordered = sorted(set(nn))
+        codes = {v: i for i, v in enumerate(ordered)}
+        return np.fromiter((0 if v is None else codes[v] for v in vals),
+                           np.int64, len(vals))
+    return None
+
+
+def _lexsort_rows(rows: list, specs: list, getter) -> list:
+    """Stable multi-key ordering of python row tuples via np.lexsort over
+    encoded int64 keys — the ~100x replacement for functools.cmp_to_key on
+    large results.  specs: (key index, descending, nulls_first|None).
+    Falls back to the exact python comparison sort when a key column has no
+    vectorizable encoding."""
+    import numpy as np
+    if len(rows) <= 64:
+        return _cmp_sort_rows(rows, specs, getter)
+    arrays: list = []                    # np.lexsort: LAST array is primary
+    for i, desc, nf in reversed(specs):
+        vals = [getter(r, i) for r in rows]
+        nulls = np.fromiter((v is None for v in vals), np.bool_, len(vals))
+        enc = _encode_sort_column(vals, nulls)
+        if enc is None:
+            return _cmp_sort_rows(rows, specs, getter)
+        if desc:
+            enc = np.int64(-1) - enc     # order-reversing, overflow-free
+        enc = np.where(nulls, np.int64(0), enc)
+        nulls_first = desc if nf is None else nf
+        nkey = np.where(nulls, np.int8(-1 if nulls_first else 1), np.int8(0))
+        arrays.append(enc)
+        arrays.append(nkey)              # null rank dominates the value key
+    order = np.lexsort(tuple(arrays))
+    return [rows[int(j)] for j in order]
+
+
+def _cmp_sort_rows(rows: list, specs: list, getter) -> list:
+    def cmp(a, b):
+        for i, desc, nf in specs:
+            va, vb = getter(a, i), getter(b, i)
+            nulls_first = desc if nf is None else nf
+            if va is None and vb is None:
+                continue
+            if va is None:
+                return -1 if nulls_first else 1
+            if vb is None:
+                return 1 if nulls_first else -1
+            c = cmp_values(va, vb)
+            if c:
+                return -c if desc else c
+        return 0
+    return sorted(rows, key=functools.cmp_to_key(cmp))
 
 
 def _kernel_text(obj, alias: str, dev_quals: list[Expr]) -> str:
@@ -1022,19 +1112,4 @@ def _sort_rows_by_output(rows, order_by, out_names) -> list[tuple]:
             raise SqlError("ORDER BY on a UNION must name an output column")
         specs.append((i, oi.descending, oi.nulls_first))
 
-    def cmp(a, b):
-        for i, desc, nf in specs:
-            va, vb = a[i], b[i]
-            if va is None and vb is None:
-                continue
-            nulls_first = nf if nf is not None else desc  # PG: NULLs sort high
-            if va is None:
-                return -1 if nulls_first else 1
-            if vb is None:
-                return 1 if nulls_first else -1
-            c = cmp_values(va, vb)
-            if c:
-                return -c if desc else c
-        return 0
-
-    return sorted(rows, key=functools.cmp_to_key(cmp))
+    return _lexsort_rows(rows, specs, lambda r, i: r[i])

@@ -264,3 +264,21 @@ class TestPadding:
         outs, mask, err = jax.jit(fn)(planes, np.int32(2))
         assert np.asarray(err).max() == 0
         assert list(np.asarray(mask)) == [True, True, False, False]
+
+
+class TestTimestampDateCast:
+    def test_timestamp_to_date(self):
+        # usec since 2000-01-01; includes pre-epoch values (floored day)
+        from pg_strom_tpu.expr.ir import explicit_cast
+        usec_day = 86_400_000_000
+        vals = [0, 1, usec_day - 1, usec_day, 5 * usec_day + 123,
+                -1, -usec_day, -usec_day - 1, None]
+        spec = [("t", T.TIMESTAMP, vals)]
+        check_consistent(spec, explicit_cast(col("t", T.TIMESTAMP), T.DATE))
+
+    def test_date_roundtrip(self):
+        from pg_strom_tpu.expr.ir import explicit_cast
+        days = [0, 1, -1, 7305, None]
+        spec = [("d", T.DATE, days)]
+        e = explicit_cast(explicit_cast(col("d", T.DATE), T.TIMESTAMP), T.DATE)
+        check_consistent(spec, e)

@@ -190,3 +190,59 @@ class TestTopK:
         assert ovf
         got, want, ovf2 = run_topk(spec, ss, k=50, exact=True)
         assert not ovf2 and got == want
+
+
+class TestLexsortRows:
+    """_lexsort_rows (vectorized host ORDER BY) must match the python
+    comparison sort exactly — including NULL placement, DESC, NaN ordering
+    (greatest, PG float8_cmp/numeric), -0 == +0 ties, text C collation,
+    and Decimal NaN (unhashable)."""
+
+    def _check(self, rows, specs):
+        import pg_strom_tpu.sql  # settle plan/binder circular import
+        from pg_strom_tpu.plan.planner import _lexsort_rows, _cmp_sort_rows
+        getter = lambda r, i: r[i]
+        got = _lexsort_rows(rows, specs, getter)
+        want = _cmp_sort_rows(rows, specs, getter)
+        assert got == want
+
+    def test_floats_nan_zero_nulls(self, rng):
+        vals = ([float(v) for v in rng.standard_normal(500)]
+                + [float("nan"), float("inf"), float("-inf"), -0.0, 0.0]
+                + [None] * 17)
+        rows = [(v, i) for i, v in enumerate(vals)]
+        for desc in (False, True):
+            for nf in (None, True, False):
+                self._check(list(rows), [(0, desc, nf)])
+
+    def test_ints_desc_minmax(self, rng):
+        vals = ([int(v) for v in rng.integers(-100, 100, 300)]
+                + [-(1 << 63), (1 << 63) - 1, None])
+        rows = [(v, i) for i, v in enumerate(vals)]
+        self._check(list(rows), [(0, True, None)])
+        self._check(list(rows), [(0, False, None)])
+
+    def test_decimal_with_nan(self, rng):
+        from decimal import Decimal
+        vals = ([Decimal(int(v)) / 100 for v in rng.integers(-9999, 9999, 300)]
+                + [Decimal("NaN"), Decimal("NaN"), None])
+        rows = [(v, i) for i, v in enumerate(vals)]
+        self._check(list(rows), [(0, False, None)])
+        self._check(list(rows), [(0, True, False)])
+
+    def test_text_c_collation(self, rng):
+        pool = ["abc", "ABC", "", "zz", "Z", "étude", "e", None]
+        rows = [(pool[int(i)], j) for j, i in
+                enumerate(rng.integers(0, len(pool), 400))]
+        self._check(list(rows), [(0, False, None)])
+        self._check(list(rows), [(0, True, None)])
+
+    def test_multikey_stability(self, rng):
+        rows = [(int(a), float(b), i) for i, (a, b) in
+                enumerate(zip(rng.integers(0, 5, 500),
+                              rng.integers(0, 3, 500).astype(float)))]
+        self._check(list(rows), [(0, True, None), (1, False, None)])
+
+    def test_huge_int_fallback(self):
+        rows = [((1 << 70), 0), (5, 1), (None, 2), (-(1 << 70), 3)] * 30
+        self._check(list(rows), [(0, False, None)])
