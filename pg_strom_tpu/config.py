@@ -63,6 +63,9 @@ class _Config:
     # dense-join probe via the MXU one-hot lookup kernel (ops/mxu_lookup.py)
     # when the build keys span <= its window; off -> plain XLA gather
     join_mxu_lookup: bool = True
+    # block_until_ready before device->host reads (one extra ~24ms tunnel
+    # round trip per drain; see exec/devcache.fetch_host) — off by default
+    fetch_block_first: bool = False
     mqueue_timeout_ms: int = 60_000       # reference pg_strom.mqueue_timeout
     loader_threads: int = 0               # 0 = #CPUs (reference opencl_num_threads)
 

@@ -55,13 +55,20 @@ def chunk_capacity(nrows: int) -> int:
 
 
 def fetch_host(tree):
-    """Device->host read of a result pytree: block until the computation is
-    DONE, then batch-read all leaves.  On a tunneled/remote TPU, device_get
-    on in-flight results serializes per leaf (measured 9.6s vs 52ms for the
-    same 31-leaf pytree when blocked first) — the async host copies only
-    overlap once the values exist."""
+    """Device->host read of a result pytree.
+
+    Measured on the tunneled TPU (2026-08-19): every device_get CALL costs a
+    fixed ~24ms round trip regardless of leaf count or size, and a separate
+    block_until_ready is a SECOND ~24ms round trip — so the default is ONE
+    direct device_get on the in-flight tree (small results: 24ms vs 47ms;
+    16MB results: 368ms vs 429ms).  An earlier runtime build served in-flight
+    reads pathologically (9.6s vs 52ms for a 31-leaf pytree — the reason this
+    helper exists); config.fetch_block_first restores the block-then-read
+    discipline if that behavior ever returns."""
     import jax
-    jax.block_until_ready(tree)
+    from ..config import config
+    if config.fetch_block_first:
+        jax.block_until_ready(tree)
     return jax.device_get(tree)
 
 

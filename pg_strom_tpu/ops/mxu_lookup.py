@@ -29,7 +29,7 @@ Reference parity: replaces the device-side random access of the
 direct-address join probe (`ht["dense"][slot]`, kern_hashentry walks
 opencl_hashjoin.h:104-165) with systolic-array friendly dense algebra.
 
-x64-cleanliness (this tunnel's Mosaic service, BASELINE.md truth #7):
+x64-cleanliness (this tunnel's Mosaic service, BASELINE.md truth #8):
 explicit jnp.int32 scalars, index maps write `i * 0` never a literal 0.
 """
 
@@ -85,7 +85,7 @@ def encode_table_jax(vals: jnp.ndarray, D: int, K: int,
     t = t.at[:D].set(vals.astype(jnp.int32))
     grid = t.reshape(Hp, LANE).T                       # [lo, hi]
     rows = [((grid >> jnp.int32(8 * k)) & jnp.int32(0xFF)) for k in range(K)]
-    # Mosaic lacks u32->bf16; ints route via f32 (BASELINE truth #7)
+    # Mosaic lacks u32->bf16; ints route via f32 (BASELINE truth #8)
     return jnp.concatenate(rows, axis=0).astype(jnp.float32).astype(jnp.bfloat16)
 
 

@@ -153,16 +153,22 @@ def packed_argsort(lanes: Sequence[tuple[jnp.ndarray, int]], n: int) -> jnp.ndar
         groups.append(cur)
 
     iota = jax.lax.broadcasted_iota(jnp.int64, (n,), 0)
-    perm = None
+    # pack every group's word BEFORE any permutation: an LSD pass then costs
+    # ONE gather (wide[perm]) + one composition gather (perm[idx]) instead of
+    # a gather per lane — TPU random gathers are ~150ms/16M rows, the
+    # dominant cost of multi-pass sorts (BASELINE.md environment truths)
+    packed: list[jnp.ndarray] = []
     for g in groups:                   # least-significant group first (LSD)
         wide = jnp.zeros((n,), dtype=jnp.int64)
         shift = rb
         for lane, w in g:              # g is LSB-first: shift upward
-            l = lane if perm is None else lane[perm]
-            wide = wide | (l << shift)
+            wide = wide | (lane << shift)
             shift += w
-        wide = wide | iota
-        s = jax.lax.sort(wide)
+        packed.append(wide)
+    perm = None
+    for wide in packed:
+        w = wide if perm is None else wide[perm]
+        s = jax.lax.sort(w | iota)     # low bits = current position: stable
         idx = (s & jnp.int64((1 << rb) - 1)).astype(jnp.int32)
         perm = idx if perm is None else perm[idx]
     return perm if perm is not None else iota.astype(jnp.int32)
