@@ -27,7 +27,8 @@ from ..expr.eval_cpu import eval_expr_cpu
 from ..expr.lower_jax import ColMeta, schema_from_chunk_columns, planes_of_column
 from ..ops.hashjoin import build_hash_table, dense_cap_for, \
     mxu_dense_window, _next_pow2
-from ..ops.joinagg import build_join_preagg_fn
+from ..ops.joinagg import build_join_preagg_fn, build_join_preagg_pregrouped_fn
+from ..ops.mxu_lookup import encode_table, lookup_digits
 from ..ops.preagg import AggInstance
 from .devcache import TCACHE, chunk_capacity, planes_on_device, fetch_host
 from .hostexec import canon_group_key, new_state, update_state
@@ -185,6 +186,16 @@ class JoinPreAggExecutor:
                    and bool(ht.get("dense_m_ok", False)))
         dcap = mxu_dense_window(bcap) if use_mxu else dense_cap_for(bcap)
 
+        # star-schema fast path: dimension-only GROUP BY keys + fact-only
+        # aggregate args => pre-assign group ids on the build side and probe
+        # with ONE slot->group MXU lookup (no build gathers, no salt ladder)
+        if use_dense and use_mxu and bound_groups:
+            pg = self._compose_pregroup(ht, ht_key, bnames, bpred, dcap, pm)
+            if pg is not None:
+                return self._run_pregrouped(
+                    pg, ht, pnames, refd, pcap, states, displays,
+                    jnames, jlayout, bound_groups, bound_aggs)
+
         def fused(out_cap, strategy=self._strategy, G=None):
             G = G if G is not None else self._G
             return _cached_jit(
@@ -297,6 +308,178 @@ class JoinPreAggExecutor:
         with pm.timer("cpu_fallback"):
             self._host_chunk_agg(cc, states, displays, jnames, jlayout,
                                  bound_groups, bound_aggs)
+
+    # -- star-schema pregrouped path ------------------------------------------
+
+    def _compose_pregroup(self, ht, ht_key, bnames, bpred, dcap, pm):
+        """Enumerate dimension group ids host-side and encode the slot->seg
+        digit matrix.  Returns None when the plan shape doesn't qualify
+        (group keys not build-only / agg args not probe-only / non-column
+        join key / too many groups) — the caller falls through to the
+        generic fused path."""
+        from ..expr.ir import referenced_columns as _refs
+        if len(self.build_keys) != 1 or \
+                not isinstance(self.build_keys[0], ColumnRef):
+            return None
+        for g in self.group_exprs:
+            cols = list(_refs(g))
+            if not cols or any(c not in self.build.columns
+                               or c in self.probe.columns for c in cols):
+                return None
+        for inst in self.aggs:
+            for a in inst.args:
+                if any(c not in self.probe.columns for c in _refs(a)):
+                    return None
+        aux_key = ("joinagg_pregroup", ht_key, tuple(self.group_exprs), dcap)
+        cached = TCACHE.get_aux(aux_key, pm)
+        if cached is not None:
+            return cached
+
+        bl = list(bnames)
+        blayout0 = {n: i for i, n in enumerate(bl)}
+        bound_groups_b = [bind_columns(g, blayout0) for g in self.group_exprs]
+        bkey_col = self.build.columns[self.build_keys[0].name]
+        kmin = int(ht["kmin"])
+        groups_by_ck: dict[tuple, int] = {}
+        seg_displays: list[tuple] = []
+        entries: list[tuple[int, int]] = []
+        try:
+            with pm.timer("pregroup_compose"):
+                for i in range(self.build.nrows):
+                    if not bool(bkey_col.valid[i]):
+                        continue
+                    row = lambda s: self.build.columns[bl[s]].get(i)
+                    if bpred is not None and \
+                            eval_expr_cpu(bpred, row) is not True:
+                        continue
+                    slotv = int(bkey_col.data[i]) - kmin
+                    if not (0 <= slotv < dcap):
+                        return None          # contradicts dense_m_ok; bail
+                    kvals = tuple(eval_expr_cpu(g, row)
+                                  for g in bound_groups_b)
+                    ck = tuple(canon_group_key(v) for v in kvals)
+                    seg = groups_by_ck.get(ck)
+                    if seg is None:
+                        seg = len(seg_displays)
+                        groups_by_ck[ck] = seg
+                        seg_displays.append(kvals)
+                    entries.append((slotv, seg))
+        except Exception:
+            return None                      # group expr not host-evaluable
+        ngroups = len(seg_displays)
+        if ngroups == 0:
+            return None                      # empty join: generic path
+        G_pre = max(128, _next_pow2(ngroups + 2))
+        if G_pre > config.max_groups_cap:
+            return None
+        seg_K = lookup_digits(G_pre.bit_length())
+        segslot = np.full(dcap, G_pre, np.uint32)
+        for slotv, seg in entries:
+            segslot[slotv] = seg
+        M_seg = jax.device_put(np.asarray(encode_table(segslot, dcap, seg_K)))
+        pg = {"M_seg": M_seg, "seg_displays": seg_displays,
+              "G_pre": G_pre, "seg_K": seg_K, "dcap": dcap}
+        TCACHE.put_aux(aux_key, pg, self.build.name,
+                       [self.build.columns[n] for n in bl])
+        return pg
+
+    def _run_pregrouped(self, pg, ht, pnames, refd, pcap, states, displays,
+                        jnames, jlayout, bound_groups, bound_aggs):
+        pm = self.perfmon
+        playout = {n: i for i, n in enumerate(pnames)}
+        pkeys = [bind_columns(k, playout) for k in self.probe_keys]
+        ppred = bind_columns(self.probe_pred, playout) \
+            if self.probe_pred is not None else None
+        pschema = schema_from_chunk_columns(
+            pnames, [self.probe.columns[n] for n in pnames])
+        jnames_pre = [c for c in refd if c in self.probe.columns]
+        jlayout_pre = {c: i for i, c in enumerate(jnames_pre)}
+        jschema_pre = schema_from_chunk_columns(
+            jnames_pre, [self.probe.columns[c] for c in jnames_pre])
+        probe_slots_pre = [playout[c] for c in jnames_pre]
+        aggs_pre = [
+            AggInstance(aggname=i_.aggname, family=i_.family, slots=i_.slots,
+                        args=tuple(bind_columns(a, jlayout_pre)
+                                   for a in i_.args))
+            for i_ in self.aggs]
+        G_pre, seg_K = pg["G_pre"], pg["seg_K"]
+        seg_ref = ColumnRef(type=T.INT4, name="__seg__",
+                            index=len(jschema_pre))
+        fn = _cached_jit(
+            ("joinagg_pregroup",
+             tuple((m.name, m.type, m.dict_id) for m in pschema),
+             tuple(pkeys), ppred, pg["dcap"],
+             tuple((m.name, m.type, m.dict_id) for m in jschema_pre),
+             tuple(probe_slots_pre), tuple(aggs_pre), G_pre, seg_K),
+            lambda: build_join_preagg_pregrouped_fn(
+                pschema, pkeys, pg["dcap"], ppred, jschema_pre,
+                probe_slots_pre, aggs_pre, G_pre, seg_K, "mxu"))
+        ht2 = dict(ht)
+        ht2["seg_M"] = pg["M_seg"]
+
+        seg_states: dict[tuple, list[dict]] = {}
+        seg_disp: dict[tuple, tuple] = {}
+
+        def consume(cc, out):
+            if int(out["err"]) != 0:
+                pm.bump("recheck_chunks")
+                with pm.timer("cpu_fallback"):
+                    self._host_chunk_agg(cc, states, displays, jnames,
+                                         jlayout, bound_groups, bound_aggs)
+                return
+            collided, overflow = mxu_absorb(
+                out, [seg_ref], aggs_pre, [None], seg_states, seg_disp,
+                merge_partials, extract_partials, canon_group_key)
+            if collided or overflow:
+                # collisions are impossible by construction (dense seg ids);
+                # defensive: replay the chunk host-exactly either way
+                pm.bump("recheck_chunks")
+                with pm.timer("cpu_fallback"):
+                    self._host_chunk_agg(cc, states, displays, jnames,
+                                         jlayout, bound_groups, bound_aggs)
+                return
+            pm.bump("device_chunks")
+
+        pending: list = []
+        streamed = 0
+        for cc in TCACHE.chunks_for(self.probe, pnames, pcap, pm):
+            if cc.recheck_any:
+                with pm.timer("cpu_fallback"):
+                    self._host_chunk_agg(cc, states, displays, jnames,
+                                         jlayout, bound_groups, bound_aggs)
+                continue
+            with pm.timer("dispatch"):
+                out = fn(ht2, cc.planes, np.int32(cc.nrows), np.uint64(0))
+            pending.append((cc, out))
+            if not planes_on_device(cc.planes):
+                streamed += 1
+                if streamed >= config.max_async_chunks:
+                    with pm.timer("device_wait"):
+                        outs = fetch_host([o for _, o in pending])
+                    for (cc2, _), oh in zip(pending, outs):
+                        consume(cc2, oh)
+                    pending.clear()
+                    streamed = 0
+        if pending:
+            with pm.timer("device_wait"):
+                outs = fetch_host([o for _, o in pending])
+            for (cc2, _), oh in zip(pending, outs):
+                consume(cc2, oh)
+            pending.clear()
+
+        # translate seg ids -> enumerated dimension key tuples, then merge
+        # with any host-replayed groups (keyed by the real values)
+        for ck_seg, st in seg_states.items():
+            seg = int(seg_disp[ck_seg][0])
+            kvals = pg["seg_displays"][seg]
+            ck = tuple(canon_group_key(v) for v in kvals)
+            if ck not in states:
+                states[ck] = st
+                displays[ck] = kvals
+            else:
+                states[ck] = [merge_partials(inst, a, b)
+                              for inst, a, b in zip(bound_aggs, states[ck], st)]
+        return finalize_agg_states(bound_groups, bound_aggs, states, displays)
 
     def _key_metas(self, jnames) -> list[ColMeta | None]:
         metas = []

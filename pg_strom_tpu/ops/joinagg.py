@@ -23,8 +23,9 @@ import jax.numpy as jnp
 
 from ..sqltypes import T
 from ..expr.ir import Expr, ColumnRef
-from ..expr.lower_jax import ColMeta
+from ..expr.lower_jax import ColMeta, Lowerer
 from .hashjoin import build_probe_fn, build_probe_dense_fn
+from .mxu_lookup import mxu_lookup
 from .preagg import AggInstance, build_preagg_fn
 
 
@@ -118,6 +119,76 @@ def build_join_preagg_fn(pschema: Sequence[ColMeta],
         out = pre_fn(tuple(jcols), nlive, salt)
         out["err"] = jnp.maximum(out["err"], jerr)
         out["nout"] = nout
+        return out
+
+    return f
+
+
+def build_join_preagg_pregrouped_fn(
+        pschema: Sequence[ColMeta], probe_keys: Sequence[Expr],
+        dense_cap: int, probe_pred: Optional[Expr],
+        jschema: Sequence[ColMeta], probe_slots: Sequence[int],
+        aggs: Sequence[AggInstance], G: int, seg_K: int,
+        strategy: str = "mxu") -> Callable:
+    """Star-schema fused join->aggregate with PRE-ASSIGNED group ids.
+
+    When every GROUP BY expression reads only build-side (dimension) columns
+    and every aggregate reads only probe-side (fact) columns, the executor
+    enumerates the distinct group-key tuples over the small build side ONCE
+    (host, exact — text keys ride free) and encodes a slot -> group-id digit
+    matrix (`ht['seg_M']`, sentinel G for empty slots).  The per-chunk device
+    program is then ONE MXU lookup (probe key -> group id) feeding the
+    grouped preagg — no build-row gather, no build-column gathers, no salt
+    ladder (group ids are dense ints < G-2, the collision-free range
+    bucketing in preagg._bucket_ids).
+
+    Reference contrast: the reference always materializes the join output
+    before GpuPreAgg re-derives groups from key values
+    (kern_gpuhashjoin_projection_slot -> gpupreagg_keycomp); pre-resolving
+    dimension groups at build time has no reference counterpart — it exists
+    because TPU gathers are the scarce resource.
+
+    f(ht, pcols, nrows, salt) -> preagg pytree (+'nout'=0); group keys in
+    the output are the int seg ids, which the executor maps back to the
+    enumerated display tuples."""
+    probe_keys = list(probe_keys)
+    probe_slots = list(probe_slots)
+    jschema_eff = (list(jschema)
+                   + [ColMeta("__seg__", T.INT4), ColMeta("__match__", T.BOOL)])
+    seg_ref = ColumnRef(type=T.INT4, name="__seg__", index=len(jschema))
+    match_pred = ColumnRef(type=T.BOOL, name="__match__",
+                           index=len(jschema) + 1)
+    pre_fn = build_preagg_fn(jschema_eff, [seg_ref], list(aggs), match_pred,
+                             G, strategy)
+
+    def f(ht: dict, pcols: tuple, nrows, salt):
+        n = pcols[0][0].shape[0] if pcols else 0
+        live = jnp.arange(n, dtype=jnp.int32) < nrows
+        lw = Lowerer(pschema, pcols, live)
+        mask = live
+        if probe_pred is not None:
+            pv = lw.lower(probe_pred, live)
+            mask = live & pv.valid & pv.data.astype(jnp.bool_)
+        k = lw.lower(probe_keys[0], mask)
+        off = k.data.astype(jnp.int64) - ht["kmin"]
+        in_r = mask & k.valid & (off >= 0) & (off < dense_cap)
+        slot = jnp.clip(off, 0, dense_cap - 1).astype(jnp.int32)
+        seg = mxu_lookup(slot, ht["seg_M"], dense_cap, seg_K, n)
+        matched = in_r & (seg < jnp.int32(G))
+        seg = jnp.where(matched, seg, jnp.int32(0))
+        jcols = []
+        for jslot in range(len(jschema)):
+            g = list(pcols[probe_slots[jslot]])
+            g[1] = g[1] & matched
+            jcols.append(tuple(g))
+        ones = jnp.ones_like(matched)
+        jcols.append((seg, ones))                  # __seg__ group lane
+        jcols.append((matched, ones))              # __match__ filter lane
+        out = pre_fn(tuple(jcols), nrows, salt)
+        jerr = jnp.max(jnp.where(live, lw.err, jnp.uint8(0))) if n \
+            else jnp.uint8(0)
+        out["err"] = jnp.maximum(out["err"], jerr)
+        out["nout"] = jnp.int32(0)
         return out
 
     return f

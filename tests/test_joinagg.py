@@ -135,3 +135,41 @@ def test_empty_result(db):
 def test_limit_offset_after_agg(db):
     both(db, "select fact.g, count(*) from fact join dim on fact.k = dim.k "
              "group by fact.g order by fact.g limit 3 offset 1")
+
+
+def test_pregrouped_path_engages(db):
+    """Star shape (dim-only GROUP BY, fact-only agg args) must take the
+    pregrouped path: dimension group ids enumerated at build time, probe =
+    one slot->seg lookup (exec/joinagg_exec._compose_pregroup)."""
+    before = sum(1 for k in joinagg_exec._JIT_CACHE
+                 if k[0] == "joinagg_pregroup")
+    both(db, "select dim.lab, count(*), sum(fact.y), avg(fact.x) from fact "
+             "join dim on fact.k = dim.k group by dim.lab order by dim.lab")
+    after = sum(1 for k in joinagg_exec._JIT_CACHE
+                if k[0] == "joinagg_pregroup")
+    assert after > before, "pregrouped star path was not used"
+
+
+def test_pregrouped_group_expr_and_pred(db):
+    # group key is an EXPRESSION over dim columns; preds on both sides
+    # (dim pred folds into the seg table, fact pred into the probe mask)
+    both(db, "select dim.w % 3, count(*), sum(fact.y) from fact "
+             "join dim on fact.k = dim.k "
+             "where fact.x > 0.2 and dim.w > -50 "
+             "group by dim.w % 3 order by dim.w % 3")
+
+
+def test_pregrouped_vs_generic_same_result(db):
+    q = ("select dim.lab, count(*), sum(fact.y) from fact "
+         "join dim on fact.k = dim.k group by dim.lab order by dim.lab")
+    with override(enabled=True, chunk_rows=512):
+        a = execute(q, db).formatted(-3)
+    with override(enabled=True, chunk_rows=512, join_mxu_lookup=False):
+        b = execute(q, db).formatted(-3)   # generic dense path, no pregroup
+    assert a == b
+
+
+def test_pregrouped_many_groups_g_escalation(db):
+    # one group per dim row (50 groups; G_pre = 128 minimum) + NULL fact keys
+    both(db, "select dim.w, count(*) from fact join dim on fact.k = dim.k "
+             "group by dim.w order by dim.w")
