@@ -52,14 +52,16 @@ def main() -> None:
         d, fam = lookup_agg(aggname, (arg.type,))
         insts.append(AggInstance(aggname=aggname, family=fam,
                                  slots=d.slots, args=(arg,)))
-    # mxu = the engine's default grouped strategy (ops/preagg_mxu.py):
-    # every additive partial via ONE batched one-hot matmul on the MXU.
+    # mxu_dense = the engine's default grouped strategy for single int-lane
+    # keys (ops/preagg_mxu.py): every additive partial via ONE batched
+    # one-hot matmul on the MXU, with buckets = key - min(key) so the bucket
+    # index IS the key (no key-recovery columns, no collisions).
     # G=128: the executor's cross-query group-count memo
     # (exec/preagg_exec._GROUP_STATS) right-sizes repeated GROUP BYs to
     # max(128, 2*observed) buckets — 128 is the engine's honest steady
     # state for this 30-group key (and the MXU's minimum output block).
     fn = jax.jit(build_preagg_fn(schema, [key], insts, pred, G=128,
-                                 strategy="mxu"))
+                                 strategy="mxu_dense"))
 
     rng = np.random.default_rng(0)
     cols = (

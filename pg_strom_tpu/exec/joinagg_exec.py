@@ -33,7 +33,8 @@ from ..ops.preagg import AggInstance
 from .devcache import TCACHE, chunk_capacity, planes_on_device, fetch_host
 from .hostexec import canon_group_key, new_state, update_state
 from ..ops.preagg import extract_partials, merge_partials
-from ..ops.preagg_mxu import mxu_keys_supported, mxu_absorb
+from ..ops.preagg_mxu import mxu_keys_supported, mxu_dense_supported, \
+    mxu_absorb
 from .preagg_exec import (
     absorb_preagg_out, finalize_agg_states, _key_value_from_planes,
 )
@@ -177,8 +178,10 @@ class JoinPreAggExecutor:
 
         # MXU grouping when key types allow exact host recovery (see
         # preagg_exec): 6-12x over scatter on v5e
-        self._strategy = ("mxu" if mxu_keys_supported(
-            [g.type for g in bound_groups]) else "scatter")
+        kts = [g.type for g in bound_groups]
+        self._strategy = ("mxu_dense" if mxu_dense_supported(kts)
+                          else "mxu" if mxu_keys_supported(kts)
+                          else "scatter")
         # direct-address probe (one gather, row-aligned, no regrow) when the
         # build side is a unique single-int-key table — the dim-join shape
         use_dense = bool(ht["dense_ok"])
@@ -254,11 +257,12 @@ class JoinPreAggExecutor:
         """Retry ladder: regrow (DataStoreNoSpace analog) -> salted buckets
         at G -> 4x G escalation -> exact sort strategy -> host replay."""
         pm = self.perfmon
-        ladder = [(self._G, 0x9E3779B97F4A7C15, self._strategy)]
+        lstrat = "mxu" if self._strategy == "mxu_dense" else self._strategy
+        ladder = [(self._G, 0x9E3779B97F4A7C15, lstrat)]
         G2 = min(4 * self._G, config.max_groups_cap)
         if G2 > self._G:
-            ladder += [(G2, 0, self._strategy),
-                       (G2, 0xC2B2AE3D27D4EB4F, self._strategy)]
+            ladder += [(G2, 0, lstrat),
+                       (G2, 0xC2B2AE3D27D4EB4F, lstrat)]
         ladder.append((config.max_groups_cap, 0, "sort"))
         attempt = 0
         overflow = False
@@ -282,10 +286,16 @@ class JoinPreAggExecutor:
                 out = redispatch()
                 continue
             if bound_groups and "mxu_sums" in out:
+                if bool(np.asarray(out.get("dense_fail", False))):
+                    # sparse key range: one-time generic-mxu re-dispatch
+                    pm.bump("dense_fallbacks")
+                    cur = (cur[0], cur[1], "mxu")
+                    out = redispatch()
+                    continue
                 collided, overflow = mxu_absorb(
                     out, bound_groups, bound_aggs, key_metas, states,
                     displays, merge_partials, extract_partials,
-                    canon_group_key)
+                    canon_group_key, dense_key=cur[2] == "mxu_dense")
                 if overflow:
                     continue
                 if not collided:
@@ -413,7 +423,7 @@ class JoinPreAggExecutor:
              tuple(probe_slots_pre), tuple(aggs_pre), G_pre, seg_K),
             lambda: build_join_preagg_pregrouped_fn(
                 pschema, pkeys, pg["dcap"], ppred, jschema_pre,
-                probe_slots_pre, aggs_pre, G_pre, seg_K, "mxu"))
+                probe_slots_pre, aggs_pre, G_pre, seg_K, "mxu_dense"))
         ht2 = dict(ht)
         ht2["seg_M"] = pg["M_seg"]
 
@@ -421,7 +431,8 @@ class JoinPreAggExecutor:
         seg_disp: dict[tuple, tuple] = {}
 
         def consume(cc, out):
-            if int(out["err"]) != 0:
+            if int(out["err"]) != 0 or \
+                    bool(np.asarray(out.get("dense_fail", False))):
                 pm.bump("recheck_chunks")
                 with pm.timer("cpu_fallback"):
                     self._host_chunk_agg(cc, states, displays, jnames,
@@ -429,7 +440,8 @@ class JoinPreAggExecutor:
                 return
             collided, overflow = mxu_absorb(
                 out, [seg_ref], aggs_pre, [None], seg_states, seg_disp,
-                merge_partials, extract_partials, canon_group_key)
+                merge_partials, extract_partials, canon_group_key,
+                dense_key=True)
             if collided or overflow:
                 # collisions are impossible by construction (dense seg ids);
                 # defensive: replay the chunk host-exactly either way

@@ -26,7 +26,8 @@ from ..expr.lower_jax import ColMeta, schema_from_chunk_columns
 from ..ops.preagg import (
     AggInstance, build_preagg_fn, extract_partials, merge_partials,
 )
-from ..ops.preagg_mxu import mxu_keys_supported, mxu_absorb
+from ..ops.preagg_mxu import mxu_keys_supported, mxu_dense_supported, \
+    mxu_absorb
 from .devcache import TCACHE, CachedChunk, chunk_capacity, planes_on_device, fetch_host
 from .hostexec import replay_chunk_preagg, canon_group_key, new_state
 from ..utils.perfmon import Perfmon
@@ -59,6 +60,9 @@ def _get_jitted(schema, group_exprs, aggs, pred, G, cap, strategy="scatter"):
 # salt/escalation retry ladder keeps correctness if the memo underestimates.
 _GROUP_STATS: dict[tuple, int] = {}
 _GROUP_STATS_CAP = 4096
+# GROUP BYs whose key RANGE exceeded the dense window (sparse keys): skip
+# the mxu_dense attempt on later queries instead of re-dispatching per chunk
+_DENSE_FAILED: set[tuple] = set()
 
 
 def _pow2_at_least(x: int) -> int:
@@ -155,8 +159,14 @@ class PreAggExecutor:
         # grouped chunks go to the MXU (one-hot matmul) strategy whenever the
         # key types support exact host-side recovery — measured 6-12x faster
         # than scatter on v5e (ops/preagg_mxu.py); otherwise scatter
-        self._strategy = ("mxu" if mxu_keys_supported(
-            [g.type for g in self.group_exprs]) else "scatter")
+        kts = [g.type for g in self.group_exprs]
+        # dense-key MXU (single int-lane key): bucket index IS the key, no
+        # key-recovery matmul columns, no collisions (ops/preagg_mxu.py);
+        # chunks whose key range exceeds G-2 re-dispatch the generic 'mxu'
+        self._strategy = ("mxu_dense" if mxu_dense_supported(kts)
+                          and self._gskey not in _DENSE_FAILED
+                          else "mxu" if mxu_keys_supported(kts)
+                          else "scatter")
         fn = _get_jitted(self._schema, tuple(self.group_exprs),
                          tuple(self.aggs), self.pred, G, cap,
                          strategy=self._strategy)
@@ -225,15 +235,29 @@ class PreAggExecutor:
             ladder += [(G2, 0), (G2, 0xC2B2AE3D27D4EB4F)]
         attempt = 0
         overflow = False
+        cur_strategy = self._strategy
         while True:
             err = int(out["err"])
             if err != 0 or overflow:
                 break                                 # -> host replay
             if "mxu_sums" in out:
+                if bool(np.asarray(out.get("dense_fail", False))):
+                    # key range exceeded the dense window: one-time
+                    # re-dispatch with the generic mxu strategy
+                    pm.bump("dense_fallbacks")
+                    if self._gskey is not None:
+                        _DENSE_FAILED.add(self._gskey)
+                    cur_strategy = "mxu"
+                    fn = _get_jitted(self._schema, tuple(self.group_exprs),
+                                     tuple(self.aggs), self.pred, self._G,
+                                     self._cap, strategy="mxu")
+                    out = fetch_host(fn(cc.planes, np.int32(cc.nrows),
+                                        np.uint64(0)))
+                    continue
                 collided, overflow = mxu_absorb(
                     out, self.group_exprs, self.aggs, key_metas, states,
                     displays, merge_partials, extract_partials,
-                    canon_group_key)
+                    canon_group_key, dense_key=cur_strategy == "mxu_dense")
                 if overflow:
                     continue
                 if not collided:
@@ -251,7 +275,7 @@ class PreAggExecutor:
                 g, salt = ladder[attempt]
                 fn = _get_jitted(self._schema, tuple(self.group_exprs),
                                  tuple(self.aggs), self.pred, g,
-                                 self._cap, strategy=self._strategy)
+                                 self._cap, strategy=cur_strategy)
                 out = fetch_host(fn(cc.planes, np.int32(cc.nrows),
                                     np.uint64(salt)))
             elif attempt == len(ladder):

@@ -90,5 +90,10 @@ BENCH_QUERIES = {
                  "group by cat order by cat",
     "join_agg": "select count(*), sum(t0.x) from t0 "
                 "join t1 on t0.aid = t1.aid where t0.x < 50.0",
+    # star shape: dim-only GROUP BY + fact-only aggs -> pregrouped path
+    # (exec/joinagg_exec._compose_pregroup)
+    "star_group": "select t1.aid % 40, count(*), sum(t0.x) from t0 "
+                  "join t1 on t0.aid = t1.aid group by t1.aid % 40 "
+                  "order by t1.aid % 40",
     "sort": "select id, x from t0 order by x desc limit 100",
 }

@@ -595,18 +595,41 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
             arg_vals.append(vs)
 
         collision = jnp.bool_(False)
-        if group_exprs and strategy == "mxu":
+        if group_exprs and strategy in ("mxu", "mxu_dense"):
             # MXU grouping: ONE batched one-hot matmul computes every
             # additive partial AND the per-bucket key-constancy sums; the
             # host recovers keys / detects collisions in exact big-int
             # arithmetic (see ops/preagg_mxu.py).  Measured on v5e: 6-12x
             # faster than scatter at 4-16M rows/chunk.  Non-additive slots
             # (min/max, numeric, f8) scatter over the same buckets.
+            #
+            # mxu_dense (single int-lane key): bucket = key - min(key), so
+            # the bucket INDEX recovers the key — the ~17 key
+            # constancy/recovery columns are dropped entirely and collisions
+            # are impossible.  A chunk whose key range exceeds G-2 raises
+            # `dense_fail` and the executor re-dispatches the generic 'mxu'.
             from .preagg_mxu import (
                 build_mxu_columns, mxu_reduce, mxu_recipes, mxu_shadow_cols,
                 _kind_mxu_ok,
             )
-            seg_id = _bucket_ids(keys, mask, salt, G)
+            dense_key = strategy == "mxu_dense"
+            if dense_key:
+                k = keys[0]
+                okk = mask & k.valid
+                kd = k.data.astype(jnp.int64)
+                big = jnp.int64(1 << 62)
+                any_ok = jnp.any(okk)
+                kmin = jnp.where(any_ok, jnp.min(jnp.where(okk, kd, big)),
+                                 jnp.int64(0))
+                kmax = jnp.where(any_ok, jnp.max(jnp.where(okk, kd, -big)),
+                                 jnp.int64(0))
+                rng = kmax - kmin          # int64 wrap => negative => fail
+                dense_fail = ~((rng >= 0) & (rng <= jnp.int64(G - 2)))
+                seg = jnp.where(okk, jnp.clip(kd - kmin, 0, G - 1),
+                                jnp.clip(rng + 1, 0, G - 1)).astype(jnp.int32)
+                seg_id = jnp.where(mask, seg, jnp.int32(G))
+            else:
+                seg_id = _bucket_ids(keys, mask, salt, G)
             seg_id, mask = jax.lax.optimization_barrier((seg_id, mask))
             key_ts = [g.type for g in group_exprs]
             arg_ts = [tuple(a.type for a in inst.args) for inst in aggs]
@@ -622,13 +645,16 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
                 from .preagg_fused import fused_supported, fused_mxu_reduce
                 if fused_supported(key_ts, aggs, arg_ts):
                     fused = fused_mxu_reduce(keys, aggs, arg_vals, mask,
-                                             seg_id, G, n, key_ts, arg_ts)
+                                             seg_id, G, n, key_ts, arg_ts,
+                                             dense_key=dense_key)
             if fused is not None:
                 sums, fsums, f4exps = fused
             else:
-                V, f4exps = build_mxu_columns(keys, aggs, arg_vals, mask, n)
+                V, f4exps = build_mxu_columns(keys, aggs, arg_vals, mask, n,
+                                              dense_key=dense_key)
                 # only shadow columns pay the (TPU-emulated) f64 reduction
-                _, slotr_static, _ = mxu_recipes(key_ts, aggs, arg_ts)
+                _, slotr_static, _ = mxu_recipes(key_ts, aggs, arg_ts,
+                                                 dense_key=dense_key)
                 sums, fsums = mxu_reduce(
                     V, seg_id, G, n, fsum_cols=mxu_shadow_cols(slotr_static))
             row_idx = jnp.arange(n, dtype=jnp.int64)
@@ -642,11 +668,17 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
                     d.update(_slot_compute(kind, vs, mask, seg_id, G, lw,
                                            row_idx))
                 slot_out.append(d)
-            return {"err": jnp.max(lw.err) if n else jnp.uint8(0),
-                    "mxu_sums": sums,
-                    "mxu_fsums": fsums,
-                    "mxu_f4exps": f4exps,
-                    "slots": tuple(slot_out)}
+            out = {"err": jnp.max(lw.err) if n else jnp.uint8(0),
+                   "mxu_sums": sums,
+                   "mxu_fsums": fsums,
+                   "mxu_f4exps": f4exps,
+                   "slots": tuple(slot_out)}
+            if dense_key:
+                out["dense_kmin"] = kmin
+                out["dense_rng"] = jnp.clip(rng, 0,
+                                            (1 << 31) - 1).astype(jnp.int32)
+                out["dense_fail"] = dense_fail
+            return out
         if group_exprs and strategy == "scatter":
             # all-uint32 hashing: u64 chains feeding scatters measured ~1000x
             # slower on TPU (emulated 64-bit ops in the scatter fusion)

@@ -120,8 +120,10 @@ class _Plan:
     shadow_map: tuple
 
 
-def _build_plan(key_types: Sequence[T], aggs, arg_types):
-    keyr, slotr, S = mxu_recipes(key_types, aggs, arg_types)
+def _build_plan(key_types: Sequence[T], aggs, arg_types,
+                dense_key: bool = False):
+    keyr, slotr, S = mxu_recipes(key_types, aggs, arg_types,
+                                 dense_key=dense_key)
     ops: list = []
     int_map: list = []
     shadow_map: list = []
@@ -222,7 +224,7 @@ def _build_plan(key_types: Sequence[T], aggs, arg_types):
 
 @functools.lru_cache(maxsize=256)
 def _plan_cached(key_types: tuple, slots_sig: tuple, arg_types: tuple,
-                 f64on: bool):
+                 f64on: bool, dense_key: bool = False):
     # f64on keys the cache only: _kind_mxu_ok consults the live setting,
     # so a plan built under one f64-blocks state must not be reused by the
     # other (the recipe layouts differ)
@@ -230,7 +232,8 @@ def _plan_cached(key_types: tuple, slots_sig: tuple, arg_types: tuple,
         def __init__(self, slots):
             self.slots = slots
     aggs = [_Inst(list(s)) for s in slots_sig]
-    return _build_plan(list(key_types), aggs, list(arg_types))
+    return _build_plan(list(key_types), aggs, list(arg_types),
+                       dense_key=dense_key)
 
 
 def _pick_tile(G: int, n: int) -> int:
@@ -317,7 +320,12 @@ def _build_kernel_impl(plan: _Plan, N: int, G: int, TILE: int,
                 # SIGNED magnitude digit block from one signed lane:
                 # digit(|x|) * sign(x).  where() not abs(): NaN rows must
                 # contribute 0 digits (the fabs shadow carries the NaN to
-                # the host-replay guard)
+                # the host-replay guard).
+                # Two-level extraction: three serial base-2^24 splits (each
+                # exact in f32: w < 2^24 has its fractional suffix exactly
+                # representable, so w - floor(w) is exact), then ONE
+                # vectorized (9, TILE) shift/mask for the 8-bit digits —
+                # replaces the 9-step serial digit chain on 1-sublane rows.
                 x = in_refs[op[1]][:].reshape(1, TILE)
                 sc = sc_ref[0, op[2]]          # static indices (not traced)
                 zero = jnp.float32(0.0)
@@ -325,14 +333,24 @@ def _build_kernel_impl(plan: _Plan, N: int, G: int, TILE: int,
                 neg = jnp.where(x < zero, -x, zero)
                 sgn = jnp.where(x < zero, jnp.float32(-1.0),
                                 jnp.float32(1.0))
-                v = (pos + neg) * sc
-                high_first = []
-                for _ in range(F4_LIMBS):
-                    v = v * jnp.float32(256.0)
-                    d = jnp.floor(v)
-                    v = v - d
-                    high_first.append((d * sgn).astype(jnp.bfloat16))
-                rows.extend(reversed(high_first))
+                v = (pos + neg) * sc           # in [0, 1)
+                assert F4_LIMBS == 9           # 72-bit window = 3 x 24
+                p24 = jnp.float32(1 << 24)
+                ints = []
+                for _ in range(3):
+                    w = v * p24
+                    i_ = jnp.floor(w)
+                    v = w - i_
+                    ints.append(i_.astype(jnp.int32))
+                # low level first; within a level digit shifts 0/8/16
+                rows9 = jnp.concatenate(
+                    [jnp.broadcast_to(t, (3, TILE)) for t in reversed(ints)],
+                    axis=0)
+                sh = (jax.lax.broadcasted_iota(jnp.int32, (9, TILE), 0)
+                      % jnp.int32(3)) * jnp.int32(8)
+                digits = (rows9 >> sh) & jnp.int32(0xFF)
+                rows.append((digits.astype(jnp.float32) * sgn)
+                            .astype(jnp.bfloat16))
             elif op[0] == "fabs":
                 x = in_refs[op[1]][:].reshape(1, TILE)
                 rows.append(jnp.abs(x).astype(jnp.bfloat16))
@@ -402,7 +420,7 @@ def _u64_split(u: jnp.ndarray):
 
 def fused_mxu_reduce(key_vals, aggs, arg_vals, mask: jnp.ndarray,
                      seg_id: jnp.ndarray, G: int, n: int,
-                     key_types, arg_types):
+                     key_types, arg_types, dense_key: bool = False):
     """Drop-in for build_mxu_columns + mxu_reduce on TPU.
 
     Returns (sums int64[G, S], fsums f64[G, n_shadow], f4exps) with the
@@ -410,7 +428,8 @@ def fused_mxu_reduce(key_vals, aggs, arg_vals, mask: jnp.ndarray,
     from .preagg_mxu import _f64_blocks_enabled
     plan, S = _plan_cached(tuple(key_types),
                            tuple(tuple(i.slots) for i in aggs),
-                           tuple(arg_types), _f64_blocks_enabled())
+                           tuple(arg_types), _f64_blocks_enabled(),
+                           dense_key)
     if plan is None:
         return None
 
@@ -424,7 +443,7 @@ def fused_mxu_reduce(key_vals, aggs, arg_vals, mask: jnp.ndarray,
         inputs[ii] = v
         ii += 1
 
-    for k in key_vals:
+    for k in [] if dense_key else key_vals:
         okk = mask & k.valid
         if k.t in _KEY_WIDE_TYPES:
             # 64-bit key: biased word pair, squares derived in-kernel
@@ -513,7 +532,7 @@ def fused_mxu_reduce(key_vals, aggs, arg_vals, mask: jnp.ndarray,
         sums = sums.at[:, rcs].add(ints[:, pcs] * jnp.int64(m))
 
     sh_cols = mxu_shadow_cols([
-        d for d in _recipes_slotr(key_types, aggs, arg_types)])
+        d for d in _recipes_slotr(key_types, aggs, arg_types, dense_key)])
     if plan.shadow_map:
         assert [rc for rc, _ in plan.shadow_map] == sh_cols
         pcs = np.asarray([pc for _, pc in plan.shadow_map], np.int32)
@@ -525,6 +544,7 @@ def fused_mxu_reduce(key_vals, aggs, arg_vals, mask: jnp.ndarray,
     return sums, fsums, exps
 
 
-def _recipes_slotr(key_types, aggs, arg_types):
-    _, slotr, _ = mxu_recipes(list(key_types), aggs, list(arg_types))
+def _recipes_slotr(key_types, aggs, arg_types, dense_key: bool = False):
+    _, slotr, _ = mxu_recipes(list(key_types), aggs, list(arg_types),
+                              dense_key=dense_key)
     return slotr

@@ -75,6 +75,16 @@ def mxu_keys_supported(key_types: Sequence[T]) -> bool:
     return bool(key_types) and all(t in _KEY_OK_TYPES for t in key_types)
 
 
+def mxu_dense_supported(key_types: Sequence[T]) -> bool:
+    """Single int-lane key => the DENSE-key strategy ('mxu_dense'): buckets
+    are key - min(key), so the bucket INDEX recovers the key and the ~17
+    key-constancy/recovery matmul columns (sum/sumsq limb blocks + nval)
+    vanish — collisions are impossible by construction.  A chunk whose key
+    range exceeds G-2 sets `dense_fail` and the executor re-dispatches the
+    generic 'mxu' strategy."""
+    return (len(key_types) == 1 and key_types[0] in _KEY_OK_TYPES)
+
+
 # f64 double-float blocks widen kernels by ~19 columns per slot.  On TPU
 # that trades a ~100ms emulated-f64 scatter pass for ~1ms of extra matmul;
 # on the CPU backend (tests / no-TPU fallback) scatters are already cheap
@@ -133,14 +143,17 @@ class _KeyRecipe:
     sumsq_limbs_hi: list[int] = dataclasses.field(default_factory=list)
 
 
-def mxu_recipes(key_types: Sequence[T], aggs, arg_types: Sequence[tuple]):
+def mxu_recipes(key_types: Sequence[T], aggs, arg_types: Sequence[tuple],
+                dense_key: bool = False):
     """(key_recipes, per-agg {kind: _SlotRecipe}, ncols).
 
     Column 0 is always the bucket row count (mask).  aggs[i].slots with
-    arg types arg_types[i] drive the slot walk — identical on device."""
+    arg types arg_types[i] drive the slot walk — identical on device.
+    dense_key (the 'mxu_dense' strategy): buckets ARE biased key values, so
+    no key recovery/constancy columns are emitted at all."""
     c = 1                                    # col 0: rows-per-bucket
     keyr: list[_KeyRecipe] = []
-    for t in key_types:
+    for t in [] if dense_key else key_types:
         if t in _KEY_WIDE_TYPES:
             s_lo = list(range(c, c + 4)); c += 4
             q_lo = list(range(c, c + 8)); c += 8
@@ -247,12 +260,12 @@ def _f4_limb_cols(x: jnp.ndarray, sc: jnp.ndarray) -> list[jnp.ndarray]:
 
 
 def build_mxu_columns(key_vals: Sequence[DVal], aggs, arg_vals,
-                      mask: jnp.ndarray, n: int):
+                      mask: jnp.ndarray, n: int, dense_key: bool = False):
     """N x S f32 column matrix + per-f4-slot exponents, in recipe order."""
     cols: list[jnp.ndarray] = [mask.astype(jnp.float32)]       # col 0
     f4_exps: list[jnp.ndarray] = []
 
-    for k in key_vals:
+    for k in [] if dense_key else key_vals:
         okk = mask & k.valid
         if k.t in _KEY_WIDE_TYPES:
             # 64-bit key: biased word pair, one sum/sumsq block per word
@@ -545,19 +558,39 @@ def _dyadic_float(M: int, e: int) -> float:
 # executor glue: one call consumes a fetched MXU-strategy chunk output
 # ---------------------------------------------------------------------------
 
+def mxu_dense_groups(out, key_type: T, meta):
+    """Populated buckets of a dense-key ('mxu_dense') chunk: bucket index
+    IS key - kmin; bucket rng+1 is the NULL-key group."""
+    sums = np.asarray(out["mxu_sums"])
+    kmin = int(np.asarray(out["dense_kmin"]))
+    rng = int(np.asarray(out["dense_rng"]))
+    groups = []
+    for g in np.flatnonzero(sums[:, 0] > 0):
+        g = int(g)
+        kv = None if g == rng + 1 else _decode_key(key_type, kmin + g, meta)
+        groups.append((g, (kv,)))
+    return groups
+
+
 def mxu_absorb(out_host, group_exprs, aggs, key_metas, states, displays,
-               merge_partials, extract_partials, canon_group_key):
+               merge_partials, extract_partials, canon_group_key,
+               dense_key: bool = False):
     """Merge one fetched MXU-strategy output into (states, displays).
 
     Returns (collision, overflow): collision => executor re-salts / falls
     back to the sort strategy; overflow => host replays the chunk (the
-    CpuReCheck contract).  Either way states are untouched on failure."""
+    CpuReCheck contract).  Either way states are untouched on failure.
+    dense_key must match the strategy that produced out_host ('mxu_dense')."""
     key_types = [g.type for g in group_exprs]
     arg_types = [tuple(a.type for a in inst.args) for inst in aggs]
-    keyr, slotr, _ = mxu_recipes(key_types, aggs, arg_types)
-    collision, groups = mxu_host_groups(out_host, keyr, key_metas)
-    if collision:
-        return True, False
+    keyr, slotr, _ = mxu_recipes(key_types, aggs, arg_types,
+                                 dense_key=dense_key)
+    if dense_key:
+        groups = mxu_dense_groups(out_host, key_types[0], key_metas[0])
+    else:
+        collision, groups = mxu_host_groups(out_host, keyr, key_metas)
+        if collision:
+            return True, False
     if mxu_overflow(out_host, slotr):
         return False, True
     slots = [{k: np.asarray(v) for k, v in d.items()}

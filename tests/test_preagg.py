@@ -338,7 +338,14 @@ class TestWideKeyGrouping:
         g = bind_columns(ColumnRef(type=T.INT8, name="key"), layout)
         ex = PreAggExecutor(table, None, [g], [inst])
         rows = ex.run()
-        assert ex._strategy == "mxu"
+        # single int key starts on the dense-key variant; this key set spans
+        # ~2^63 so every chunk raises dense_fail and re-dispatches the
+        # generic mxu strategy (and the memo skips dense next time)
+        assert ex._strategy == "mxu_dense"
+        assert ex.perfmon.counts.get("dense_fallbacks", 0) > 0
+        ex2 = PreAggExecutor(table, None, [g], [inst])
+        ex2.run()
+        assert ex2._strategy == "mxu"      # _DENSE_FAILED memo engaged
         got = {r[0]: r[1] for r in rows}
         want = {}
         for k, v in zip(keys, vals):
