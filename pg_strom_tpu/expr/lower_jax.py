@@ -465,6 +465,17 @@ class Lowerer:
         col vs const: const is translated to a code boundary at trace time.
         col vs col: only when both share the same dictionary object."""
         a, b = e.args
+        if isinstance(a, Const) and isinstance(b, Const):
+            # const vs const folds at trace time (C collation: bytewise)
+            if a.value is None or b.value is None:
+                z = jnp.zeros_like(live)
+                return DVal(T.BOOL, z, z)          # NULL result
+            c = (a.value.encode() > b.value.encode()) - \
+                (a.value.encode() < b.value.encode())
+            r = {"eq": c == 0, "ne": c != 0, "lt": c < 0, "le": c <= 0,
+                 "gt": c > 0, "ge": c >= 0}[tag]
+            return DVal(T.BOOL, jnp.full_like(live, bool(r)),
+                        jnp.ones_like(live))
         if isinstance(b, Const) and isinstance(a, ColumnRef):
             return self._text_col_const(a, b, tag, live)
         if isinstance(a, Const) and isinstance(b, ColumnRef):

@@ -113,6 +113,36 @@ def bind_expr(a: Any, scope: Scope, allow_aggs: bool = False) -> Expr:
             ct = ct or T.TEXT
             args = tuple(implicit_cast(_retype_null(x, ct), ct) for x in args)
             return CoalesceExpr(type=ct, args=args)
+        if a.name == "nullif":
+            if len(a.args) != 2:
+                raise BindError("nullif takes exactly two arguments")
+            x = bind_expr(a.args[0], scope, allow_aggs)
+            y = bind_expr(a.args[1], scope, allow_aggs)
+            eq = resolve_function("=", _retype_nulls([x, y]))
+            # NULLIF(v1, v2) = CASE WHEN v1 = v2 THEN NULL ELSE v1 END
+            return CaseExpr(type=x.type, whens=(
+                (eq, Const(type=x.type, value=None)),), orelse=x)
+        if a.name in ("greatest", "least"):
+            args = [bind_expr(x, scope, allow_aggs) for x in a.args]
+            if not args:
+                raise BindError(f"{a.name} requires at least one argument")
+            ct = None
+            for x in args:
+                if not (isinstance(x, Const) and x.value is None):
+                    ct = x.type if ct is None else \
+                        (common_supertype(ct, x.type) or ct)
+            ct = ct or T.TEXT
+            args = [implicit_cast(_retype_null(x, ct), ct) for x in args]
+            op = ">=" if a.name == "greatest" else "<="
+            # pairwise fold; PG skips NULL inputs (NULL only when ALL are)
+            acc = args[0]
+            for b in args[1:]:
+                cmpv = resolve_function(op, [acc, b])
+                acc = CaseExpr(type=ct, whens=(
+                    (NullTest(type=T.BOOL, arg=acc, isnull=True), b),
+                    (NullTest(type=T.BOOL, arg=b, isnull=True), acc),
+                    (cmpv, acc)), orelse=b)
+            return acc
         args = [bind_expr(x, scope, allow_aggs) for x in a.args]
         return resolve_function(a.name, _retype_nulls(args))
     if isinstance(a, ast.ACast):
@@ -130,6 +160,30 @@ def bind_expr(a: Any, scope: Scope, allow_aggs: bool = False) -> Expr:
     if isinstance(a, ast.ANullTest):
         return NullTest(type=T.BOOL, arg=bind_expr(a.arg, scope, allow_aggs),
                         isnull=a.isnull)
+    if isinstance(a, ast.ADistinctFrom):
+        x = bind_expr(a.a, scope, allow_aggs)
+        y = bind_expr(a.b, scope, allow_aggs)
+        x, y = _retype_nulls([x, y])
+        eq = resolve_function("=", [x, y])
+
+        def _nt(e):
+            # constant-fold nullness of literals (text consts have no
+            # standalone device lowering; a literal's nullness is static)
+            if isinstance(e, Const):
+                return Const(type=T.BOOL, value=e.value is None)
+            return NullTest(type=T.BOOL, arg=e, isnull=True)
+
+        xn = _nt(x)
+        yn = _nt(y)
+        # null-safe equality: both NULL -> TRUE, one NULL -> FALSE, else =
+        same = CaseExpr(type=T.BOOL, whens=(
+            (BoolExpr(type=T.BOOL, op="and", args=(xn, yn)),
+             Const(type=T.BOOL, value=True)),
+            (BoolExpr(type=T.BOOL, op="or", args=(xn, yn)),
+             Const(type=T.BOOL, value=False))), orelse=eq)
+        if a.negated:
+            return BoolExpr(type=T.BOOL, op="not", args=(same,))
+        return same
     if isinstance(a, ast.ACase):
         whens = []
         rtypes = []

@@ -136,6 +136,13 @@ class ABool:
 
 
 @dataclasses.dataclass
+class ADistinctFrom:
+    a: Any
+    b: Any
+    negated: bool           # True => IS DISTINCT FROM; False => IS NOT ...
+
+
+@dataclasses.dataclass
 class ABetween:
     arg: Any
     lo: Any
@@ -603,8 +610,13 @@ class Parser:
                     e = AOp("is_true" if not neg else "is_not_true", [e])
                 elif self.accept_kw("false"):
                     e = AOp("is_false" if not neg else "is_not_false", [e])
+                elif self._accept_word("distinct"):
+                    if not self._accept_word("from"):
+                        raise ParseError("expected FROM after IS DISTINCT")
+                    e = ADistinctFrom(e, self._cmp_expr(), negated=not neg)
                 else:
-                    raise ParseError("expected NULL/TRUE/FALSE after IS")
+                    raise ParseError(
+                        "expected NULL/TRUE/FALSE/DISTINCT FROM after IS")
             elif self.accept_kw("isnull"):
                 e = ANullTest(e, isnull=True)
             elif self.accept_kw("notnull"):

@@ -226,3 +226,48 @@ class TestTopKPushdown:
         assert len(r) == 3 and all(row[0] >= 4000 for row in r)
         xs = [row[1] for row in r]
         assert xs == sorted(xs)
+
+
+class TestConditionalFunctions:
+    """NULLIF / GREATEST / LEAST / IS [NOT] DISTINCT FROM — bound as
+    CASE/NullTest desugarings (binder.py), so device and host tiers share
+    one implementation; asserted device == host == hand-derived."""
+
+    def _both(self, db, q):
+        got = execute(q, db).rows
+        with override(enabled=False):
+            host = execute(q, db).rows
+        assert got == host, f"device != host for {q}: {got} vs {host}"
+        return got
+
+    def test_nullif(self, db):
+        assert self._both(db, "select nullif(k, 2) from a order by k") == \
+            [(1,), (None,), (3,), (4,), (None,)]
+        assert self._both(db, "select nullif(v, 'two') from a "
+                              "where k = 2") == [(None,)]
+
+    def test_greatest_least(self, db):
+        # PG: greatest/least SKIP null inputs -> greatest(NULL, 3) = 3
+        assert self._both(db, "select greatest(k, 3), least(k, 3) from a "
+                              "order by k") == \
+            [(3, 1), (3, 2), (3, 3), (4, 3), (3, 3)]
+        # PG skips NULL inputs; result NULL only when all inputs are NULL
+        assert self._both(db, "select greatest(k, null) from a "
+                              "where k is null") == [(None,)]
+        assert self._both(db, "select greatest(null, k, 2) from a "
+                              "where k is null") == [(2,)]
+        # mixed types promote (int + numeric literal)
+        assert self._both(db, "select least(k, 1.5) from a where k = 1") == \
+            [(execute("select 1.0 + 0.0", Database()).rows[0][0].__class__('1'),)]
+
+    def test_is_distinct_from(self, db):
+        assert self._both(db, "select count(*) from a "
+                              "where k is distinct from 2") == [(4,)]
+        assert self._both(db, "select count(*) from a "
+                              "where k is not distinct from null") == [(1,)]
+        assert self._both(db, "select count(*) from a "
+                              "where v is not distinct from 'nul'") == [(1,)]
+        assert self._both(db, "select count(*) from b "
+                              "where w is distinct from 3.0") == [(3,)]
+        assert self._both(db, "select count(*) from a "
+                              "where null is distinct from null") == [(0,)]
