@@ -672,12 +672,21 @@ def _run_plain(cur: Table, pred, items, order_specs, perfmon,
     cols = list(cur.columns.values())
     # vectorized materialization for plain column projections (the common
     # SELECT cols ... shape): batch numpy gathers + tolist instead of a
-    # per-row python eval loop — ~10x on megarow outputs
-    if (not borders and all(isinstance(e, ColumnRef) for e in bitems)):
+    # per-row python eval loop — ~10x on megarow outputs.  Plain-column
+    # ORDER BY keys order the INDEXES with np.lexsort over encoded planes
+    # first, so no python row objects exist until final materialization.
+    if all(isinstance(e, ColumnRef) for e in bitems):
         import numpy as _np
         ii = _np.asarray(idxs, dtype=_np.int64)
-        lanes = [_column_values_at(cols[e.index], ii) for e in bitems]
-        return list(zip(*lanes)) if lanes else [() for _ in idxs]
+        if borders:
+            ii2 = _order_indexes(cols, borders, ii)
+            if ii2 is None:
+                ii = None            # non-vectorizable key: row loop below
+            else:
+                ii = ii2
+        if ii is not None:
+            lanes = [_column_values_at(cols[e.index], ii) for e in bitems]
+            return list(zip(*lanes)) if lanes else [() for _ in ii]
     out = []
     for i in idxs:
         row = lambda s: cols[s].get(i)
@@ -685,6 +694,71 @@ def _run_plain(cur: Table, pred, items, order_specs, perfmon,
         okeys = tuple(eval_expr_cpu(o, row) for o, _, _ in borders)
         out.append((okeys, vals))
     return _order_and_strip(out, borders)
+
+
+def _order_plane_keys(c: Column, ii) -> Optional[list]:
+    """int64 key lanes (most-significant first) ordering column c at rows ii
+    exactly as cmp_values orders the python values; None => not encodable."""
+    import numpy as _np
+    t = c.type
+    if t in (T.INT2, T.INT4, T.INT8, T.DATE, T.TIME, T.TIMESTAMP, T.BOOL):
+        return [c.data[ii].astype(_np.int64)]
+    if t in (T.FLOAT4, T.FLOAT8):
+        a = c.data[ii].astype(_np.float64)
+        a = _np.where(_np.isnan(a), _np.float64("nan"), a)  # canonical NaN
+        a = _np.where(a == 0.0, 0.0, a)                     # -0 -> +0
+        bits = a.view(_np.int64)
+        return [_np.where(bits < 0,
+                          _np.int64(-1) - (bits & _np.int64((1 << 63) - 1)),
+                          bits)]
+    if t in (T.TEXT, T.BPCHAR):
+        d = list(c.dictionary or ())
+        order = sorted(range(len(d)), key=lambda j: d[j].encode())
+        rank = _np.zeros(max(len(d), 1), _np.int64)
+        for r, j in enumerate(order):
+            rank[j] = r
+        codes = _np.clip(c.data[ii].astype(_np.int64), 0, max(len(d) - 1, 0))
+        return [rank[codes]]
+    if t is T.NUMERIC:
+        if c.recheck is not None and c.recheck[ii].any():
+            return None              # out-of-window Decimals: exact row path
+        mant = c.data[ii].astype(_np.int64)
+        exp = c.num_exp[ii].astype(_np.int64)
+        m_abs = _np.abs(mant)
+        sign = _np.sign(mant)
+        p10 = _np.array([10 ** k for k in range(19)], dtype=_np.int64)
+        nd = _np.searchsorted(p10, m_abs, side="right")     # decimal digits
+        E = nd + exp
+        p = _np.where(mant == 0, _np.int64(0), sign * (E + 64))
+        shift = _np.clip(18 - nd, 0, 18)
+        s = _np.where(mant == 0, _np.int64(0), sign * (m_abs * p10[shift]))
+        return [p, s]
+    return None
+
+
+def _order_indexes(cols, borders, ii):
+    """ii reordered per plain-ColumnRef ORDER BY keys via np.lexsort over
+    encoded planes (stable; PG NULL placement).  None => caller falls back
+    to the exact per-row path."""
+    import numpy as _np
+    arrays: list = []                  # np.lexsort: LAST array is primary
+    for oe, desc, nf in reversed(borders):
+        if not isinstance(oe, ColumnRef):
+            return None
+        c = cols[oe.index]
+        lanes = _order_plane_keys(c, ii)
+        if lanes is None:
+            return None
+        nulls = ~c.valid[ii]
+        nulls_first = desc if nf is None else nf
+        nkey = _np.where(nulls, _np.int8(-1 if nulls_first else 1),
+                         _np.int8(0))
+        for lane in reversed(lanes):   # least-significant lane first
+            if desc:
+                lane = _np.int64(-1) - lane
+            arrays.append(_np.where(nulls, _np.int64(0), lane))
+        arrays.append(nkey)
+    return ii[_np.lexsort(tuple(arrays))]
 
 
 def _column_values_at(c: Column, ii) -> list:

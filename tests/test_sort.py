@@ -246,3 +246,47 @@ class TestLexsortRows:
     def test_huge_int_fallback(self):
         rows = [((1 << 70), 0), (5, 1), (None, 2), (-(1 << 70), 3)] * 30
         self._check(list(rows), [(0, False, None)])
+
+
+class TestVectorizedOrderBy:
+    """The plain-column ORDER BY fast path (_order_indexes: np.lexsort over
+    encoded planes) must order identically to the exact row-loop path."""
+
+    def _db(self, rng):
+        from decimal import Decimal
+        from pg_strom_tpu import Table, column_from_values
+        from pg_strom_tpu.datastore import Database
+        n = 2000
+        db = Database()
+        db.create(Table.from_columns("t", {
+            "i": column_from_values(T.INT4, [
+                int(v) if v < 90 else None for v in rng.integers(0, 100, n)]),
+            "f": column_from_values(T.FLOAT8, [
+                None if v < 0.02 else (float("nan") if v < 0.05 else
+                                       (0.0 if v < 0.08 else float(v - 0.5)))
+                for v in rng.random(n)]),
+            "s": column_from_values(T.TEXT, [
+                None if v < 0.1 else f"s{int(v*8)}" for v in rng.random(n)]),
+            "m": column_from_values(T.NUMERIC, [
+                None if v < 0.05 else Decimal(f"{v*1000-500:.3f}")
+                for v in rng.random(n)]),
+        }))
+        return db
+
+    @pytest.mark.parametrize("order", [
+        "i", "i desc", "f", "f desc nulls last", "s desc", "m", "m desc",
+        "i desc, f", "s, m desc", "f nulls first, i"])
+    def test_matches_row_loop(self, rng, order):
+        from pg_strom_tpu.sql import execute
+        from pg_strom_tpu import override
+        db = self._db(rng)
+        q = f"select i, f, s, m from t order by {order}"
+        got = execute(q, db).rows
+        with override(enabled=False):
+            want = execute(q, db).rows
+
+        def canon(rows):
+            # NaN != NaN in tuple compares; fold for comparison
+            return [tuple("NaN" if isinstance(v, float) and v != v else v
+                          for v in r) for r in rows]
+        assert canon(got) == canon(want)
