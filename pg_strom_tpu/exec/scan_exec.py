@@ -22,7 +22,7 @@ from ..expr.ir import Expr
 from ..expr.catalog import device_expression_supported
 from ..expr.eval_cpu import eval_expr_cpu
 from ..expr.lower_jax import schema_from_chunk_columns, planes_of_column
-from ..ops.filter import build_filter_mask_fn
+from ..ops.filter import build_filter_mask_fn, unpack_maskbits
 from .devcache import TCACHE, CachedChunk, chunk_capacity, planes_on_device, fetch_host
 from ..utils.perfmon import Perfmon
 
@@ -107,8 +107,8 @@ class ScanExecutor:
             with pm.timer("cpu_fallback"):
                 return self._replay(cc.host_chunk(self.table))
         pm.bump("device_chunks")
-        bits = np.unpackbits(np.asarray(maskbits), bitorder="little")
-        ids = np.flatnonzero(bits[:cc.nrows])
+        bits = unpack_maskbits(maskbits, cc.nrows)
+        ids = np.flatnonzero(bits)
         return ids + cc.start
 
     def _replay(self, chunk: Chunk) -> np.ndarray:

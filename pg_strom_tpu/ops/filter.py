@@ -44,20 +44,32 @@ def compact_mask(mask: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def bitpack_mask(mask: jnp.ndarray) -> jnp.ndarray:
-    """bool[n] -> uint8[n/8] bitmask (n padded to a multiple of 8).
+    """bool[n] -> uint8[ceil(n/8 to 128)] TILED bitmask (n padded to 1024).
 
     Pure elementwise + tiny reduce — replaces the cumsum+scatter compaction
     (a TPU scatter costs ~150ms per 16M rows; this runs at streaming speed)
-    and shrinks the device->host result 32x vs padded int32 row ids.  The
-    host recovers row ids with np.unpackbits + flatnonzero."""
+    and shrinks the device->host result 32x vs padded int32 row ids.
+
+    Tiled bit order: bit b of byte [j, l] (flattened j*128 + l) holds row
+    (j*8 + b)*128 + l — the pack reduces along the 8-wide SUBLANE axis of a
+    (J, 8, 128) view, the natural TPU layout.  A row-major pack would reduce
+    along an 8-wide LANE axis, which pads 8 -> 128 lanes (16x the work and a
+    relayout).  unpack_maskbits() is the matching host decoder."""
     n = mask.shape[0]
-    pad = (-n) % 8
+    pad = (-n) % 1024
     if pad:
         mask = jnp.pad(mask, (0, pad))
-    m = mask.reshape(-1, 8).astype(jnp.uint8)
-    import numpy as _np
-    weights = _np.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=_np.uint8)
-    return jnp.sum(m * weights, axis=1, dtype=jnp.uint8)
+    m = mask.reshape(-1, 8, 128).astype(jnp.uint8)
+    w = np.asarray([1, 2, 4, 8, 16, 32, 64, 128],
+                   dtype=np.uint8).reshape(1, 8, 1)
+    return jnp.sum(m * w, axis=1, dtype=jnp.uint8).reshape(-1)
+
+
+def unpack_maskbits(maskbits: np.ndarray, nrows: int) -> np.ndarray:
+    """Host decoder for bitpack_mask's tiled order -> bool[nrows]."""
+    b = np.asarray(maskbits).reshape(-1, 1, 128)
+    bits = np.unpackbits(b, axis=1, bitorder="little")   # (J, 8, 128)
+    return bits.reshape(-1)[:nrows].astype(bool)
 
 
 def build_filter_mask_fn(pred: Optional[Expr],
