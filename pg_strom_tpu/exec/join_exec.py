@@ -165,8 +165,9 @@ class HashJoinExecutor:
 
         # device-resident hash table, reused across queries (the cross-query
         # extension of the DMA-hashtable-once pattern, gpuhashjoin.c:4497)
+        row_bits = max(self.build.nrows, 1).bit_length()
         ht_key = ("join_ht", tuple(c.uid for c in bcols),
-                  tuple(self.build_keys), self.build_pred, bcap)
+                  tuple(self.build_keys), self.build_pred, bcap, row_bits)
         ht = TCACHE.get_aux(ht_key, pm)
         if ht is None:
             bchunk = next(iter(self.build.chunks(bcap)))
@@ -177,8 +178,9 @@ class HashJoinExecutor:
             bplanes = tuple(planes_of_column(bchunk.columns[n]) for n in bl)
             build_fn = _cached_jit(
                 ("build", tuple((m.name, m.type, m.dict_id) for m in bschema),
-                 tuple(self.build_keys), self.build_pred, bcap),
-                lambda: build_hash_table(bschema, self.build_keys, self.build_pred))
+                 tuple(self.build_keys), self.build_pred, bcap, row_bits),
+                lambda: build_hash_table(bschema, self.build_keys,
+                                         self.build_pred, row_bits=row_bits))
             with pm.timer("build_hash"):
                 ht = build_fn(bplanes, np.int32(bchunk.nrows))
             if int(ht["err"]) != 0:
@@ -223,10 +225,10 @@ class HashJoinExecutor:
                 ("probe_dense",
                  tuple((m.name, m.type, m.dict_id) for m in pschema),
                  tuple(self.probe_keys), self.probe_pred,
-                 dcap_p, pcap, use_mxu),
+                 dcap_p, pcap, use_mxu, row_bits),
                 lambda: _split_dense(build_probe_dense_fn(
                     pschema, self.probe_keys, dcap_p,
-                    self.probe_pred, use_mxu=use_mxu)))
+                    self.probe_pred, use_mxu=use_mxu, row_bits=row_bits)))
 
         # dispatch all probe chunks, then read results in batched transfers
         # (one round trip per drain instead of 4 per chunk); regrows re-run

@@ -133,8 +133,9 @@ class JoinPreAggExecutor:
         bkeys = [bind_columns(k, blayout0) for k in self.build_keys]
         bpred = bind_columns(self.build_pred, blayout0) \
             if self.build_pred is not None else None
+        row_bits = max(self.build.nrows, 1).bit_length()
         ht_key = ("join_ht", tuple(c.uid for c in bcols_all),
-                  tuple(bkeys), bpred, bcap)
+                  tuple(bkeys), bpred, bcap, row_bits)
         ht = TCACHE.get_aux(ht_key, pm)
         bcc = None
         for c in TCACHE.chunks_for(self.build, bnames, bcap, pm):
@@ -146,8 +147,9 @@ class JoinPreAggExecutor:
             bschema = schema_from_chunk_columns(bnames, bcols_all)
             build_fn = _cached_jit(
                 ("build", tuple((m.name, m.type, m.dict_id) for m in bschema),
-                 tuple(bkeys), bpred, bcap),
-                lambda: build_hash_table(bschema, bkeys, bpred))
+                 tuple(bkeys), bpred, bcap, row_bits),
+                lambda: build_hash_table(bschema, bkeys, bpred,
+                                         row_bits=row_bits))
             with pm.timer("build_hash"):
                 ht = build_fn(bcc.planes, np.int32(bcc.nrows))
             if int(ht["err"]) != 0:
@@ -208,12 +210,13 @@ class JoinPreAggExecutor:
                  tuple((m.name, m.type, m.dict_id) for m in jschema),
                  tuple(probe_slots), tuple(build_slots),
                  tuple(bound_groups), tuple(bound_aggs), G, strategy,
-                 use_dense, dcap, use_mxu),
+                 use_dense, dcap, use_mxu, row_bits),
                 lambda: build_join_preagg_fn(
                     pschema, pkeys, key_types, nbuckets, max_chain, out_cap,
                     ppred, jschema, probe_slots, build_slots, bound_groups,
                     bound_aggs, G, strategy,
-                    dense=use_dense, dense_cap=dcap, dense_mxu=use_mxu))
+                    dense=use_dense, dense_cap=dcap, dense_mxu=use_mxu,
+                    dense_row_bits=row_bits))
 
         # dispatch all probe chunks, read partials back in batched transfers
         # (one round trip per drain — see preagg_exec); retries re-run

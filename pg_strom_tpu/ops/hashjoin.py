@@ -81,7 +81,8 @@ def mxu_dense_window(build_cap: int) -> int:
 
 
 def build_hash_table(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
-                     pred: Optional[Expr] = None) -> Callable:
+                     pred: Optional[Expr] = None,
+                     row_bits: Optional[int] = None) -> Callable:
     """Build-side kernel: f(cols, nrows) -> pytree of table arrays.
 
     Rows with NULL in any join key never match (SQL equi-join semantics), so
@@ -90,7 +91,12 @@ def build_hash_table(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
     Besides the sorted-bucket table, emits a direct-address `dense` lookup
     (key - kmin -> build row, -1 empty) with `dense_ok` true when the build
     side has ONE integer key whose live values fit the static window with no
-    duplicates — the executor then probes with the one-gather kernel."""
+    duplicates — the executor then probes with the one-gather kernel.
+
+    row_bits: static bit width of live build-row ids (executor passes
+    bit_length(build.nrows) — live ids < nrows, so the MXU digit matrix
+    needs fewer 8-bit digit blocks than the padded capacity implies; e.g.
+    a 40960-row dim gets K=2 instead of K=3).  Must match the probe's."""
     key_exprs = list(key_exprs)
 
     def f(cols: tuple, nrows):
@@ -154,9 +160,11 @@ def build_hash_table(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
             else:
                 dense_m_ok = dense_ok & jnp.all(
                     jnp.where(allvalid, off < D_m, True))
-            vals = jnp.where(dense[:D_m] >= 0, dense[:D_m], jnp.int32(n))
-            K = lookup_digits(max(n, 1).bit_length())
-            dense_M = encode_table_jax(vals, D_m, K, pad_value=n)
+            rb = row_bits if row_bits is not None else max(n, 1).bit_length()
+            sent = (1 << rb) - 1        # > any live row id by construction
+            vals = jnp.where(dense[:D_m] >= 0, dense[:D_m], jnp.int32(sent))
+            K = lookup_digits(rb)
+            dense_M = encode_table_jax(vals, D_m, K, pad_value=sent)
         else:
             dense = jnp.full(1, -1, jnp.int32)
             kmin = jnp.int64(0)
@@ -175,7 +183,8 @@ def build_hash_table(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
 
 def build_probe_dense_fn(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
                          dense_cap: int, pred: Optional[Expr] = None,
-                         use_mxu: bool = False) -> Callable:
+                         use_mxu: bool = False,
+                         row_bits: Optional[int] = None) -> Callable:
     """One-gather probe against a direct-address build table:
        f(ht, cols, nrows) -> (matched bool[n], build_row int32[n], nout, err).
 
@@ -204,9 +213,12 @@ def build_probe_dense_fn(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
         slot = jnp.clip(off, 0, dense_cap - 1).astype(jnp.int32)
         if use_mxu:                    # MXU one-hot lookup, no gather
             nb = ht["order"].shape[0]
-            K = lookup_digits(max(nb, 1).bit_length())
+            rb = row_bits if row_bits is not None \
+                else max(nb, 1).bit_length()
+            sent = (1 << rb) - 1       # must match build_hash_table's
+            K = lookup_digits(rb)
             br = mxu_lookup(slot, ht["dense_M"], dense_cap, K, n)
-            matched = in_r & (br < nb)
+            matched = in_r & (br != jnp.int32(sent))
         else:
             br = ht["dense"][slot]
             matched = in_r & (br >= 0)

@@ -41,7 +41,8 @@ def build_join_preagg_fn(pschema: Sequence[ColMeta],
                          aggs: Sequence[AggInstance],
                          G: int, strategy: str = "scatter",
                          dense: bool = False, dense_cap: int = 0,
-                         dense_mxu: bool = False) -> Callable:
+                         dense_mxu: bool = False,
+                         dense_row_bits: Optional[int] = None) -> Callable:
     """Build f(ht, pcols, bcols, nrows, salt) -> preagg pytree + 'nout'.
 
     jschema describes the joined (projected) layout the group/agg exprs are
@@ -60,7 +61,8 @@ def build_join_preagg_fn(pschema: Sequence[ColMeta],
     if dense:
         dprobe_fn = build_probe_dense_fn(pschema, list(probe_keys),
                                          dense_cap, probe_pred,
-                                         use_mxu=dense_mxu)
+                                         use_mxu=dense_mxu,
+                                         row_bits=dense_row_bits)
         jschema_eff = list(jschema) + [ColMeta("__match__", T.BOOL)]
         match_pred = ColumnRef(type=T.BOOL, name="__match__",
                                index=len(jschema))
