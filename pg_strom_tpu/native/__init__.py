@@ -217,10 +217,13 @@ class PgRandom:
 
 
 def load_csv(text: bytes, types: Sequence[str],
-             pool: Pool | None = None) -> list:
+             pool: Pool | None = None, return_bad: bool = False):
     """Parallel CSV -> (data, valid) numpy planes per column.
 
-    types: 'i' int64 column, 'f' float64 column, 'x' skip."""
+    types: 'i' int64 column, 'f' float64 column, 'x' skip.
+    return_bad=True additionally returns the malformed-field count (empty
+    fields are NULLs, not malformed) so callers can fall back to an exact
+    slow path for PostgreSQL-faithful error surfaces."""
     L = lib()
     n = L.csv_count_rows(text, len(text))
     tcodes = (ctypes.c_int * len(types))(*[{"i": 0, "f": 1, "x": 2}[t]
@@ -242,7 +245,8 @@ def load_csv(text: bytes, types: Sequence[str],
         dptr[i] = d.ctypes.data_as(ctypes.c_void_p)
         vptr[i] = v.ctypes.data_as(ctypes.c_void_p)
     nspans = pool.size if pool is not None else 1
-    L.csv_parse(pool.handle() if pool else None, text, len(text),
-                tcodes, len(types), dptr, vptr, nspans)
-    return [(d, v.astype(bool) if v is not None else None)
-            for d, v in zip(datas, valids)]
+    bad = L.csv_parse(pool.handle() if pool else None, text, len(text),
+                      tcodes, len(types), dptr, vptr, nspans)
+    out = [(d, v.astype(bool) if v is not None else None)
+           for d, v in zip(datas, valids)]
+    return (out, int(bad)) if return_bad else out

@@ -229,9 +229,77 @@ def _exec_insert(stmt: ast.InsertStmt, db: Database) -> Result:
 
 
 def _exec_copy(stmt: ast.CopyStmt, db: Database) -> Result:
+    tbl = db.get(stmt.name)
+    n = _copy_native(stmt, db, tbl)
+    if n is None:
+        n = _copy_python(stmt, db, tbl)
+    return Result([], [], [], command=f"COPY {n}")
+
+
+# int/float-only COPY targets ride the native parallel loader (the
+# multi-threaded ingest analog of the reference's opencl_num_threads worker
+# pool); PG-exact error surfaces and other types use the python path
+_NATIVE_COPY_T = None
+
+
+def _copy_native(stmt: ast.CopyStmt, db: Database, tbl) -> int | None:
+    from ..sqltypes import T, STORAGE_DTYPE, INT_BOUNDS
+    from ..datastore import Table, Column
+    import numpy as _np
+    tmap = {T.INT2: "i", T.INT4: "i", T.INT8: "i",
+            T.FLOAT4: "f", T.FLOAT8: "f"}
+    names = list(tbl.column_names)
+    ctypes_ = [tbl.columns[c].type for c in names]
+    if stmt.delimiter != "," or not names or \
+            any(t not in tmap for t in ctypes_):
+        return None
+    try:
+        from ..native import load_csv, Pool
+    except Exception:
+        return None
+    with open(stmt.filename, "rb") as f:
+        data = f.read()
+    if stmt.header:
+        nl = data.find(b"\n")
+        data = data[nl + 1:] if nl >= 0 else b""
+    if b'"' in data:
+        return None                      # quoted fields: exact python path
+    global _NATIVE_COPY_T
+    if _NATIVE_COPY_T is None:
+        from ..config import config as _cfg
+        _NATIVE_COPY_T = Pool(_cfg.loader_threads)
+    planes, bad = load_csv(data, [tmap[t] for t in ctypes_],
+                           pool=_NATIVE_COPY_T, return_bad=True)
+    if bad:
+        return None                      # malformed fields: PG-exact errors
+    new_cols = {}
+    for (d, v), cn, t in zip(planes, names, ctypes_):
+        if t in INT_BOUNDS and t is not T.INT8:
+            lo, hi = INT_BOUNDS[t]
+            if _np.any(v & ((d < lo) | (d > hi))):
+                return None              # out-of-range: PG-exact error path
+        if t is T.INT8 and _np.any(v & ((d == _np.iinfo(_np.int64).max)
+                                        | (d == _np.iinfo(_np.int64).min))):
+            return None                  # possible strtoll saturation
+        if t in (T.FLOAT4, T.FLOAT8):
+            f = d if t is T.FLOAT8 else d.astype(_np.float32)
+            if _np.any(v & ~_np.isfinite(f)):
+                # legit 'Infinity'/'NaN' inputs AND silent overflow both
+                # route to the exact path (PG raises on the latter)
+                return None
+        old = tbl.columns[cn]
+        nc = Column(type=t,
+                    data=_np.concatenate(
+                        [old.data, d.astype(STORAGE_DTYPE[t])]),
+                    valid=_np.concatenate([old.valid, v]))
+        new_cols[cn] = nc
+    db.create(Table.from_columns(stmt.name, new_cols))
+    return len(planes[0][0]) if planes else 0
+
+
+def _copy_python(stmt: ast.CopyStmt, db: Database, tbl) -> int:
     import csv as _csv
     from ..datastore import Table, column_from_values
-    tbl = db.get(stmt.name)
     names = list(tbl.column_names)
     with open(stmt.filename, newline="") as f:
         rd = _csv.reader(f, delimiter=stmt.delimiter)
@@ -246,4 +314,4 @@ def _exec_copy(stmt: ast.CopyStmt, db: Database) -> Result:
                    else None for r in rows)
         new_cols[cn] = column_from_values(c.type, old)
     db.create(Table.from_columns(stmt.name, new_cols))
-    return Result([], [], [], command=f"COPY {len(rows)}")
+    return len(rows)

@@ -101,3 +101,67 @@ class TestShell:
         sh = Shell()
         sh.run_file(str(f))
         assert "6" in capsys.readouterr().out
+
+
+class TestNativeCopy:
+    """Int/float-only COPY targets ride the native parallel CSV loader
+    (sql/api._copy_native); must match the python path exactly, and must
+    fall back to it for NULLs-are-fine-but-malformed/overflow cases."""
+
+    def _mkfile(self, lines):
+        fd, path = tempfile.mkstemp(suffix=".csv")
+        os.close(fd)
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return path
+
+    def _run_copy(self, body, force_python=False):
+        from pg_strom_tpu.datastore import Database
+        import pg_strom_tpu.sql.api as api
+        db = Database()
+        execute("create table nt (a int2, b int8, x float4, y float8)", db)
+        path = self._mkfile(body)
+        orig = api._copy_native
+        try:
+            if force_python:
+                api._copy_native = lambda *a: None
+            execute(f"copy nt from '{path}'", db)
+        finally:
+            api._copy_native = orig
+            os.unlink(path)
+        return execute("select * from nt order by b", db).rows
+
+    def test_matches_python_path(self):
+        body = ["1,10,1.5,2.5", ",20,,-0.125", "-7,30,3.25,"]
+        assert self._run_copy(body) == self._run_copy(body,
+                                                      force_python=True)
+
+    def test_fast_path_engaged(self):
+        import pg_strom_tpu.sql.api as api
+        from pg_strom_tpu.datastore import Database
+        db = Database()
+        execute("create table nt (a int4, b float8)", db)
+        path = self._mkfile(["1,2.5", "2,"])
+        calls = {}
+        orig = api._copy_python
+        try:
+            api._copy_python = lambda *a: calls.setdefault("py", True) or 0
+            execute(f"copy nt from '{path}'", db)
+        finally:
+            api._copy_python = orig
+            os.unlink(path)
+        assert "py" not in calls, "native COPY path did not engage"
+        assert execute("select count(*), count(b) from nt", db).rows \
+            == [(2, 1)]
+
+    def test_overflow_falls_back_with_pg_error(self):
+        from pg_strom_tpu.errors import SqlError
+        from pg_strom_tpu.datastore import Database
+        db = Database()
+        execute("create table nt (a int2)", db)
+        path = self._mkfile(["40000"])      # > int2 range
+        try:
+            with pytest.raises(SqlError):
+                execute(f"copy nt from '{path}'", db)
+        finally:
+            os.unlink(path)
