@@ -100,7 +100,7 @@ class HashJoinExecutor:
                  build_alias: Optional[str] = "i",
                  jointype: str = "inner",
                  residual: Optional[Expr] = None,
-                 perfmon: Perfmon | None = None):
+                 perfmon: Perfmon | None = None, offload: bool = True):
         # alias=None => output columns keep their source names (planner
         # pre-renames tables to "alias.col", so names are already unique)
         self.probe = probe
@@ -119,6 +119,8 @@ class HashJoinExecutor:
         assert jointype == "inner" or probe_pred is None
         assert jointype != "full" or build_pred is None
         self.perfmon = perfmon or Perfmon()
+        # cost-model verdict (plan/cost.py cost_tpuhashjoin vs cost_hashjoin)
+        self.offload = offload
         self._host_ht: dict | None = None
         self._track = jointype != "inner" or residual is not None
         self._pair_p: list[np.ndarray] = []   # global probe row ids per piece
@@ -152,6 +154,7 @@ class HashJoinExecutor:
         collected.update({self._bname(c): [] for c in self.out_build_cols})
 
         use_device = (config.enabled and config.enable_tpuhashjoin
+                      and self.offload
                       and self._device_ok() and self.build.nrows > 0)
         if not use_device:
             self._host_join_all(collected)

@@ -63,7 +63,7 @@ class JoinPreAggExecutor:
                  group_exprs: Sequence[Expr], aggs: Sequence[AggInstance],
                  probe_pred: Optional[Expr] = None,
                  build_pred: Optional[Expr] = None,
-                 perfmon: Perfmon | None = None):
+                 perfmon: Perfmon | None = None, offload: bool = True):
         self.probe = probe
         self.build = build
         self.probe_keys = list(probe_keys)
@@ -73,6 +73,8 @@ class JoinPreAggExecutor:
         self.probe_pred = probe_pred
         self.build_pred = build_pred
         self.perfmon = perfmon or Perfmon()
+        # cost-model verdict (plan/cost.py): join AND agg must both win
+        self.offload = offload
 
     # -- eligibility -----------------------------------------------------------
 
@@ -96,7 +98,8 @@ class JoinPreAggExecutor:
                 if a.type is T.NUMERIC and not isinstance(a, ColumnRef):
                     return False
         return (config.enabled and config.enable_tpuhashjoin
-                and config.enable_tpupreagg and self.build.nrows > 0
+                and config.enable_tpupreagg and self.offload
+                and self.build.nrows > 0
                 and self.probe.nrows > 0)
 
     # -- run -------------------------------------------------------------------

@@ -114,13 +114,16 @@ class PreAggExecutor:
 
     def __init__(self, table: Table, pred: Optional[Expr],
                  group_exprs: Sequence[Expr], aggs: Sequence[AggInstance],
-                 perfmon: Perfmon | None = None):
+                 perfmon: Perfmon | None = None, offload: bool = True):
         self.table = table
         self.pred = pred
         self.group_exprs = list(group_exprs)
         self.aggs = list(aggs)
         self.layout_names = table.column_names
         self.perfmon = perfmon or Perfmon()
+        # cost-model verdict (plan/cost.py cost_tpupreagg vs cost_hostagg;
+        # debug_force_tpupreagg overrides it upstream)
+        self.offload = offload
         self._gskey: tuple | None = None
 
     def run(self) -> list[tuple]:
@@ -129,6 +132,7 @@ class PreAggExecutor:
         displays: dict[tuple, tuple] = {}
 
         use_device = (config.enabled and config.enable_tpupreagg
+                      and self.offload
                       and _device_supported(self.pred, self.group_exprs, self.aggs))
         pm = self.perfmon
 

@@ -36,10 +36,13 @@ class ScanExecutor:
     it directly; a python int list at megarow scale costs ~1s alone."""
 
     def __init__(self, table: Table, pred: Optional[Expr],
-                 perfmon: Perfmon | None = None):
+                 perfmon: Perfmon | None = None, offload: bool = True):
         self.table = table
         self.pred = pred
         self.perfmon = perfmon or Perfmon()
+        # cost-model verdict from the planner (plan/cost.py): False routes
+        # this scan to the host tier (cost_gpuscan loses, gpuscan.c:101-231)
+        self.offload = offload
 
     def row_indexes(self) -> np.ndarray:
         t = self.table
@@ -48,6 +51,7 @@ class ScanExecutor:
         if self.pred is None:
             return np.arange(t.nrows, dtype=np.int64)
         use_device = (config.enabled and config.enable_tpuscan
+                      and self.offload
                       and device_expression_supported(self.pred))
         out: list[np.ndarray] = []
         pm = self.perfmon

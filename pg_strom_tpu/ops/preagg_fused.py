@@ -249,6 +249,22 @@ def _pick_tile(G: int, n: int) -> int:
     return t
 
 
+def _pick_pack(G: int, K: int) -> int:
+    """Block-packing factor P: rows packed per MXU contraction column.
+
+    The MXU streams one 128-value column per cycle; a (G, TILE) x (TILE, K)
+    one-hot dot with G, K < 128 wastes most of each column.  Packing P rows
+    block-diagonally (row r_p's one-hot at sublanes [G*p, G*p+G), its value
+    limbs at lanes [K*p, K*p+K)) cuts MXU cycles P-fold; the unwanted cross
+    blocks land in accumulator cells the epilogue never reads, so the packed
+    result is bit-exact (measured: tools/probe_blockpack.py `exact=True`,
+    tools/probe_densepack.py 10.2 Grows/s vs 2.6 unpacked at 67M rows)."""
+    P = 1
+    while P * 2 * G <= LANES and P * 2 * K <= LANES and P < 16:
+        P *= 2
+    return P
+
+
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------

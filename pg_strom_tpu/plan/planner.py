@@ -38,6 +38,10 @@ from ..utils.perfmon import Perfmon
 from ..pgops import cmp_values
 from ..sql import parser as ast
 from .binder import Scope, bind_expr, BindError
+from .cost import (
+    Cost, cost_seqscan, cost_tpuscan, cost_hashjoin, cost_tpuhashjoin,
+    cost_hostagg, cost_tpupreagg, estimate_num_groups, rel_width,
+)
 
 
 def rename_table(tbl: Table, alias: str) -> Table:
@@ -106,11 +110,16 @@ class PlanNode:
                                 # HostAgg | Sort | Limit | Result | Subquery
     detail: dict
     children: list["PlanNode"]
+    cost: Optional[Cost] = None
 
-    def render(self, indent: int = 0, verbose: bool = False) -> list[str]:
+    def render(self, indent: int = 0, verbose: bool = False,
+               costs: bool = False) -> list[str]:
         pad = " " * indent
         arrow = "" if indent == 0 else "->  "
-        lines = [f"{pad}{arrow}{self.kind}" + self._head()]
+        head = f"{pad}{arrow}{self.kind}" + self._head()
+        if costs and self.cost is not None:
+            head += f"  {self.cost.render()}"
+        lines = [head]
         for k, v in self.detail.items():
             if k.startswith("_"):
                 continue
@@ -118,7 +127,7 @@ class PlanNode:
                 continue
             lines.append(f"{pad}      {k}: {v}")
         for c in self.children:
-            lines.extend(c.render(indent + 2, verbose))
+            lines.extend(c.render(indent + 2, verbose, costs))
         return lines
 
     def _head(self) -> str:
@@ -141,8 +150,8 @@ class PlannedQuery:
     def execute(self) -> list[tuple]:
         return self._run()
 
-    def explain(self, verbose: bool = False) -> str:
-        return "\n".join(self.root.render(0, verbose))
+    def explain(self, verbose: bool = False, costs: bool = False) -> str:
+        return "\n".join(self.root.render(0, verbose, costs))
 
 
 def fmt_expr(e: Expr) -> str:
@@ -313,6 +322,14 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
             else:
                 post_join.append(cj)
 
+    # ---- cost-based offload decisions -------------------------------------
+    shells = {a: shell(a, o) for a, o in rels}
+    n_aggs = len(_collect_aggrefs(items, having))
+    out_width = rel_width([e.type for _, e in items])
+    dec, node_costs = _plan_costs(
+        rels, shells, sub_plans, per_rel, join_equis, has_outer, bound_ons,
+        stmt.joins, has_aggs, group_exprs, n_aggs, out_width, post_join)
+
     # ---- execution closure -------------------------------------------------
     plan_children: list[PlanNode] = []
 
@@ -321,7 +338,8 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
         # bulk-load pipeline: single equi-join feeding aggregation fuses into
         # one device program (joined rows never materialize on the host —
         # the pgstrom_bulkslot chain analog, pg_strom.h:317-329)
-        if has_aggs and len(rels) == 2 and join_equis and not post_join:
+        if has_aggs and len(rels) == 2 and join_equis and not post_join \
+                and dec["agg"] and all(dec["join"].values()):
             rows = _try_fused_join_agg(tables, rels, per_rel, join_equis,
                                        group_exprs, items, having,
                                        order_specs, perfmon)
@@ -337,7 +355,7 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
             if len(stmt.frm) != 1:
                 raise SqlError("outer joins cannot mix with comma joins")
             cur = _run_outer_chain(tables, rels, stmt.joins, bound_ons,
-                                   perfmon)
+                                   perfmon, dec_join=dec["join"])
             cur_pred = None
             pending_equis = []
             current_alias_set = {a for a, _ in rels}
@@ -377,7 +395,7 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
                 build_pred=(bind_columns(and_all(per_rel[alias]), rp)
                             if per_rel[alias] else None),
                 probe_alias=None, build_alias=None,  # names pre-qualified
-                perfmon=perfmon)
+                perfmon=perfmon, offload=dec["join"].get(alias, True))
             cur = jx.run()
             cur_pred = None
             current_alias_set.add(alias)
@@ -389,13 +407,14 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
         if leftover is not None:
             pred = and_all([p for p in (cur_pred, leftover) if p is not None])
             lp = {n: i for i, n in enumerate(cur.column_names)}
-            idxs = ScanExecutor(cur, bind_columns(pred, lp), perfmon).row_indexes()
+            idxs = ScanExecutor(cur, bind_columns(pred, lp), perfmon,
+                                offload=dec["post_scan"]).row_indexes()
             cur = _subset_table(cur, idxs)
             cur_pred = None
 
         if has_aggs:
             rows = _run_agg(cur, cur_pred, group_exprs, items, having,
-                            order_specs, perfmon)
+                            order_specs, perfmon, offload=dec["agg"])
         else:
             limit_k = None
             if stmt.limit is not None and not stmt.distinct:
@@ -403,7 +422,9 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
                 # collapse below k after dedup)
                 limit_k = stmt.limit + (stmt.offset or 0)
             rows = _run_plain(cur, cur_pred, items, order_specs, perfmon,
-                              limit_k)
+                              limit_k,
+                              offload=dec["scan"].get(rels[0][0], True)
+                              if len(rels) == 1 else dec["post_scan"])
         if stmt.distinct:
             rows = _dedupe_rows(rows)   # stable: ORDER BY order preserved
         if stmt.offset:
@@ -414,14 +435,111 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
 
     # ---- EXPLAIN tree ------------------------------------------------------
     root = _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
-                            group_exprs, items, order_specs, stmt, sub_plans)
+                            group_exprs, items, order_specs, stmt, sub_plans,
+                            dec, node_costs)
 
     out_names = [nm for nm, _ in items]
     out_types = [e.type for _, e in items]
     return PlannedQuery(out_names, out_types, run, root, perfmon)
 
 
-def _run_outer_chain(tables, rels, joins, bound_ons, perfmon) -> Table:
+def _plan_costs(rels, shells, sub_plans, per_rel, join_equis, has_outer,
+                bound_ons, joins, has_aggs, group_exprs, n_aggs, out_width,
+                post_join):
+    """Cost every candidate path pair (host vs TPU) and decide offload per
+    node — the planner half of the reference's cost model (cost_gpuscan
+    gpuscan.c:101-231, cost_gpuhashjoin gpuhashjoin.c:438-668,
+    cost_gpupreagg gpupreagg.c:366-470).  Forced flags
+    (debug_force_offload / debug_force_tpupreagg) override the comparison
+    exactly like pg_strom.debug_force_gpupreagg in input/enable.conf.
+
+    Returns (decisions, node_costs):
+      decisions:  {"scan": {alias: bool}, "join": {alias: bool},
+                   "agg": bool, "post_scan": bool}
+      node_costs: {"scan": {alias: Cost}, "join": {alias: Cost},
+                   "agg": Cost, "final": Cost}
+    """
+    force = config.debug_force_offload
+    dec_scan: dict[str, bool] = {}
+    c_scan: dict[str, Cost] = {}
+    for alias, _ in rels:
+        if alias in sub_plans:
+            base = sub_plans[alias].root.cost
+            if base is None:
+                base = Cost(0.0, 1000 * config.cpu_tuple_cost, 1000.0, 32)
+            nrows = max(base.rows, 1.0)
+            width = base.width or 32
+        else:
+            tbl = shells[alias]
+            nrows = float(tbl.nrows)
+            width = rel_width([c.type for c in tbl.columns.values()])
+        quals = per_rel.get(alias, [])
+        dev = [q for q in quals if device_expression_supported(q)]
+        host = [q for q in quals if not device_expression_supported(q)]
+        ch = cost_seqscan(nrows, width, quals)
+        ct = cost_tpuscan(nrows, width, dev, host)
+        use = (config.enabled and config.enable_tpuscan
+               and alias not in sub_plans
+               and (force or (bool(dev) and ct.total < ch.total)))
+        dec_scan[alias] = bool(use)
+        c_scan[alias] = ct if use else ch
+
+    dec_join: dict[str, bool] = {}
+    c_join: dict[str, Cost] = {}
+    alias0 = rels[0][0]
+    cur = c_scan[alias0]
+    if has_outer:
+        seq = [(jc.table.alias or jc.table.name, len(ons))
+               for jc, ons in zip(joins, bound_ons)]
+    else:
+        seq = []
+        for alias, _ in rels[1:]:
+            nhc = sum(1 for cj in join_equis if alias in rels_of(cj))
+            seq.append((alias, nhc))
+    for alias, nhc in seq:
+        inner = c_scan.get(alias, Cost(0, 0, 1, 32))
+        width = cur.width + inner.width
+        ch = cost_hashjoin(cur, inner, nhc, width)
+        ct = cost_tpuhashjoin(cur, [inner], [nhc], width)
+        use = (config.enabled and config.enable_tpuhashjoin
+               and (force or ct.total < ch.total))
+        dec_join[alias] = bool(use)
+        cur = ct if use else ch
+        c_join[alias] = cur
+
+    dec_post = True
+    if post_join:
+        dev = [q for q in post_join if device_expression_supported(q)]
+        host = [q for q in post_join if not device_expression_supported(q)]
+        ch = cost_seqscan(cur.rows, cur.width, post_join)
+        ct = cost_tpuscan(cur.rows, cur.width, dev, host)
+        # the leftover-qual scan reads an already materialized intermediate,
+        # so the disk term is shared; decision rides the qual-eval terms
+        dec_post = (config.enabled and config.enable_tpuscan
+                    and (force or (bool(dev) and ct.total < ch.total)))
+        cur = ct if dec_post else ch
+
+    dec_agg = False
+    c_agg = None
+    if has_aggs:
+        ngc = len(group_exprs)
+        n_groups = estimate_num_groups(cur.rows, ngc)
+        ch = cost_hostagg(cur, n_aggs, ngc, n_groups, out_width)
+        ct = cost_tpupreagg(cur, n_aggs, ngc, n_groups, out_width)
+        dec_agg = (config.enabled and config.enable_tpupreagg
+                   and (force or config.debug_force_tpupreagg
+                        or ct.total < ch.total))
+        c_agg = ct if dec_agg else ch
+        cur = c_agg
+
+    decisions = {"scan": dec_scan, "join": dec_join, "agg": bool(dec_agg),
+                 "post_scan": bool(dec_post)}
+    node_costs = {"scan": c_scan, "join": c_join, "agg": c_agg, "final": cur}
+    return decisions, node_costs
+
+
+def _run_outer_chain(tables, rels, joins, bound_ons, perfmon,
+                     dec_join=None) -> Table:
     """FROM t0 {LEFT|RIGHT|FULL|INNER} JOIN tN ON ... processed in order.
 
     ON-clause split per join (PostgreSQL semantics):
@@ -509,7 +627,8 @@ def _run_outer_chain(tables, rels, joins, bound_ons, perfmon) -> Table:
             probe_alias=None, build_alias=None,
             jointype=jt_exec,
             residual=and_all(residual),   # executor binds to joined layout
-            perfmon=perfmon)
+            perfmon=perfmon,
+            offload=True if dec_join is None else dec_join.get(alias, True))
         cur = jx.run()
         cur_aliases.add(alias)
     return cur
@@ -636,7 +755,7 @@ def _finish_agg(raw, group_exprs, aggrefs, items, having,
 
 
 def _run_agg(cur: Table, pred, group_exprs, items, having, order_specs,
-             perfmon) -> list[tuple]:
+             perfmon, offload: bool = True) -> list[tuple]:
     layout = {n: i for i, n in enumerate(cur.column_names)}
     aggrefs = _collect_aggrefs(items, having)
     insts = []
@@ -649,7 +768,8 @@ def _run_agg(cur: Table, pred, group_exprs, items, having, order_specs,
             distinct=ag.distinct))
     bound_groups = [bind_columns(g, layout) for g in group_exprs]
     bpred = bind_columns(pred, layout) if pred is not None else None
-    ex = PreAggExecutor(cur, bpred, bound_groups, insts, perfmon=perfmon)
+    ex = PreAggExecutor(cur, bpred, bound_groups, insts, perfmon=perfmon,
+                        offload=offload)
     raw = ex.run()   # rows: (group key vals..., agg vals...)
     return _finish_agg(raw, group_exprs, aggrefs, items, having, order_specs)
 
@@ -659,7 +779,8 @@ def _norow(slot: int):
 
 
 def _run_plain(cur: Table, pred, items, order_specs, perfmon,
-               limit_k: Optional[int] = None) -> list[tuple]:
+               limit_k: Optional[int] = None,
+               offload: bool = True) -> list[tuple]:
     layout = {n: i for i, n in enumerate(cur.column_names)}
     bpred = bind_columns(pred, layout) if pred is not None else None
     bitems = [bind_columns(e, layout) for _, e in items]
@@ -668,7 +789,7 @@ def _run_plain(cur: Table, pred, items, order_specs, perfmon,
         rows = _topk_rows(cur, bpred, bitems, borders, limit_k, perfmon)
         if rows is not None:
             return rows
-    idxs = ScanExecutor(cur, bpred, perfmon).row_indexes()
+    idxs = ScanExecutor(cur, bpred, perfmon, offload=offload).row_indexes()
     cols = list(cur.columns.values())
     # vectorized materialization for plain column projections (the common
     # SELECT cols ... shape): batch numpy gathers + tolist instead of a
@@ -1076,11 +1197,16 @@ def _plan_table_less(stmt, db, perfmon) -> PlannedQuery:
 
 def _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
                      group_exprs, items, order_specs, stmt,
-                     sub_plans) -> PlanNode:
+                     sub_plans, dec=None, node_costs=None) -> PlanNode:
+    dec = dec or {"scan": {}, "join": {}, "agg": True, "post_scan": True}
+    node_costs = node_costs or {"scan": {}, "join": {}, "agg": None,
+                                "final": None}
+
     def scan_node(alias, obj):
         if alias in sub_plans:
             return PlanNode("Subquery", {"_rel": alias},
-                            [sub_plans[alias].root])
+                            [sub_plans[alias].root],
+                            cost=node_costs["scan"].get(alias))
         quals = per_rel.get(alias, [])
         dev = [q for q in quals if device_expression_supported(q)]
         host = [q for q in quals if not device_expression_supported(q)]
@@ -1089,19 +1215,22 @@ def _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
             d["Device Filter"] = " AND ".join(fmt_expr(q) for q in dev)
         if host:
             d["Filter"] = " AND ".join(fmt_expr(q) for q in host)
-        kind = "TpuScan" if (config.enabled and config.enable_tpuscan and dev) \
+        # the cost verdict names the node; a qual-less scan under a Tpu
+        # parent is the bulk-load shape (gpuscan_try_replace_seqscan_path,
+        # gpuscan.c:241-517) and keeps the TpuScan name when enabled
+        kind = "TpuScan" if (dec["scan"].get(alias) and dev) \
             else ("TpuScan" if config.enabled and not quals else "SeqScan")
         if dev and config.show_device_kernel and kind == "TpuScan":
             d["Device Kernel"] = _kernel_text(obj, alias, dev)
-        return PlanNode(kind, d, [])
+        return PlanNode(kind, d, [], cost=node_costs["scan"].get(alias))
 
     node = scan_node(*rels[0])
     for alias, obj in rels[1:]:
         keys = [cj for cj in join_equis if alias in rels_of(cj)]
         d = {"Hash Cond": " AND ".join(fmt_expr(k) for k in keys)}
-        kind = "TpuHashJoin" if config.enabled and config.enable_tpuhashjoin \
-            else "HashJoin"
-        node = PlanNode(kind, d, [node, scan_node(alias, obj)])
+        kind = "TpuHashJoin" if dec["join"].get(alias, False) else "HashJoin"
+        node = PlanNode(kind, d, [node, scan_node(alias, obj)],
+                        cost=node_costs["join"].get(alias))
     if post_join:
         node = PlanNode("Result",
                         {"Filter": " AND ".join(fmt_expr(q) for q in post_join)},
@@ -1111,20 +1240,20 @@ def _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
         if group_exprs:
             d["Group Key"] = ", ".join(fmt_expr(g) for g in group_exprs)
         d["output"] = ", ".join(fmt_expr(e) for _, e in items)
-        kind = "TpuPreAgg" if config.enabled and config.enable_tpupreagg \
-            else "HashAggregate"
-        node = PlanNode(kind, d, [node])
+        kind = "TpuPreAgg" if dec["agg"] else "HashAggregate"
+        node = PlanNode(kind, d, [node], cost=node_costs["agg"])
     else:
         node = PlanNode("Result",
                         {"output": ", ".join(fmt_expr(e) for _, e in items)},
-                        [node])
+                        [node], cost=node_costs["final"])
     if order_specs:
         d = {"Sort Key": ", ".join(
             fmt_expr(oe) + (" DESC" if desc else "")
             for oe, desc, _ in order_specs)}
-        node = PlanNode("Sort", d, [node])
+        node = PlanNode("Sort", d, [node], cost=node_costs["final"])
     if stmt.limit is not None:
-        node = PlanNode("Limit", {"Count": str(stmt.limit)}, [node])
+        node = PlanNode("Limit", {"Count": str(stmt.limit)}, [node],
+                        cost=node_costs["final"])
     return node
 
 

@@ -73,7 +73,7 @@ def execute(sql: str, db: Database) -> Result:
         return _exec_copy(stmt, db)
     if isinstance(stmt, ast.ExplainStmt):
         pq = plan_query(stmt.query, db)
-        text = pq.explain(verbose=stmt.verbose)
+        text = pq.explain(verbose=stmt.verbose, costs=stmt.costs)
         from ..sqltypes import T
         if stmt.analyze:
             # EXPLAIN ANALYZE: run it and append perfmon phases (the
