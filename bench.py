@@ -24,6 +24,24 @@ import time
 import numpy as np
 
 
+def _device_hbm_gbps(dev) -> float:
+    """Nominal HBM bandwidth by device kind (the denominator of
+    vs_baseline; recorded on stderr so the assumption travels with the
+    number).  Source: public TPU spec sheets."""
+    kind = getattr(dev, "device_kind", "").lower()
+    table = {
+        "v5 lite": 819e9, "v5e": 819e9,
+        "v5p": 2765e9, "v5": 2765e9,
+        "v4": 1228e9,
+        "v6 lite": 1640e9, "v6e": 1640e9,
+        "v3": 900e9, "v2": 700e9,
+    }
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 819e9
+
+
 def main() -> None:
     sys.path.insert(0, ".")
     import pg_strom_tpu  # noqa: F401
@@ -37,7 +55,10 @@ def main() -> None:
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
-    N = 1 << 24 if on_tpu else 1 << 18      # 16M rows/chunk on TPU
+    # 64M-row chunks: the ~3.8ms fixed dispatch floor (BASELINE.md truth #0)
+    # makes kernels invisible below ~30M rows/launch; 2^26 matches the
+    # executor's large-chunk config on HBM-sized tables
+    N = 1 << 26 if on_tpu else 1 << 18
 
     # flagship: SELECT key, sum(x), count(x), sum(y) FROM t WHERE x > 0.25
     #           GROUP BY key     (int32 key, f32 x, i64 y)
@@ -56,11 +77,12 @@ def main() -> None:
     # keys (ops/preagg_mxu.py): every additive partial via ONE batched
     # one-hot matmul on the MXU, with buckets = key - min(key) so the bucket
     # index IS the key (no key-recovery columns, no collisions).
-    # G=128: the executor's cross-query group-count memo
-    # (exec/preagg_exec._GROUP_STATS) right-sizes repeated GROUP BYs to
-    # max(128, 2*observed) buckets — 128 is the engine's honest steady
-    # state for this 30-group key (and the MXU's minimum output block).
-    fn = jax.jit(build_preagg_fn(schema, [key], insts, pred, G=128,
+    # G=32: the executor's cross-query memo (exec/preagg_exec._GROUP_STATS)
+    # right-sizes repeated dense GROUP BYs to pow2(range+2) buckets — 32 is
+    # the engine's honest steady state for this 30-group key, and small G
+    # is where the fused kernel's block packing (P = 128/max(G, ncols),
+    # ops/preagg_fused._pick_pack) multiplies MXU throughput.
+    fn = jax.jit(build_preagg_fn(schema, [key], insts, pred, G=32,
                                  strategy="mxu_dense"))
 
     rng = np.random.default_rng(0)
@@ -102,9 +124,12 @@ def main() -> None:
 
     # speed-of-light: bytes touched per row (planes actually read)
     bytes_per_row = 4 + 1 + 4 + 1 + 8 + 1   # key,x,y data + 3 validity
-    hbm_gbps = 819e9 if on_tpu else 50e9    # v5e lite ~819 GB/s
+    hbm_gbps = _device_hbm_gbps(dev) if on_tpu else 50e9
     sol_rows = hbm_gbps / bytes_per_row
     vs = rows_per_s / sol_rows
+    print(f"# sol assumption: {hbm_gbps/1e9:.0f} GB/s HBM for "
+          f"device_kind={getattr(dev, 'device_kind', '?')!r}, "
+          f"{bytes_per_row} B/row", file=sys.stderr)
 
     print(f"# device={dev} N={N} dt={dt*1e3:.2f}ms", file=sys.stderr)
     print(json.dumps({

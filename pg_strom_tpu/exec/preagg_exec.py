@@ -52,13 +52,17 @@ def _get_jitted(schema, group_exprs, aggs, pred, G, cap, strategy="scatter"):
 
 
 # Cross-query group-count memo: (key column uids, group expr reprs) ->
-# observed number of groups.  One-hot matmul cost scales linearly with the
-# bucket count G, so repeated GROUP BYs over unchanged data start at a
-# right-sized G instead of config.max_groups_device (the tcache analog of
-# the reference's cross-query hash-table reuse); column uids pin the data
-# version — any mutation assigns fresh uids and drops the memo.  The
-# salt/escalation retry ladder keeps correctness if the memo underestimates.
-_GROUP_STATS: dict[tuple, int] = {}
+# (observed number of groups, observed dense key range | None).  One-hot
+# matmul cost scales linearly with the bucket count G — and the fused
+# kernel's block-packing factor P = 128/max(G, ncols) cuts MXU cycles
+# P-fold (ops/preagg_fused._pick_pack) — so repeated GROUP BYs over
+# unchanged data start at a right-sized G instead of
+# config.max_groups_device (the tcache analog of the reference's
+# cross-query hash-table reuse); column uids pin the data version — any
+# mutation assigns fresh uids and drops the memo.  The salt/escalation
+# retry ladder (and dense_fail re-dispatch) keeps correctness if the memo
+# underestimates.
+_GROUP_STATS: dict[tuple, tuple] = {}
 _GROUP_STATS_CAP = 4096
 # GROUP BYs whose key RANGE exceeded the dense window (sparse keys): skip
 # the mxu_dense attempt on later queries instead of re-dispatching per chunk
@@ -145,20 +149,7 @@ class PreAggExecutor:
                     self._replay(chunk, states, displays)
             return self._finalize(states, displays)
 
-        G = config.max_groups_device
         self._gskey = self._gstats_key()
-        if self._gskey is not None:
-            obs = _GROUP_STATS.get(self._gskey)
-            if obs is not None:
-                # 2x headroom over the observed count; 128 floor = one MXU
-                # output block (smaller G pads back to 128 on the MXU anyway)
-                G = min(max(128, _pow2_at_least(2 * max(obs, 1))),
-                        config.max_groups_device)
-        cap = chunk_capacity(self.table.nrows)
-        self._schema = schema_from_chunk_columns(
-            self.layout_names,
-            [self.table.columns[nm] for nm in self.layout_names])
-        self._G, self._cap = G, cap
         key_metas = self._key_metas()
         # grouped chunks go to the MXU (one-hot matmul) strategy whenever the
         # key types support exact host-side recovery — measured 6-12x faster
@@ -171,6 +162,33 @@ class PreAggExecutor:
                           and self._gskey not in _DENSE_FAILED
                           else "mxu" if mxu_keys_supported(kts)
                           else "scatter")
+        self._obs_rng: int | None = None
+        G = config.max_groups_device
+        # with the fused packed kernel, small G is where the MXU speedup
+        # lives (P = 128/max(G, ncols) rows per contraction column); without
+        # it, sub-128 G just pads back to one MXU block — keep the old floor
+        fused_on = (config.use_fused_preagg
+                    and (jax.default_backend() != "cpu"
+                         or config.force_fused_preagg_cpu))
+        floor = 8 if fused_on else 128
+        if self._gskey is not None:
+            st = _GROUP_STATS.get(self._gskey)
+            if st is not None:
+                obs, rng_obs = st
+                if self._strategy == "mxu_dense" and rng_obs is not None:
+                    # dense buckets need exactly range+2 slots (NULL group
+                    # at rng+1); dense_fail re-dispatches on data drift
+                    G = min(max(floor, _pow2_at_least(rng_obs + 2)),
+                            config.max_groups_device)
+                else:
+                    # 2x headroom over the observed count for hash buckets
+                    G = min(max(floor, _pow2_at_least(2 * max(obs, 1))),
+                            config.max_groups_device)
+        cap = chunk_capacity(self.table.nrows)
+        self._schema = schema_from_chunk_columns(
+            self.layout_names,
+            [self.table.columns[nm] for nm in self.layout_names])
+        self._G, self._cap = G, cap
         fn = _get_jitted(self._schema, tuple(self.group_exprs),
                          tuple(self.aggs), self.pred, G, cap,
                          strategy=self._strategy)
@@ -245,6 +263,10 @@ class PreAggExecutor:
             if err != 0 or overflow:
                 break                                 # -> host replay
             if "mxu_sums" in out:
+                if "dense_rng" in out and not bool(
+                        np.asarray(out.get("dense_fail", False))):
+                    r = int(np.asarray(out["dense_rng"]))
+                    self._obs_rng = max(self._obs_rng or 0, r)
                 if bool(np.asarray(out.get("dense_fail", False))):
                     # key range exceeded the dense window: one-time
                     # re-dispatch with the generic mxu strategy
@@ -316,7 +338,8 @@ class PreAggExecutor:
         if self._gskey is not None:
             if len(_GROUP_STATS) >= _GROUP_STATS_CAP:
                 _GROUP_STATS.pop(next(iter(_GROUP_STATS)))
-            _GROUP_STATS[self._gskey] = len(states)
+            _GROUP_STATS[self._gskey] = (len(states),
+                                         getattr(self, "_obs_rng", None))
         return finalize_agg_states(self.group_exprs, self.aggs, states,
                                    displays)
 

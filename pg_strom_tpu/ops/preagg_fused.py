@@ -259,29 +259,61 @@ def _pick_pack(G: int, K: int) -> int:
     blocks land in accumulator cells the epilogue never reads, so the packed
     result is bit-exact (measured: tools/probe_blockpack.py `exact=True`,
     tools/probe_densepack.py 10.2 Grows/s vs 2.6 unpacked at 67M rows)."""
-    P = 1
-    while P * 2 * G <= LANES and P * 2 * K <= LANES and P < 16:
-        P *= 2
-    return P
+    P = 8
+    sg = -(-G * P // LANES)
+    sk = -(-K * P // LANES)
+    # MXU cycles per TILE elements: sg*sk*TILE/P packed vs TILE unpacked —
+    # pack only when the split product still wins >= 2x.  P is FIXED at 8:
+    # 8-sublane-aligned strided copies are the one packed construction
+    # Mosaic lowers without relayouts (measured: P=4 strided concat ran
+    # SLOWER than unpacked; see tools/probe_densepack.py for the fast P=8)
+    return P if sg * sk * 2 <= P else 1
 
 
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _build_kernel(plan: _Plan, N: int, G: int, TILE: int):
+def _build_kernel(plan: _Plan, N: int, G: int, TILE: int, P: int):
     # interpret (CPU) vs compiled (TPU) must not share cache entries
-    return _build_kernel_impl(plan, N, G, TILE,
+    return _build_kernel_impl(plan, N, G, TILE, P,
                               jax.default_backend() == "cpu")
 
 
 @functools.lru_cache(maxsize=128)
-def _build_kernel_impl(plan: _Plan, N: int, G: int, TILE: int,
+def _build_kernel_impl(plan: _Plan, N: int, G: int, TILE: int, P: int,
                        interpret: bool):
+    """Block-packed fused kernel.
+
+    P rows ride each MXU contraction column (see _pick_pack): the tile's
+    TILE elements arrive as (P, T4) blocks (T4 = TILE//P, every VPU vreg
+    sublane-dense), element (p, t)'s one-hot occupies strided row g*P+p of
+    oht and its value limbs occupy strided rows col*P+p of Vt, so one
+    (G*P, T4) x (K*P->LANES, T4) dot does P rows' worth of grouping per
+    MXU cycle.  Cross terms (p != q) land in acc cells the epilogue's
+    strided-diagonal read skips — bit-exact (tools/probe_blockpack.py).
+    P=1 degenerates to the original unpacked layout."""
     nsteps = N // TILE
+    T4 = TILE // P
+    GP = G * P
     flush_every = max(FLUSH_ROWS // TILE, 1)
     K = plan.ncols
+    # packed V wider than one MXU block: split the dot into ceil-128 row
+    # chunks on both operands (cross products accumulate into disjoint acc
+    # block columns; the strided-diagonal epilogue reads through SKL)
+    SK = 1 if P == 1 else -(-K * P // LANES)
+    SKL = SK * LANES
     nsc = max(plan.n_f4, 1)
+
+    def rep(x, k):
+        """k block-strided copies: row r of the result = x[r % P], so the
+        op/limb index of row r is r // P (dense VPU copy, no relayout)."""
+        return x if k == 1 else jnp.concatenate([x] * k, axis=0)
+
+    def limb_iota(dtype, k, mod=None):
+        """Per-row limb index (r // P), optionally % mod, as a shift base."""
+        it = jax.lax.broadcasted_iota(dtype, (k * P, T4), 0) // dtype(P)
+        return it if mod is None else it % dtype(mod)
 
     def kernel(*refs):
         seg_ref = refs[0]
@@ -298,25 +330,29 @@ def _build_kernel_impl(plan: _Plan, N: int, G: int, TILE: int,
             lo_acc[:] = jnp.zeros_like(lo_acc)
             sh_acc[:] = jnp.zeros_like(sh_acc)
 
-        # TRANSPOSED build: every computed column lives as a (1, TILE) row
-        # (lane dim = TILE — the natural TPU vector layout; a (TILE, 1)
-        # column block pads to 128 lanes and OOMs VMEM 128x).  Lanes arrive
-        # 1-D and are reshaped to (1, TILE) in their integer/float dtype
+        # TRANSPOSED build: every computed column lives as P-strided
+        # (.., T4) rows (lane dim = T4 — the natural TPU vector layout; a
+        # (TILE, 1) column block pads to 128 lanes and OOMs VMEM 128x).
+        # Lanes arrive pre-shaped (P, T4) in their integer/float dtype
         # (bf16 1-D reshapes are the one case Mosaic rejects).
-        seg = seg_ref[:].reshape(1, TILE)      # int32
+        seg = seg_ref[:].reshape(P, T4) if P == 1 else seg_ref[:]
         mask = seg < jnp.int32(G)
+
+        def rd(ref):
+            # P=1: 1-D (TILE,) lane block -> (1, TILE); P=8: the BlockSpec
+            # already delivers (8, T4) — no in-kernel relayout
+            return ref[:].reshape(P, T4) if P == 1 else ref[:]
 
         rows: list = []
         for op in plan.ops:
             if op[0] == "mask":
                 rows.append(mask.astype(jnp.bfloat16))
             elif op[0] == "bool":
-                b = in_refs[op[1]][:].reshape(1, TILE) & mask
+                b = rd(in_refs[op[1]]) & mask
                 rows.append(b.astype(jnp.bfloat16))
             elif op[0] == "limbs4":
-                u = in_refs[op[1]][:].reshape(1, TILE)
-                sh = (jax.lax.broadcasted_iota(jnp.uint32, (4, TILE), 0)
-                      * jnp.uint32(8))
+                u = rep(rd(in_refs[op[1]]), 4)     # (4P, T4) uint32
+                sh = limb_iota(jnp.uint32, 4) * jnp.uint32(8)
                 # Mosaic has no u32->bf16 cast; limbs are <= 255 so i32 is
                 # an exact intermediate
                 rows.append(((u >> sh) & jnp.uint32(0xFF))
@@ -324,13 +360,12 @@ def _build_kernel_impl(plan: _Plan, N: int, G: int, TILE: int,
             elif op[0] == "ksq12":
                 # b^2, a*b, a^2 limb blocks from kb = a*2^16 + b; u32
                 # multiplies wrap exactly like the XLA encode did
-                u = in_refs[op[1]][:].reshape(1, TILE)
+                u = rd(in_refs[op[1]])
                 a = u >> jnp.uint32(16)
                 b = u & jnp.uint32(0xFFFF)
-                sh = (jax.lax.broadcasted_iota(jnp.uint32, (4, TILE), 0)
-                      * jnp.uint32(8))
+                sh = limb_iota(jnp.uint32, 4) * jnp.uint32(8)
                 for sq in (b * b, a * b, a * a):
-                    rows.append(((sq >> sh) & jnp.uint32(0xFF))
+                    rows.append(((rep(sq, 4) >> sh) & jnp.uint32(0xFF))
                                 .astype(jnp.int32).astype(jnp.bfloat16))
             elif op[0] == "f4s":
                 # SIGNED magnitude digit block from one signed lane:
@@ -340,9 +375,9 @@ def _build_kernel_impl(plan: _Plan, N: int, G: int, TILE: int,
                 # Two-level extraction: three serial base-2^24 splits (each
                 # exact in f32: w < 2^24 has its fractional suffix exactly
                 # representable, so w - floor(w) is exact), then ONE
-                # vectorized (9, TILE) shift/mask for the 8-bit digits —
+                # vectorized (9P, T4) shift/mask for the 8-bit digits —
                 # replaces the 9-step serial digit chain on 1-sublane rows.
-                x = in_refs[op[1]][:].reshape(1, TILE)
+                x = rd(in_refs[op[1]])
                 sc = sc_ref[0, op[2]]          # static indices (not traced)
                 zero = jnp.float32(0.0)
                 pos = jnp.where(x > zero, x, zero)
@@ -360,28 +395,37 @@ def _build_kernel_impl(plan: _Plan, N: int, G: int, TILE: int,
                     ints.append(i_.astype(jnp.int32))
                 # low level first; within a level digit shifts 0/8/16
                 rows9 = jnp.concatenate(
-                    [jnp.broadcast_to(t, (3, TILE)) for t in reversed(ints)],
-                    axis=0)
-                sh = (jax.lax.broadcasted_iota(jnp.int32, (9, TILE), 0)
-                      % jnp.int32(3)) * jnp.int32(8)
+                    [rep(t, 3) for t in reversed(ints)], axis=0)
+                sh = limb_iota(jnp.int32, 9, mod=3) * jnp.int32(8)
                 digits = (rows9 >> sh) & jnp.int32(0xFF)
-                rows.append((digits.astype(jnp.float32) * sgn)
+                rows.append((digits.astype(jnp.float32) * rep(sgn, 9))
                             .astype(jnp.bfloat16))
             elif op[0] == "fabs":
-                x = in_refs[op[1]][:].reshape(1, TILE)
-                rows.append(jnp.abs(x).astype(jnp.bfloat16))
+                rows.append(jnp.abs(rd(in_refs[op[1]])).astype(jnp.bfloat16))
             else:                      # "f32" shadow lane
-                rows.append(in_refs[op[1]][:].reshape(1, TILE)
-                            .astype(jnp.bfloat16))
-        if K < LANES:
-            rows.append(jnp.zeros((LANES - K, TILE), jnp.bfloat16))
-        Vt = jnp.concatenate(rows, axis=0)     # (LANES, TILE)
+                rows.append(rd(in_refs[op[1]]).astype(jnp.bfloat16))
+        if K * P < SKL:
+            rows.append(jnp.zeros((SKL - K * P, T4), jnp.bfloat16))
+        Vt = jnp.concatenate(rows, axis=0)     # (SKL, T4)
 
-        oht = (seg == jax.lax.broadcasted_iota(jnp.int32, (G, TILE), 0)
-               ).astype(jnp.bfloat16)          # (G, TILE)
-        acc[:] += jax.lax.dot_general(
-            oht, Vt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        oht = (rep(seg, G) == limb_iota(jnp.int32, G)
+               ).astype(jnp.bfloat16)          # (GP, T4)
+        if P == 1:
+            acc[:] += jax.lax.dot_general(
+                oht, Vt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            # split dots: 128-row chunks of both operands; each (sg, sk)
+            # product lands in its own acc block
+            for sg in range(-(-GP // LANES)):
+                g0 = sg * LANES
+                h = min(LANES, GP - g0)
+                oh_sg = oht[g0:g0 + h]
+                for sk in range(SK):
+                    k0 = sk * LANES
+                    acc[g0:g0 + h, k0:k0 + LANES] += jax.lax.dot_general(
+                        oh_sg, Vt[k0:k0 + LANES], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
         @pl.when((step % jnp.int32(flush_every)
                   == jnp.int32(flush_every - 1))
@@ -400,9 +444,18 @@ def _build_kernel_impl(plan: _Plan, N: int, G: int, TILE: int,
             lo_ref[:] = lo_acc[:]
             sh_ref[:] = sh_acc[:]
 
-    lane_spec = pl.BlockSpec((TILE,), lambda i: (i,),
-                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((G, LANES), lambda i: (i * 0, i * 0),
+    if P == 1:
+        # 1-D (TILE,) lane blocks, reshaped to (1, TILE) rows in-kernel
+        lane_spec = pl.BlockSpec((TILE,), lambda i: (i,),
+                                 memory_space=pltpu.VMEM)
+    else:
+        # P=8: lanes arrive pre-shaped (N/T4, T4); the (8, T4) block is
+        # sublane-divisible (Mosaic's 2-D rule) AND contiguous per step —
+        # every VPU op runs 8/8 sublane-dense with no in-kernel relayout
+        # (the probe_densepack layout, 10.2 Grows/s at 67M rows)
+        lane_spec = pl.BlockSpec((P, T4), lambda i: (i, i * 0),
+                                 memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((GP, SKL), lambda i: (i * 0, i * 0),
                             memory_space=pltpu.VMEM)
     # CPU (tests / no-TPU): interpret mode executes the same kernel in
     # python semantics — exactness tests run without a chip
@@ -414,13 +467,13 @@ def _build_kernel_impl(plan: _Plan, N: int, G: int, TILE: int,
                   + [pl.BlockSpec((1, nsc), lambda i: (i * 0, i * 0),
                                   memory_space=pltpu.VMEM)]),
         out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((G, LANES), jnp.int32),
-                   jax.ShapeDtypeStruct((G, LANES), jnp.int32),
-                   jax.ShapeDtypeStruct((G, LANES), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((G, LANES), jnp.float32),
-                        pltpu.VMEM((G, LANES), jnp.int32),
-                        pltpu.VMEM((G, LANES), jnp.int32),
-                        pltpu.VMEM((G, LANES), jnp.float32)],
+        out_shape=(jax.ShapeDtypeStruct((GP, SKL), jnp.int32),
+                   jax.ShapeDtypeStruct((GP, SKL), jnp.int32),
+                   jax.ShapeDtypeStruct((GP, SKL), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((GP, SKL), jnp.float32),
+                        pltpu.VMEM((GP, SKL), jnp.int32),
+                        pltpu.VMEM((GP, SKL), jnp.int32),
+                        pltpu.VMEM((GP, SKL), jnp.float32)],
     )
 
 
@@ -525,6 +578,7 @@ def fused_mxu_reduce(key_vals, aggs, arg_vals, mask: jnp.ndarray,
     assert ii == plan.n_inputs
 
     TILE = _pick_tile(G, n)
+    P = _pick_pack(G, plan.ncols)
     pad = (-n) % TILE
     if pad:
         seg_id = jnp.pad(seg_id, (0, pad), constant_values=G)
@@ -533,8 +587,27 @@ def fused_mxu_reduce(key_vals, aggs, arg_vals, mask: jnp.ndarray,
     sc_arr = (jnp.stack(scales).reshape(1, -1) if scales
               else jnp.zeros((1, 1), jnp.float32))
 
-    hi, lo, sh = _build_kernel(plan, N, G, TILE)(seg_id, *inputs, sc_arr)
-    ints = (hi.astype(jnp.int64) << 12) + lo.astype(jnp.int64)
+    if P == 1:
+        kin = (seg_id,) + tuple(inputs)
+    else:
+        # lanes pre-shaped (N/T4, T4): contiguous TILE elements per (8, T4)
+        # block — a free row-major reshape, not the (P, N/P) striping
+        T4 = TILE // P
+        kin = tuple(v.reshape(-1, T4) for v in (seg_id,) + tuple(inputs))
+    hi, lo, sh = _build_kernel(plan, N, G, TILE, P)(*kin, sc_arr)
+    full = (hi.astype(jnp.int64) << 12) + lo.astype(jnp.int64)
+    if P == 1:
+        ints = full
+        sh_g = sh
+    else:
+        # strided diagonal: wanted sums live at [g*P+p, c*P+p]; cross blocks
+        # (p != q) are garbage the reshape/diagonal skips
+        SKL = full.shape[1]
+        a4 = full.reshape(G, P, SKL // P, P)
+        ints = jnp.sum(jnp.diagonal(a4, axis1=1, axis2=3), axis=-1)
+        s4 = sh.reshape(G, P, SKL // P, P)
+        sh_g = jnp.sum(jnp.diagonal(s4, axis1=1, axis2=3)
+                       .astype(jnp.float64), axis=-1)
 
     sums = jnp.zeros((G, S), jnp.int64)
     # group epilogue adds by (recipe column, multiplier) so each scatter-add
@@ -552,7 +625,7 @@ def fused_mxu_reduce(key_vals, aggs, arg_vals, mask: jnp.ndarray,
     if plan.shadow_map:
         assert [rc for rc, _ in plan.shadow_map] == sh_cols
         pcs = np.asarray([pc for _, pc in plan.shadow_map], np.int32)
-        fsums = sh[:, pcs].astype(jnp.float64)
+        fsums = sh_g[:, pcs].astype(jnp.float64)
     else:
         fsums = jnp.zeros((G, 0), jnp.float64)
 

@@ -282,12 +282,15 @@ class TestGroupCountMemo:
 
         ex1 = PreAggExecutor(table, None, [g], [inst])
         r1 = sorted(ex1.run())
-        assert pe._GROUP_STATS.get(ex1._gskey) == 10
+        ngroups, dense_rng = pe._GROUP_STATS.get(ex1._gskey)
+        assert ngroups == 10
+        assert dense_rng == 9           # dense keys 0..9 observed
 
         ex2 = PreAggExecutor(table, None, [g], [inst])
         r2 = sorted(ex2.run())
         assert r1 == r2
-        # the memo must have produced the 128-bucket floor on the second run
+        # CPU backend (no fused kernel): the memo right-sizes down to the
+        # unpacked 128-bucket floor on the second run
         assert ex2._G == 128
 
     def test_mutation_invalidates_memo(self):
