@@ -97,6 +97,11 @@ class _Config:
     numeric_max_exponent: int = 31
 
     # --- distributed --------------------------------------------------------
+    # route eligible join+GROUP BY queries through the device mesh
+    # (parallel/dist.py via exec/dist_exec.py); off by default — a single
+    # visible device makes it a no-op either way
+    distributed: bool = False
+    dist_group_slots: int = 1024          # per-device group-partial slots
     shuffle_partitions_per_device: int = 1
     skew_sample_rows: int = 4096          # rows sampled for heavy-hitter detection
     skew_heavy_threshold: float = 0.10    # key freq above this => broadcast side

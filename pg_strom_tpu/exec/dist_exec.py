@@ -1,0 +1,322 @@
+"""Distributed join + aggregation executor over a device mesh.
+
+Engine entry to parallel/dist.py: the planner (plan/planner.py) routes the
+fused join->aggregate shape through this executor when
+pg_strom.distributed is on and >1 device is visible.  Owns:
+
+  - eligibility (ColumnRef keys/args of mesh-shippable types, slot kinds
+    within DIST_SLOT_KINDS, no DISTINCT / numeric(Decimal) family)
+  - side predicates: applied per side through the single-chip ScanExecutor
+    before distribution (the scan tier keeps its own device/host verdict)
+  - lane encoding (canonical int64 keys, dictionary codes, f32/f64-bit arg
+    lanes) and exact host decoding of group keys
+  - the overflow -> repartition loop: any per-device capacity flag
+    (partition bucket, probe chain, group slots) re-runs the step with
+    doubled capacities — the distributed analog of the reference's
+    StromError_DataStoreNoSpace server-side regrow (gpuhashjoin.c:4323-4425)
+  - CpuReCheck: a nonzero device err lane abandons the distributed path for
+    the single-device executors (which own exact host replay)
+
+Host merge folds per-device group partials through ops/preagg's
+merge_partials/extract_partials — the same two-phase exactness contract as
+the local preagg pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+
+from ..config import config
+from ..datastore import Table
+from ..sqltypes import T
+from ..expr.ir import Expr, ColumnRef
+from ..ops.preagg import AggInstance, extract_partials, merge_partials
+from ..parallel.dist import (
+    LaneSpec, DistPlanSig, build_dist_join_agg_step,
+    JOIN_KEY_OK, GROUP_KEY_OK, AGG_ARG_OK, DIST_SLOT_KINDS,
+)
+from ..parallel.mesh import get_mesh
+from ..parallel.shuffle import pad_shards
+from ..utils.perfmon import Perfmon
+from .hostexec import canon_group_key
+
+
+class DistFallback(Exception):
+    """Signal: run this query on the single-device path instead."""
+
+
+def _next_pow2(n: int, lo: int = 256) -> int:
+    p = lo
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _f64_orderkey_np(a: np.ndarray) -> np.ndarray:
+    """Exact int64 order key of float64 values (PG float8_cmp order:
+    NaN greatest and equal to NaN; -0 == +0)."""
+    a = np.where(np.isnan(a), np.float64("nan"), a)   # canonical quiet NaN
+    a = np.where(a == 0.0, 0.0, a)                    # -0 -> +0
+    bits = a.view(np.int64)
+    return np.where(bits < 0, np.int64(-1) - (bits & np.int64((1 << 63) - 1)),
+                    bits)
+
+
+def _unflip_orderkey(k: int) -> float:
+    from ..ops.preagg import unflip_f64_orderkey
+    return unflip_f64_orderkey(k)
+
+
+class DistJoinAggExecutor:
+    """SELECT <aggs> FROM probe JOIN build ON keys [WHERE ...] GROUP BY ...
+    executed over the device mesh (hash-partition shuffle join + per-device
+    partial aggregation + host merge)."""
+
+    # step cache: (sig, caps, ndev) -> jitted step (compiles are expensive)
+    _STEP_CACHE: dict = {}
+
+    def __init__(self, probe: Table, build: Table,
+                 probe_keys: Sequence[Expr], build_keys: Sequence[Expr],
+                 group_exprs: Sequence[Expr], aggs: Sequence[AggInstance],
+                 probe_pred: Optional[Expr] = None,
+                 build_pred: Optional[Expr] = None,
+                 perfmon: Perfmon | None = None):
+        self.probe = probe
+        self.build = build
+        self.probe_keys = list(probe_keys)
+        self.build_keys = list(build_keys)
+        self.group_exprs = list(group_exprs)
+        self.aggs = list(aggs)
+        self.probe_pred = probe_pred
+        self.build_pred = build_pred
+        self.perfmon = perfmon or Perfmon()
+
+    # -- eligibility ---------------------------------------------------------
+
+    def _side_of(self, name: str) -> Optional[str]:
+        if name in self.probe.columns:
+            return "probe"
+        if name in self.build.columns:
+            return "build"
+        return None
+
+    def eligible(self) -> bool:
+        if not (config.enabled and config.distributed):
+            return False
+        if len(jax.devices()) < 2:
+            return False
+        if self.probe.nrows == 0 or self.build.nrows == 0:
+            return False                 # empty sides: local path is fine
+        for k in self.probe_keys + self.build_keys:
+            if not isinstance(k, ColumnRef) or k.type not in JOIN_KEY_OK:
+                return False
+        for g in self.group_exprs:
+            if not isinstance(g, ColumnRef) or g.type not in GROUP_KEY_OK:
+                return False
+            if self._side_of(g.name) is None:
+                return False
+        for inst in self.aggs:
+            if inst.distinct:
+                return False
+            if any(kind not in DIST_SLOT_KINDS for kind in inst.slots):
+                return False
+            for a in inst.args:
+                if not isinstance(a, ColumnRef) or a.type not in AGG_ARG_OK:
+                    return False
+                if self._side_of(a.name) is None:
+                    return False
+        return True
+
+    # -- lane building -------------------------------------------------------
+
+    def _filtered_rows(self, table: Table, pred) -> np.ndarray:
+        from .scan_exec import ScanExecutor
+        if pred is None:
+            return np.arange(table.nrows, dtype=np.int64)
+        return np.asarray(
+            ScanExecutor(table, pred, self.perfmon).row_indexes(),
+            dtype=np.int64)
+
+    def _jkey_lane(self, table: Table, k: ColumnRef, ii: np.ndarray):
+        c = table.columns[k.name]
+        valid = c.valid[ii]
+        if k.type is T.FLOAT8:
+            enc = _f64_orderkey_np(c.data[ii].astype(np.float64))
+        elif k.type is T.FLOAT4:
+            enc = _f64_orderkey_np(c.data[ii].astype(np.float64))
+        else:
+            enc = c.data[ii].astype(np.int64)
+        return np.where(valid, enc, np.int64(0)), valid
+
+    def _value_lane(self, table: Table, sp: LaneSpec, name: str,
+                    ii: np.ndarray):
+        c = table.columns[name]
+        valid = c.valid[ii].astype(bool)
+        if sp.role == "gkey":
+            if sp.t in (T.FLOAT4, T.FLOAT8):
+                data = _f64_orderkey_np(c.data[ii].astype(np.float64))
+            else:
+                data = c.data[ii].astype(np.int64)
+        elif sp.t is T.FLOAT4:
+            data = c.data[ii].astype(np.float32)
+        elif sp.t is T.FLOAT8:
+            data = np.ascontiguousarray(
+                c.data[ii].astype(np.float64)).view(np.int64)
+        else:
+            data = c.data[ii].astype(np.int64)
+        return np.where(valid, data, data.dtype.type(0)), valid
+
+    # -- run -----------------------------------------------------------------
+
+    def run(self) -> list[tuple]:
+        if not self.eligible():
+            raise DistFallback("not eligible")
+        pm = self.perfmon
+        ndev = len(jax.devices())
+        mesh = get_mesh(ndev)
+
+        # signature
+        gspecs = []
+        gmeta = []                       # (type, dictionary|None) per gkey
+        for g in self.group_exprs:
+            side = self._side_of(g.name)
+            tbl = self.probe if side == "probe" else self.build
+            gspecs.append(LaneSpec(side=side, t=g.type, role="gkey"))
+            gmeta.append((g.type, tbl.columns[g.name].dictionary))
+        agg_sigs = []
+        for inst in self.aggs:
+            specs = tuple(LaneSpec(side=self._side_of(a.name), t=a.type,
+                                   role="arg") for a in inst.args)
+            agg_sigs.append((specs, tuple(inst.slots)))
+        sig = DistPlanSig(n_probe_jkeys=len(self.probe_keys),
+                          n_build_jkeys=len(self.build_keys),
+                          gkeys=tuple(gspecs), aggs=tuple(agg_sigs),
+                          ungrouped=not self.group_exprs)
+
+        # side filters through the single-chip scan tier
+        with pm.timer("dist_prepare"):
+            pii = self._filtered_rows(self.probe, self.probe_pred)
+            bii = self._filtered_rows(self.build, self.build_pred)
+            if pii.size == 0 or bii.size == 0:
+                raise DistFallback("empty filtered side")
+
+            pjk = [self._jkey_lane(self.probe, k, pii)
+                   for k in self.probe_keys]
+            bjk = [self._jkey_lane(self.build, k, bii)
+                   for k in self.build_keys]
+            # inner equi-join: NULL keys never match — dead rows
+            pvalid = np.ones(pii.size, bool)
+            for _, v in pjk:
+                pvalid &= v
+            bvalid = np.ones(bii.size, bool)
+            for _, v in bjk:
+                bvalid &= v
+
+            plv, plvv, blv, blvv = [], [], [], []
+            for gi, g in enumerate(self.group_exprs):
+                sp = gspecs[gi]
+                tbl, ii = ((self.probe, pii) if sp.side == "probe"
+                           else (self.build, bii))
+                d, v = self._value_lane(tbl, sp, g.name, ii)
+                (plv if sp.side == "probe" else blv).append(d)
+                (plvv if sp.side == "probe" else blvv).append(v)
+            for inst, (specs, _k) in zip(self.aggs, agg_sigs):
+                for a, sp in zip(inst.args, specs):
+                    tbl, ii = ((self.probe, pii) if sp.side == "probe"
+                               else (self.build, bii))
+                    d, v = self._value_lane(tbl, sp, a.name, ii)
+                    (plv if sp.side == "probe" else blv).append(d)
+                    (plvv if sp.side == "probe" else blvv).append(v)
+
+        # capacity ladder: double everything on any overflow flag
+        n_p, n_b = pii.size, bii.size
+        bcap = _next_pow2(max(2 * n_p, 2 * n_b) // (ndev * ndev) + 1)
+        nbuckets = _next_pow2(max(ndev * bcap, 64))
+        mchain = 8
+        G = _next_pow2(config.dist_group_slots, lo=64)
+        for attempt in range(4):
+            key = (sig, ndev, bcap, nbuckets, mchain, G)
+            step = self._STEP_CACHE.get(key)
+            if step is None:
+                step = build_dist_join_agg_step(
+                    mesh, sig, bucket_cap=bcap, nbuckets=nbuckets,
+                    max_chain=mchain, G=G)
+                self._STEP_CACHE[key] = step
+            args = []
+            for d, _v in pjk:
+                args.append(pad_shards(d, ndev))
+            args.append(pad_shards(pvalid, ndev, fill=False))
+            for d in plv:
+                args.append(pad_shards(d, ndev))
+            for v in plvv:
+                args.append(pad_shards(v, ndev, fill=False))
+            for d, _v in bjk:
+                args.append(pad_shards(d, ndev))
+            args.append(pad_shards(bvalid, ndev, fill=False))
+            for d in blv:
+                args.append(pad_shards(d, ndev))
+            for v in blvv:
+                args.append(pad_shards(v, ndev, fill=False))
+            with pm.timer("dispatch"):
+                out = step(*args)
+            with pm.timer("device_wait"):
+                out = jax.device_get(out)
+            gk_out, gkv_out, gvalid, slots, err, ovf = out
+            if np.any(np.asarray(err)):
+                pm.bump("dist_recheck")
+                raise DistFallback("device err lane (CpuReCheck)")
+            if not np.any(np.asarray(ovf)):
+                break
+            pm.bump("dist_repartitions")
+            bcap *= 2
+            nbuckets *= 2
+            mchain *= 2
+            G *= 2
+        else:
+            raise DistFallback("capacity ladder exhausted")
+        pm.bump("dist_steps")
+
+        # ---- host merge of per-device partials --------------------------
+        with pm.timer("materialize"):
+            states: dict[tuple, list[dict]] = {}
+            displays: dict[tuple, tuple] = {}
+            gvalid = np.asarray(gvalid)
+            gk_out = [np.asarray(a) for a in gk_out]
+            gkv_out = [np.asarray(a) for a in gkv_out]
+            slots = [{k: np.asarray(v) for k, v in d.items()} for d in slots]
+            for s in np.flatnonzero(gvalid):
+                s = int(s)
+                kvals = tuple(
+                    self._decode_gkey(gmeta[i], gk_out[i][s],
+                                      bool(gkv_out[i][s]))
+                    for i in range(len(self.group_exprs)))
+                ck = tuple(canon_group_key(v) for v in kvals)
+                parts = [extract_partials(inst, d, s)
+                         for inst, d in zip(self.aggs, slots)]
+                if ck not in states:
+                    states[ck] = parts
+                    displays[ck] = kvals
+                else:
+                    st = states[ck]
+                    states[ck] = [merge_partials(inst, a, b)
+                                  for inst, a, b in zip(self.aggs, st, parts)]
+        from .preagg_exec import finalize_agg_states
+        return finalize_agg_states(self.group_exprs, self.aggs, states,
+                                   displays)
+
+    @staticmethod
+    def _decode_gkey(meta, raw, valid: bool):
+        t, dictionary = meta
+        if not valid:
+            return None
+        raw = int(raw)
+        if t in (T.TEXT, T.BPCHAR):
+            return dictionary[raw] if dictionary else None
+        if t in (T.FLOAT4, T.FLOAT8):
+            return _unflip_orderkey(raw)
+        if t is T.BOOL:
+            return bool(raw)
+        return raw

@@ -1,0 +1,343 @@
+"""Generalized SPMD distributed join + grouped aggregation.
+
+The engine-integrated distributed layer (BASELINE.md north star; SURVEY §2
+parallelism row 7).  parallel/shuffle.py carries the original single-shape
+prototype; this module generalizes it to the engine's machinery so the SQL
+planner can route real queries through a device mesh:
+
+  - multi-lane join keys (any int-lane SQL type; floats via exact order-key
+    encoding, so NaN = NaN and -0 = +0 follow PostgreSQL equality)
+  - multi-lane group keys from either join side (ints, date/time, text via
+    dictionary codes, floats via order keys) decoded exactly on the host
+  - ALL partial slot kinds of ops/preagg.AGG_CATALOG except the numeric
+    (Decimal) family: nrows/count/sum_i/sumsq_i/sum_f/sumsq_f/min/max and
+    the pair-aggregate kinds (sum_x/sum_y/sum_xy/sumsq_x/sumsq_y) — the
+    per-device partial aggregation literally calls ops/preagg._slot_compute,
+    so device partials and host finalization share one exactness contract
+    (counts are exact int64; int sums keep the modular-int64 + f64-shadow
+    CpuReCheck guard; f64 families inherit the emulated-f64 recheck surface)
+  - fixed-capacity phases with per-device overflow flags; the executor
+    (exec/dist_exec.py) owns the overflow -> repartition retry loop
+
+One jitted shard_map per (plan signature, capacities): per device —
+
+  1. partition probe/build rows into ndev buckets by hash(join key lanes)
+  2. lax.all_to_all both sides over the mesh axis (ICI)
+  3. local sorted-bucket hash join, ALL key lanes compared per chain step
+  4. local partial aggregation of the joined pairs by group-key lanes
+     (sort by group hash, segment boundaries by exact lane equality)
+
+Outputs are per-device group partial arrays; a group may appear on several
+devices (and, on a group-hash collision, twice on one device) — benign:
+the host merge folds duplicates through ops/preagg.merge_partials.
+
+Reference framing: the reference is single-node (no NCCL/MPI — SURVEY §5
+"distributed communication backend: none"); this layer is the new
+capability the TPU build adds, designed around lax.all_to_all/shard_map
+rather than ported.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..sqltypes import T
+from .shuffle import _mix64, _partition_lanes, pad_shards  # noqa: F401
+from .mesh import get_mesh  # noqa: F401
+
+
+# int-lane types whose canonical encoding is the value itself
+_INT_LANE = {T.BOOL, T.INT2, T.INT4, T.INT8, T.DATE, T.TIME, T.TIMESTAMP}
+JOIN_KEY_OK = _INT_LANE | {T.FLOAT4, T.FLOAT8}
+GROUP_KEY_OK = JOIN_KEY_OK | {T.TEXT, T.BPCHAR}
+AGG_ARG_OK = _INT_LANE | {T.FLOAT4, T.FLOAT8}
+# slot kinds _slot_compute handles without the numeric (Decimal) machinery
+DIST_SLOT_KINDS = {"nrows", "count", "sum_i", "sumsq_i", "sum_f", "sumsq_f",
+                   "sum_x", "sum_y", "sum_xy", "sumsq_x", "sumsq_y",
+                   "min", "max"}
+
+
+@dataclasses.dataclass(frozen=True)
+class LaneSpec:
+    """One shipped lane: which join side it comes from and its SQL type.
+
+    Wire encodings (fixed-width, shard_map-friendly):
+      int-lane types -> int64 value; text -> int64 dictionary code (host
+      decodes per column); float4 agg arg -> float32 data; float8 agg arg
+      -> int64 IEEE bits (f64 data derived in-step); float KEYS -> int64
+      order key (exact PG equality incl. NaN and -0).
+    """
+    side: str          # 'probe' | 'build'
+    t: T
+    role: str          # 'gkey' | 'arg'
+
+    def wire_dtype(self):
+        return np.float32 if (self.role == "arg" and self.t is T.FLOAT4) \
+            else np.int64
+
+
+@dataclasses.dataclass(frozen=True)
+class DistPlanSig:
+    """Static signature of a distributed join+agg program."""
+    n_probe_jkeys: int
+    n_build_jkeys: int
+    gkeys: tuple            # tuple[LaneSpec]
+    aggs: tuple             # per agg: (tuple[LaneSpec], tuple[slot kinds])
+    ungrouped: bool
+
+
+class _ErrShim:
+    """Minimal stand-in for the Lowerer's error lane that _slot_compute
+    maxes CpuReCheck conditions into (expr/lower_jax.Lowerer.err)."""
+
+    def __init__(self):
+        self.err = jnp.uint8(0)
+
+
+def _combine_hash(lanes: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    h = _mix64(lanes[0].astype(jnp.int64)).astype(jnp.int64)
+    for l in lanes[1:]:
+        h = _mix64(h ^ _mix64(l.astype(jnp.int64)).astype(jnp.int64)) \
+            .astype(jnp.int64)
+    return h
+
+
+def _local_hash_join_multi(pkeys, pvalid, bkeys, bvalid, nbuckets: int,
+                           max_chain: int):
+    """Sorted-bucket equi-join comparing ALL key lanes per chain step.
+
+    Returns (matched [n, mc], j [n, mc] gather index into the SORTED build
+    order, order [nb] build sort permutation, ovf)."""
+    nb = bkeys[0].shape[0]
+    bucket = (_combine_hash(bkeys).astype(jnp.uint64)
+              % jnp.uint64(nbuckets)).astype(jnp.int32)
+    bucket = jnp.where(bvalid, bucket, jnp.int32(nbuckets))
+    from ..ops.sort import argsort_i32
+    order = argsort_i32(bucket, nb, vbits=nbuckets.bit_length() + 1)
+    bsorted = bucket[order]
+    bkeys_s = [k[order] for k in bkeys]
+    edges = jnp.arange(nbuckets + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(bsorted, edges, side="left").astype(jnp.int32)
+
+    pb = (_combine_hash(pkeys).astype(jnp.uint64)
+          % jnp.uint64(nbuckets)).astype(jnp.int32)
+    pb = jnp.where(pvalid, pb, jnp.int32(nbuckets - 1))
+    s = starts[pb]
+    e = starts[pb + 1]
+    blen = jnp.where(pvalid, e - s, 0)
+    ovf = jnp.any(blen > max_chain)
+
+    ms, js = [], []
+    for k in range(max_chain):
+        j = jnp.clip(s + k, 0, max(nb - 1, 0))
+        m = pvalid & (k < blen)
+        for pk, bks in zip(pkeys, bkeys_s):
+            m = m & (pk == bks[j])
+        ms.append(m)
+        js.append(j)
+    return (jnp.stack(ms, axis=1), jnp.stack(js, axis=1), order, ovf)
+
+
+def _arg_dval(sp: LaneSpec, data_lane, valid_lane):
+    """DVal for an agg-arg lane (ops/preagg._slot_compute input)."""
+    from ..expr.lower_jax import DVal
+    from ..sqltypes import STORAGE_DTYPE
+    t = sp.t
+    if t is T.FLOAT8:
+        d = DVal(t=t, data=jax.lax.bitcast_convert_type(data_lane,
+                                                        jnp.float64),
+                 valid=valid_lane)
+        d.bits = data_lane
+        return d
+    if t is T.FLOAT4:
+        return DVal(t=t, data=data_lane, valid=valid_lane)
+    dt = STORAGE_DTYPE.get(t, np.int64)
+    return DVal(t=t, data=data_lane.astype(dt), valid=valid_lane)
+
+
+def build_dist_join_agg_step(mesh: Mesh, sig: DistPlanSig,
+                             axis: str = "dp",
+                             bucket_cap: int = 4096,
+                             nbuckets: int = 4096,
+                             max_chain: int = 8,
+                             G: int = 1024):
+    """Jitted distributed step over `mesh`.
+
+    f(probe_jkeys..., probe_valid, probe_lanes..., probe_lane_valids...,
+      build_jkeys..., build_valid, build_lanes..., build_lane_valids...)
+      -> (gkeys [ndev*G]..., gkey_valids..., gvalid [ndev*G],
+          slots (per-agg dict of [ndev*G]), err [ndev], ovf [ndev])
+
+    Inputs sharded on the leading axis; value lanes are packed probe-side
+    first in (group keys, then agg args) signature order, build-side
+    likewise.  `probe_valid`/`build_valid` mark live rows (padding dead);
+    per-lane valids carry SQL NULLs.
+    """
+    ndev = mesh.shape[axis]
+    pspecs = [sp for sp in sig.gkeys if sp.side == "probe"] + \
+             [sp for ag in sig.aggs for sp in ag[0] if sp.side == "probe"]
+    bspecs = [sp for sp in sig.gkeys if sp.side == "build"] + \
+             [sp for ag in sig.aggs for sp in ag[0] if sp.side == "build"]
+
+    def step(*flat):
+        it = iter(flat)
+
+        def take(k):
+            return [next(it) for _ in range(k)]
+
+        pjk = take(sig.n_probe_jkeys)
+        (pvalid,) = take(1)
+        plv = take(len(pspecs))
+        plvv = take(len(pspecs))
+        bjk = take(sig.n_build_jkeys)
+        (bvalid,) = take(1)
+        blv = take(len(bspecs))
+        blvv = take(len(bspecs))
+
+        # ---- 1+2: partition by hash(join keys), exchange over ICI --------
+        ppart = (_combine_hash(pjk).astype(jnp.uint64)
+                 % jnp.uint64(ndev)).astype(jnp.int32)
+        bpart = (_combine_hash(bjk).astype(jnp.uint64)
+                 % jnp.uint64(ndev)).astype(jnp.int32)
+        pb_, pva_b, _, povf = _partition_lanes(
+            tuple(pjk) + tuple(plv) + tuple(plvv), pjk[0], pvalid, ndev,
+            bucket_cap, part=ppart)
+        bb_, bva_b, _, bovf = _partition_lanes(
+            tuple(bjk) + tuple(blv) + tuple(blvv), bjk[0], bvalid, ndev,
+            bucket_cap, part=bpart)
+
+        def xchg(x):
+            return jax.lax.all_to_all(x, axis, 0, 0, tiled=False).reshape(-1)
+
+        p_all = [xchg(x) for x in pb_]
+        pva = xchg(pva_b)
+        b_all = [xchg(x) for x in bb_]
+        bva = xchg(bva_b)
+        pjk_l = p_all[:sig.n_probe_jkeys]
+        plv_l = p_all[sig.n_probe_jkeys:]
+        bjk_l = b_all[:sig.n_build_jkeys]
+        blv_l = b_all[sig.n_build_jkeys:]
+        npr = len(pspecs)
+        nbr = len(bspecs)
+
+        # ---- 3: local join ----------------------------------------------
+        matched, jidx, border, jovf = _local_hash_join_multi(
+            pjk_l, pva, bjk_l, bva, nbuckets, max_chain)
+        n, mc = matched.shape
+        jvalid = matched.reshape(-1)
+        nj = jvalid.shape[0]
+
+        def probe_expand(lane):
+            return jnp.broadcast_to(lane[:, None], (n, mc)).reshape(-1)
+
+        def build_gather(lane):
+            return lane[border][jidx].reshape(-1)
+
+        # joined (data, null-valid) per signature lane, walking each side's
+        # packed order (group keys first, then agg args — the pack order)
+        pi, bi = 0, 0
+
+        def joined_lane(sp: LaneSpec):
+            nonlocal pi, bi
+            if sp.side == "probe":
+                d = probe_expand(plv_l[pi])
+                v = probe_expand(plv_l[npr + pi]).astype(jnp.bool_)
+                pi += 1
+            else:
+                d = build_gather(blv_l[bi])
+                v = build_gather(blv_l[nbr + bi]).astype(jnp.bool_)
+                bi += 1
+            return d, v
+
+        glanes, gvalids = [], []
+        for sp in sig.gkeys:
+            d, v = joined_lane(sp)
+            glanes.append(d)
+            gvalids.append(v)
+        arg_lanes = []
+        for argspecs, _kinds in sig.aggs:
+            arg_lanes.append([joined_lane(sp) for sp in argspecs])
+
+        # ---- 4: group + partials ----------------------------------------
+        if sig.ungrouped:
+            seg = jnp.where(jvalid, jnp.int32(0), jnp.int32(G))
+            order2 = None
+            govf = jnp.bool_(False)
+        else:
+            # NULL-safe encodings: zero the data lane of NULL keys and fold
+            # the validity pattern into the hash so (0, NULL) != (0, 0)
+            enc = [jnp.where(gv, gl, jnp.int64(0))
+                   for gl, gv in zip(glanes, gvalids)]
+            vbits = sum(gv.astype(jnp.int64) << k
+                        for k, gv in enumerate(gvalids))
+            gh = _combine_hash(enc + [vbits])
+            gh = jnp.where(jvalid, gh & jnp.int64((1 << 62) - 1),
+                           jnp.int64(1 << 62))
+            from ..ops.sort import packed_argsort, _chunks_from_unsigned
+            order2 = packed_argsort(_chunks_from_unsigned(gh, 63), nj)
+            jvs = jvalid[order2]
+            lanes_s = [l[order2] for l in enc]
+            gvs = [v[order2] for v in gvalids]
+            same = jnp.concatenate([jnp.zeros(1, jnp.bool_),
+                                    jvs[1:] & jvs[:-1]])
+            for ls, vs in zip(lanes_s, gvs):
+                eq = jnp.concatenate([
+                    jnp.zeros(1, jnp.bool_),
+                    (ls[1:] == ls[:-1]) & (vs[1:] == vs[:-1])])
+                same = same & eq
+            new_seg = jvs & ~same
+            seg_sorted = jnp.clip(jnp.cumsum(new_seg.astype(jnp.int32)) - 1,
+                                  0, G - 1)
+            ngroups = jnp.sum(new_seg.astype(jnp.int32))
+            seg = jnp.where(jvs, seg_sorted, jnp.int32(G))
+            govf = ngroups > G
+
+        from ..ops.preagg import _slot_compute
+        shim = _ErrShim()
+        row_idx = jnp.arange(nj, dtype=jnp.int64)
+        jv_sorted = jvalid if order2 is None else jvalid[order2]
+        slot_out = []
+        for (argspecs, kinds), lanes in zip(sig.aggs, arg_lanes):
+            dvals = []
+            for sp, (d, v) in zip(argspecs, lanes):
+                if order2 is not None:
+                    d = d[order2]
+                    v = v[order2]
+                dvals.append(_arg_dval(sp, d, v))
+            d_out = {}
+            for kind in kinds:
+                d_out.update(_slot_compute(kind, dvals, jv_sorted, seg, G,
+                                           shim, row_idx))
+            slot_out.append(d_out)
+
+        # group key values at segment-first positions
+        if sig.ungrouped:
+            gk_out = tuple(jnp.zeros(G, jnp.int64) for _ in sig.gkeys)
+            gkv_out = tuple(jnp.zeros(G, jnp.bool_) for _ in sig.gkeys)
+            gvalid = jnp.zeros(G, jnp.bool_).at[0].set(True)
+        else:
+            pos = jnp.where(new_seg, jnp.arange(nj, dtype=jnp.int64),
+                            jnp.int64(1 << 62))
+            first = jnp.clip(jax.ops.segment_min(pos, seg_sorted,
+                                                 num_segments=G),
+                             0, max(nj - 1, 0)).astype(jnp.int32)
+            gvalid = jnp.arange(G, dtype=jnp.int32) < jnp.minimum(ngroups, G)
+            gk_out = tuple(ls[first] for ls in lanes_s)
+            gkv_out = tuple(vs[first] for vs in gvs)
+
+        ovf = (povf | bovf | jovf | govf).reshape(1)
+        err = shim.err.reshape(1)
+        return (gk_out, gkv_out, gvalid, tuple(slot_out), err, ovf)
+
+    nin = (sig.n_probe_jkeys + 1 + 2 * len(pspecs)
+           + sig.n_build_jkeys + 1 + 2 * len(bspecs))
+    f = shard_map(step, mesh=mesh, in_specs=(P(axis),) * nin,
+                  out_specs=P(axis))
+    return jax.jit(f)

@@ -37,6 +37,7 @@ _GUC_MAP = {
     "pg_strom.chunk_size": "chunk_rows",
     "pg_strom.min_async_chunks": "min_async_chunks",
     "pg_strom.max_async_chunks": "max_async_chunks",
+    "pg_strom.distributed": "distributed",
 }
 
 
