@@ -338,19 +338,37 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
         # bulk-load pipeline: single equi-join feeding aggregation fuses into
         # one device program (joined rows never materialize on the host —
         # the pgstrom_bulkslot chain analog, pg_strom.h:317-329)
+        rows = None
         if has_aggs and len(rels) == 2 and join_equis and not post_join \
                 and dec["agg"] and all(dec["join"].values()):
-            rows = _try_fused_join_agg(tables, rels, per_rel, join_equis,
-                                       group_exprs, items, having,
-                                       order_specs, perfmon)
-            if rows is not None:
-                if stmt.distinct:
-                    rows = _dedupe_rows(rows)
-                if stmt.offset:
-                    rows = rows[stmt.offset:]
-                if stmt.limit is not None:
-                    rows = rows[:stmt.limit]
-                return rows
+            if config.distributed:
+                # distributed shuffle join+agg over the device mesh
+                # (exec/dist_exec.py); ineligible shapes / device-err
+                # (CpuReCheck) / exhausted repartition ladders fall back to
+                # the single-device fused path below
+                rows = _try_dist_join_agg(tables, rels, per_rel, join_equis,
+                                          group_exprs, items, having,
+                                          order_specs, perfmon)
+            if rows is None:
+                rows = _try_fused_join_agg(tables, rels, per_rel, join_equis,
+                                           group_exprs, items, having,
+                                           order_specs, perfmon)
+        elif has_aggs and len(rels) >= 3 and join_equis and not post_join \
+                and not has_outer and dec["agg"] and all(dec["join"].values()):
+            # N-way fused star join+agg: one device node for the whole
+            # fact x dims chain (no intermediate host Tables); ineligible
+            # shapes fall through to the pairwise join loop below
+            rows = _try_star_join_agg(tables, rels, per_rel, join_equis,
+                                      group_exprs, items, having,
+                                      order_specs, perfmon)
+        if rows is not None:
+            if stmt.distinct:
+                rows = _dedupe_rows(rows)
+            if stmt.offset:
+                rows = rows[stmt.offset:]
+            if stmt.limit is not None:
+                rows = rows[:stmt.limit]
+            return rows
         if has_outer:
             if len(stmt.frm) != 1:
                 raise SqlError("outer joins cannot mix with comma joins")
@@ -714,6 +732,99 @@ def _try_fused_join_agg(tables, rels, per_rel, join_equis, group_exprs,
     if not ex.device_ok():
         return None
     raw = ex.run()
+    return _finish_agg(raw, group_exprs, aggrefs, items, having, order_specs)
+
+
+def _try_star_join_agg(tables, rels, per_rel, join_equis, group_exprs,
+                       items, having, order_specs, perfmon):
+    """N-way fused star join+aggregate (exec/starjoin_exec.py): every join
+    equi-clause must pair the first (fact) relation with exactly one
+    dimension.  Returns finished rows, or None to fall back to the pairwise
+    HashJoin chain (non-star equi pattern, non-dense dimension, device
+    recheck)."""
+    a0 = rels[0][0]
+    dim_keys: dict[str, tuple[list, list]] = {a: ([], []) for a, _ in rels[1:]}
+    for cj in join_equis:
+        s0 = cj.args[0].name.split(".", 1)[0]
+        s1 = cj.args[1].name.split(".", 1)[0]
+        if s0 == a0 and s1 in dim_keys:
+            dim_keys[s1][0].append(cj.args[0])
+            dim_keys[s1][1].append(cj.args[1])
+        elif s1 == a0 and s0 in dim_keys:
+            dim_keys[s0][0].append(cj.args[1])
+            dim_keys[s0][1].append(cj.args[0])
+        else:
+            return None          # dim-to-dim join: not a star
+    if any(not pk for pk, _ in dim_keys.values()):
+        return None              # a dim without a fact equi: cross join
+    aggrefs = _collect_aggrefs(items, having)
+    insts = []
+    for ag in aggrefs:
+        d, fam = lookup_agg(ag.aggname, tuple(a.type for a in ag.args),
+                            star=ag.star)
+        insts.append(AggInstance(aggname=ag.aggname, family=fam,
+                                 slots=d.slots, args=tuple(ag.args),
+                                 distinct=ag.distinct))
+    from ..exec.starjoin_exec import StarJoinAggExecutor, StarFallback, \
+        DimSpec
+    dims = [DimSpec(table=tables[alias],
+                    probe_keys=dim_keys[alias][0],
+                    build_keys=dim_keys[alias][1],
+                    build_pred=(and_all(per_rel[alias])
+                                if per_rel[alias] else None))
+            for alias, _ in rels[1:]]
+    ex = StarJoinAggExecutor(
+        tables[a0], dims, group_exprs, insts,
+        probe_pred=and_all(per_rel[a0]) if per_rel[a0] else None,
+        perfmon=perfmon)
+    try:
+        raw = ex.run()
+    except StarFallback:
+        return None
+    return _finish_agg(raw, group_exprs, aggrefs, items, having, order_specs)
+
+
+def _try_dist_join_agg(tables, rels, per_rel, join_equis, group_exprs,
+                       items, having, order_specs, perfmon):
+    """Distributed shuffle join+aggregate over the device mesh
+    (exec/dist_exec.py).  Returns finished rows, or None to fall back to
+    the single-device path (ineligible shape, device CpuReCheck, or an
+    exhausted overflow->repartition ladder)."""
+    a0, a1 = rels[0][0], rels[1][0]
+    keys_l, keys_r = [], []
+    for cj in join_equis:
+        s0 = cj.args[0].name.split(".", 1)[0]
+        s1 = cj.args[1].name.split(".", 1)[0]
+        if s0 == a0 and s1 == a1:
+            keys_l.append(cj.args[0])
+            keys_r.append(cj.args[1])
+        elif s1 == a0 and s0 == a1:
+            keys_l.append(cj.args[1])
+            keys_r.append(cj.args[0])
+        else:
+            return None
+    if not keys_l:
+        return None
+    aggrefs = _collect_aggrefs(items, having)
+    insts = []
+    for ag in aggrefs:
+        d, fam = lookup_agg(ag.aggname, tuple(a.type for a in ag.args),
+                            star=ag.star)
+        insts.append(AggInstance(aggname=ag.aggname, family=fam,
+                                 slots=d.slots, args=tuple(ag.args),
+                                 distinct=ag.distinct))
+    from ..exec.dist_exec import DistJoinAggExecutor, DistFallback
+    ex = DistJoinAggExecutor(
+        tables[a0], tables[a1], keys_l, keys_r, group_exprs, insts,
+        probe_pred=and_all(per_rel[a0]) if per_rel[a0] else None,
+        build_pred=and_all(per_rel[a1]) if per_rel[a1] else None,
+        perfmon=perfmon)
+    if not ex.eligible():
+        return None
+    try:
+        raw = ex.run()
+    except DistFallback:
+        return None
     return _finish_agg(raw, group_exprs, aggrefs, items, having, order_specs)
 
 
@@ -1195,6 +1306,26 @@ def _plan_table_less(stmt, db, perfmon) -> PlannedQuery:
                         run, node, perfmon)
 
 
+def _star_shape(rels, join_equis) -> bool:
+    """True when every equi clause pairs relation 0 (the fact) with exactly
+    one dimension and every dimension has at least one such clause — the
+    fused N-way star shape (exec/starjoin_exec.py)."""
+    if len(rels) < 3 or not join_equis:
+        return False
+    a0 = rels[0][0]
+    seen = {a: False for a, _ in rels[1:]}
+    for cj in join_equis:
+        s0 = cj.args[0].name.split(".", 1)[0]
+        s1 = cj.args[1].name.split(".", 1)[0]
+        if s0 == a0 and s1 in seen:
+            seen[s1] = True
+        elif s1 == a0 and s0 in seen:
+            seen[s0] = True
+        else:
+            return False
+    return all(seen.values())
+
+
 def _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
                      group_exprs, items, order_specs, stmt,
                      sub_plans, dec=None, node_costs=None) -> PlanNode:
@@ -1223,6 +1354,31 @@ def _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
         if dev and config.show_device_kernel and kind == "TpuScan":
             d["Device Kernel"] = _kernel_text(obj, alias, dev)
         return PlanNode(kind, d, [], cost=node_costs["scan"].get(alias))
+
+    star = (has_aggs and not post_join and dec["agg"]
+            and all(dec["join"].values()) and dec["join"]
+            and _star_shape(rels, join_equis)
+            and config.enabled and config.enable_tpuhashjoin)
+    if star:
+        # one fused N-way device node (the multi-rel GpuHashJoin+GpuPreAgg
+        # merge, gpuhashjoin.c:789-835): fact chunk probes every dimension
+        # and aggregates in a single program
+        d = {"Hash Cond": " AND ".join(fmt_expr(k) for k in join_equis)}
+        if group_exprs:
+            d["Group Key"] = ", ".join(fmt_expr(g) for g in group_exprs)
+        d["output"] = ", ".join(fmt_expr(e) for _, e in items)
+        node = PlanNode("TpuStarJoinAgg", d,
+                        [scan_node(a, o) for a, o in rels],
+                        cost=node_costs["agg"])
+        if order_specs:
+            d2 = {"Sort Key": ", ".join(
+                fmt_expr(oe) + (" DESC" if desc else "")
+                for oe, desc, _ in order_specs)}
+            node = PlanNode("Sort", d2, [node], cost=node_costs["final"])
+        if stmt.limit is not None:
+            node = PlanNode("Limit", {"Count": str(stmt.limit)}, [node],
+                            cost=node_costs["final"])
+        return node
 
     node = scan_node(*rels[0])
     for alias, obj in rels[1:]:
