@@ -162,22 +162,27 @@ def run_sort():
     from pg_strom_tpu.ops.sort import build_sort_fn, SortSpec
 
     N = 1 << 24
-    schema = [ColMeta("a", T.INT4), ColMeta("b", T.FLOAT4)]
+    schema = [ColMeta("a", T.INT4), ColMeta("b", T.INT8)]
     a = ColumnRef(type=T.INT4, name="a", index=0)
-    b = ColumnRef(type=T.FLOAT4, name="b", index=1)
-    fn = jax.jit(build_sort_fn(schema, [SortSpec(a, descending=True),
-                                        SortSpec(b)]))
+    b = ColumnRef(type=T.INT8, name="b", index=1)
+    specs = [SortSpec(a, descending=True), SortSpec(b)]
+    fn = jax.jit(build_sort_fn(schema, specs))
     rng = np.random.default_rng(0)
     cs = []
     for s in range(3):
         cs.append((
             (jax.device_put(rng.integers(0, 10000, N).astype(np.int32)),
              jax.device_put(rng.random(N) > 0.02)),
-            (jax.device_put(rng.random(N).astype(np.float32)),
+            (jax.device_put(rng.integers(0, 10**6, N).astype(np.int64)),
              jax.device_put(np.ones(N, np.bool_))),
         ))
+    # the adaptive single-pass must fit these runtime key ranges; a
+    # non-fitting set redispatches the static-pass program (retry contract)
+    _, _, fits = fn(cs[0], np.int32(N))
+    if not bool(np.asarray(jax.device_get(fits))):
+        fn = jax.jit(build_sort_fn(schema, specs, adaptive=False))
     c, dt = bench_call(lambda i: fn(cs[i], np.int32(N)), 3)
-    bpr = 4 + 1 + 4 + 1 + 4
+    bpr = 4 + 1 + 8 + 1
     return N, c, dt, bpr
 
 

@@ -246,11 +246,13 @@ class HashJoinExecutor:
                 continue
             with pm.timer("dispatch"):
                 if use_dense:
-                    res = ("dense", dense_fn(ht, cc.planes, np.int32(cc.nrows)))
+                    res = ("dense", pm.device_call(
+                        "tpujoin_probe_dense", dense_fn, ht, cc.planes,
+                        np.int32(cc.nrows)))
                 else:
-                    res = ("chain",
-                           get_probe_fn(out_cap)(ht, cc.planes,
-                                                 np.int32(cc.nrows)))
+                    res = ("chain", pm.device_call(
+                        "tpujoin_probe", get_probe_fn(out_cap), ht,
+                        cc.planes, np.int32(cc.nrows)))
             pending.append((cc, res))
             if not planes_on_device(cc.planes):
                 streamed += 1

@@ -235,8 +235,9 @@ class JoinPreAggExecutor:
                                          jlayout, bound_groups, bound_aggs)
                 continue
             with pm.timer("dispatch"):
-                out = fused(out_cap0)(ht, cc.planes, bcc.planes,
-                                      np.int32(cc.nrows), np.uint64(0))
+                out = pm.device_call("tpujoinagg", fused(out_cap0), ht,
+                                     cc.planes, bcc.planes,
+                                     np.int32(cc.nrows), np.uint64(0))
             pending.append((cc, out))
             if not planes_on_device(cc.planes):
                 streamed += 1
@@ -467,7 +468,9 @@ class JoinPreAggExecutor:
                                          jlayout, bound_groups, bound_aggs)
                 continue
             with pm.timer("dispatch"):
-                out = fn(ht2, cc.planes, np.int32(cc.nrows), np.uint64(0))
+                out = pm.device_call("tpujoinagg_pregrouped", fn, ht2,
+                                     cc.planes, np.int32(cc.nrows),
+                                     np.uint64(0))
             pending.append((cc, out))
             if not planes_on_device(cc.planes):
                 streamed += 1

@@ -206,7 +206,8 @@ class PreAggExecutor:
                     self._replay(cc.host_chunk(self.table), states, displays)
                 continue
             with pm.timer("dispatch"):
-                out = fn(cc.planes, np.int32(cc.nrows), np.uint64(0))
+                out = pm.device_call("tpupreagg", fn, cc.planes,
+                                     np.int32(cc.nrows), np.uint64(0))
             pending.append((cc, out))
             if not planes_on_device(cc.planes):
                 streamed += 1

@@ -84,7 +84,8 @@ class ScanExecutor:
                     out.extend(self._replay(cc.host_chunk(t)))
                 continue
             with pm.timer("dispatch"):
-                res = fn(cc.planes, np.int32(cc.nrows))
+                res = pm.device_call("tpuscan_qual", fn, cc.planes,
+                                     np.int32(cc.nrows))
             pending.append((cc, res))
             if not planes_on_device(cc.planes):
                 streamed += 1

@@ -232,8 +232,9 @@ class StarJoinAggExecutor:
                                          jlayout, bound_groups, bound_aggs)
                 continue
             with pm.timer("dispatch"):
-                out = fused()(hts_t, cc.planes, bplanes,
-                              np.int32(cc.nrows), np.uint64(0))
+                out = pm.device_call("tpustarjoinagg", fused(), hts_t,
+                                     cc.planes, bplanes,
+                                     np.int32(cc.nrows), np.uint64(0))
             pending.append((cc, out))
             if not planes_on_device(cc.planes):
                 streamed += 1

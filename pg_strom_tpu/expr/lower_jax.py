@@ -279,6 +279,14 @@ class Lowerer:
         if k0 == "date_mi_date":
             r = args[0].data.astype(jnp.int32) - args[1].data.astype(jnp.int32)
             return DVal(T.INT4, r, valid)
+        if k0 == "date_pl_time":
+            r = (args[0].data.astype(jnp.int64) * jnp.int64(86_400_000_000)
+                 + args[1].data.astype(jnp.int64))
+            return DVal(T.TIMESTAMP, r, valid)
+        if k0 == "time_pl_date":
+            r = (args[1].data.astype(jnp.int64) * jnp.int64(86_400_000_000)
+                 + args[0].data.astype(jnp.int64))
+            return DVal(T.TIMESTAMP, r, valid)
         raise NotImplementedError(f"no device lowering for kind {kind}")
 
     # -- integer arithmetic with PG overflow semantics ----------------------
@@ -566,6 +574,12 @@ class Lowerer:
             r = jnp.floor_divide(a.data.astype(jnp.int64),
                                  jnp.int64(86_400_000_000))
             return DVal(T.DATE, r.astype(jnp.int32), valid)
+        if dst is T.TIME and src is T.TIMESTAMP:
+            # pgfn_timestamp_time analog (opencl_timelib.h:261): floored
+            # day division keeps pre-epoch times in [0, 86400e6)
+            ts = a.data.astype(jnp.int64)
+            day = jnp.floor_divide(ts, jnp.int64(86_400_000_000))
+            return DVal(T.TIME, ts - day * jnp.int64(86_400_000_000), valid)
         if dst is T.TEXT and src is T.BPCHAR:
             return DVal(T.TEXT, a.data, valid)
         raise NotImplementedError(f"device cast {src} -> {dst}")

@@ -216,6 +216,57 @@ class PgRandom:
             pass
 
 
+# ---------------------------------------------------------------------------
+# arena-backed numpy planes: the native buddy allocator carries the engine's
+# ingest data (the shmem.c data-path contract — datastore planes live in the
+# tracked arena, visible in pgstrom_arena_info, redzone-checked on release)
+# ---------------------------------------------------------------------------
+
+_DATA_ARENA: "Arena | None" = None
+
+
+def data_arena() -> "Arena":
+    global _DATA_ARENA
+    if _DATA_ARENA is None:
+        _DATA_ARENA = Arena(1 << 28)      # 256MB ingest arena
+        try:
+            from ..utils.introspect import register_arena
+            register_arena(_DATA_ARENA)
+        except Exception:
+            pass
+    return _DATA_ARENA
+
+
+def arena_ndarray(n: int, dtype, owner: int = 0) -> np.ndarray:
+    """numpy array over an Arena block; the block frees (with magic/redzone
+    verification) when the array is garbage collected.  Falls back to plain
+    numpy when the arena is full — capacity never blocks ingest."""
+    import weakref
+    a = data_arena()
+    size = int(n) * np.dtype(dtype).itemsize
+    try:
+        ptr = a.alloc(max(size, 1), owner)
+    except MemoryError:
+        return np.zeros(n, dtype=dtype)
+    buf = (ctypes.c_char * max(size, 1)).from_address(ptr)
+    arr = np.frombuffer(buf, dtype=dtype, count=n)
+    try:
+        arr.flags.writeable = True
+    except Exception:
+        pass
+    arr[:] = 0
+
+    def _free(aa=a, pp=ptr):
+        try:
+            aa.free(pp)
+        except Exception:
+            pass
+    # ndarrays aren't weakref-able; the ctypes buffer (kept alive as the
+    # array's base) is — the block frees when the LAST view dies
+    weakref.finalize(buf, _free)
+    return arr
+
+
 def load_csv(text: bytes, types: Sequence[str],
              pool: Pool | None = None, return_bad: bool = False):
     """Parallel CSV -> (data, valid) numpy planes per column.
@@ -250,3 +301,72 @@ def load_csv(text: bytes, types: Sequence[str],
     out = [(d, v.astype(bool) if v is not None else None)
            for d, v in zip(datas, valids)]
     return (out, int(bad)) if return_bad else out
+
+
+def load_csv2(text: bytes, types: Sequence[str],
+              pool: Pool | None = None):
+    """Extended parallel CSV parser: int/float/date/text/numeric lanes.
+
+    types per column: 'i' int64, 'f' float64, 'd' date (YYYY-MM-DD -> days
+    since 2000-01-01), 't' text (returns a fixed-width bytes plane), 'n'
+    numeric (returns (mant int64, dscale int32) planes), 'x' skip.
+
+    Returns (cols, bad): cols[i] is (data, valid) — for 'n' columns
+    (mant, dscale, valid), for 'x' None.  Planes live in the native Arena
+    (pgstrom_arena_info shows them live) and free on garbage collection.
+    bad > 0 means malformed / out-of-window fields: the caller must fall
+    back to the exact python path for PG-faithful error surfaces."""
+    L = lib()
+    if not hasattr(L.csv_parse2, "_bound"):
+        L.csv_text_widths.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int64)]
+        L.csv_parse2.restype = ctypes.c_int64
+        L.csv_parse2.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int]
+        L.csv_parse2._bound = True
+    n = L.csv_count_rows(text, len(text))
+    code = {"i": 0, "f": 1, "x": 2, "d": 3, "t": 4, "n": 5}
+    tcodes = (ctypes.c_int * len(types))(*[code[t] for t in types])
+    widths = (ctypes.c_int64 * len(types))(*([0] * len(types)))
+    if any(t == "t" for t in types):
+        L.csv_text_widths(text, len(text), tcodes, len(types), widths)
+    dptr = (ctypes.c_void_p * len(types))()
+    vptr = (ctypes.c_void_p * len(types))()
+    aptr = (ctypes.c_void_p * len(types))()
+    datas, valids, auxs = [], [], []
+    for i, t in enumerate(types):
+        if t == "x":
+            datas.append(None); valids.append(None); auxs.append(None)
+            continue
+        if t == "t":
+            W = max(int(widths[i]), 1)
+            widths[i] = W
+            d = arena_ndarray(n * W, np.uint8).reshape(n, W) if n else \
+                np.zeros((0, W), np.uint8)
+        elif t == "f":
+            d = arena_ndarray(n, np.float64)
+        else:
+            d = arena_ndarray(n, np.int64)
+        v = arena_ndarray(n, np.uint8)
+        a = arena_ndarray(n, np.int32) if t == "n" else None
+        datas.append(d); valids.append(v); auxs.append(a)
+        dptr[i] = d.ctypes.data_as(ctypes.c_void_p)
+        vptr[i] = v.ctypes.data_as(ctypes.c_void_p)
+        aptr[i] = a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+    nspans = pool.size if pool is not None else 1
+    bad = L.csv_parse2(pool.handle() if pool else None, text, len(text),
+                       tcodes, len(types), dptr, vptr, aptr, widths, nspans)
+    out = []
+    for t, d, v, a in zip(types, datas, valids, auxs):
+        if t == "x":
+            out.append(None)
+        elif t == "n":
+            out.append((d, a, v.astype(bool)))
+        else:
+            out.append((d, v.astype(bool)))
+    return out, int(bad)

@@ -506,4 +506,189 @@ int64_t csv_parse(void* pool, const char* text, int64_t len,
   return bad.load();
 }
 
+// ---------------------------------------------------------------------------
+// extended CSV parser: int/float/date/text/numeric lanes (COPY fast path)
+// type codes: 0=int64, 1=float64, 2=skip, 3=date(YYYY-MM-DD -> days since
+// 2000-01-01), 4=text (fixed-width byte plane, caller-sized via
+// csv_text_widths), 5=numeric (int64 mantissa + int32 dscale planes;
+// >18-digit or exponent-form fields count as bad -> caller falls back)
+// ---------------------------------------------------------------------------
+
+// Howard Hinnant's days_from_civil, rebased to the PostgreSQL epoch
+// 2000-01-01 (J2000): exact for the proleptic Gregorian calendar
+static inline int64_t days_from_civil_2000(int64_t y, int64_t m, int64_t d) {
+  y -= m <= 2;
+  const int64_t era = (y >= 0 ? y : y - 399) / 400;
+  const int64_t yoe = y - era * 400;
+  const int64_t doy = (153 * (m + (m > 2 ? -3 : 9)) + 2) / 5 + d - 1;
+  const int64_t doe = yoe * 365 + yoe / 4 - yoe / 100 + doy;
+  return era * 146097 + doe - 719468 - 10957;  // 10957 = 2000-01-01 - epoch
+}
+
+struct CsvJob2 {
+  const char* text; int64_t len;
+  const int* types; int ncols;
+  int64_t row0;
+  void** data; uint8_t** valid;
+  void** aux;                    // numeric dscale planes (int32) or null
+  const int64_t* widths;         // text plane strides (bytes) or null
+  std::atomic<int64_t>* bad;
+};
+
+static void parse_span2(const char* p, const char* end, const CsvJob2& job) {
+  int64_t row = job.row0;
+  while (p < end) {
+    const char* line_end = (const char*)memchr(p, '\n', end - p);
+    if (!line_end) line_end = end;
+    int col = 0;
+    const char* f = p;
+    while (col < job.ncols) {
+      const char* fe = f;
+      while (fe < line_end && *fe != ',') fe++;
+      int t = job.types[col];
+      if (t != 2) {
+        auto* valid = job.valid[col];
+        if (fe == f) {
+          valid[row] = 0;
+        } else if (t == 0) {
+          char* endp = nullptr;
+          long long v = strtoll(f, &endp, 10);
+          if (endp == f || endp != fe) { valid[row] = 0; (*job.bad)++; }
+          else { ((int64_t*)job.data[col])[row] = v; valid[row] = 1; }
+        } else if (t == 1) {
+          char* endp = nullptr;
+          double v = strtod(f, &endp);
+          if (endp == f || endp != fe) { valid[row] = 0; (*job.bad)++; }
+          else { ((double*)job.data[col])[row] = v; valid[row] = 1; }
+        } else if (t == 3) {               // date YYYY-MM-DD
+          int64_t y = 0, m = 0, d = 0;
+          const char* q = f;
+          bool ok = true;
+          while (q < fe && *q >= '0' && *q <= '9') y = y * 10 + (*q++ - '0');
+          ok = ok && q < fe && *q == '-' && q != f; q++;
+          const char* q0 = q;
+          while (q < fe && *q >= '0' && *q <= '9') m = m * 10 + (*q++ - '0');
+          ok = ok && q < fe && *q == '-' && q != q0; q++;
+          q0 = q;
+          while (q < fe && *q >= '0' && *q <= '9') d = d * 10 + (*q++ - '0');
+          if (ok && q == fe && q != q0 && m >= 1 && m <= 12 && d >= 1) {
+            static const int dim[12] = {31,28,31,30,31,30,31,31,30,31,30,31};
+            int64_t md = dim[m - 1];
+            if (m == 2 && (y % 4 == 0 && (y % 100 != 0 || y % 400 == 0)))
+              md = 29;
+            ok = d <= md;
+          } else ok = false;
+          if (!ok) { valid[row] = 0; (*job.bad)++; }
+          else {
+            ((int64_t*)job.data[col])[row] = days_from_civil_2000(y, m, d);
+            valid[row] = 1;
+          }
+        } else if (t == 4) {               // text into fixed-width plane
+          int64_t W = job.widths[col];
+          int64_t L = fe - f;
+          if (L > W) { valid[row] = 0; (*job.bad)++; }
+          else {
+            char* dst = (char*)job.data[col] + row * W;
+            memcpy(dst, f, L);
+            if (L < W) memset(dst + L, 0, W - L);
+            valid[row] = 1;
+          }
+        } else {                           // t == 5: numeric
+          const char* q = f;
+          bool neg = false;
+          if (q < fe && (*q == '+' || *q == '-')) { neg = (*q == '-'); q++; }
+          long long mant = 0;
+          int ndig = 0, dscale = 0;
+          bool seen_dot = false, ok = q < fe;
+          for (; q < fe; q++) {
+            if (*q == '.') {
+              if (seen_dot) { ok = false; break; }
+              seen_dot = true;
+            } else if (*q >= '0' && *q <= '9') {
+              if (ndig >= 18 && !(mant == 0 && *q == '0' && !seen_dot)) {
+                ok = false; break;         // >18 significant digits
+              }
+              mant = mant * 10 + (*q - '0');
+              if (mant != 0 || *q != '0' || seen_dot) ndig++;
+              if (seen_dot) dscale++;
+            } else { ok = false; break; }  // exponent form etc.: fallback
+          }
+          if (!ok || ndig > 18 || dscale > 32) { valid[row] = 0; (*job.bad)++; }
+          else {
+            ((int64_t*)job.data[col])[row] = neg ? -mant : mant;
+            ((int32_t*)job.aux[col])[row] = dscale;
+            valid[row] = 1;
+          }
+        }
+      }
+      f = fe < line_end ? fe + 1 : line_end;
+      col++;
+    }
+    row++;
+    p = line_end + 1;
+  }
+}
+
+// max byte length per text column (one scan; sizes the fixed-width planes)
+void csv_text_widths(const char* text, int64_t len, const int* types,
+                     int ncols, int64_t* out_w) {
+  for (int c = 0; c < ncols; c++) out_w[c] = 0;
+  const char* p = text;
+  const char* end = text + len;
+  while (p < end) {
+    const char* line_end = (const char*)memchr(p, '\n', end - p);
+    if (!line_end) line_end = end;
+    int col = 0;
+    const char* f = p;
+    while (col < ncols) {
+      const char* fe = f;
+      while (fe < line_end && *fe != ',') fe++;
+      if (types[col] == 4 && fe - f > out_w[col]) out_w[col] = fe - f;
+      f = fe < line_end ? fe + 1 : line_end;
+      col++;
+    }
+    p = line_end + 1;
+  }
+}
+
+int64_t csv_parse2(void* pool, const char* text, int64_t len,
+                   const int* types, int ncols,
+                   void** data, uint8_t** valid, void** aux,
+                   const int64_t* widths, int nspans) {
+  std::atomic<int64_t> bad{0};
+  if (nspans <= 1 || !pool) {
+    CsvJob2 job{text, len, types, ncols, 0, data, valid, aux, widths, &bad};
+    parse_span2(text, text + len, job);
+    return bad.load();
+  }
+  std::vector<const char*> starts{text};
+  std::vector<int64_t> row0s{0};
+  int64_t chunk = len / nspans;
+  int64_t rows_so_far = 0;
+  const char* cur = text;
+  for (int sp = 1; sp < nspans; sp++) {
+    const char* target = text + sp * chunk;
+    if (target <= cur) continue;
+    const char* nl = (const char*)memchr(target, '\n', text + len - target);
+    if (!nl) break;
+    for (const char* q = cur; q <= nl; q++) rows_so_far += (*q == '\n');
+    starts.push_back(nl + 1);
+    row0s.push_back(rows_so_far);
+    cur = nl + 1;
+  }
+  starts.push_back(text + len);
+  auto* p = (Pool*)pool;
+  for (size_t sp = 0; sp + 1 < starts.size(); sp++) {
+    const char* b = starts[sp];
+    const char* e = starts[sp + 1];
+    int64_t r0 = row0s[sp];
+    pool_submit(p, [=, &bad] {
+      CsvJob2 job{b, e - b, types, ncols, r0, data, valid, aux, widths, &bad};
+      parse_span2(b, e, job);
+    });
+  }
+  pool_wait(pool);
+  return bad.load();
+}
+
 }  // extern "C"

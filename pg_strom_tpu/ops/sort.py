@@ -131,6 +131,106 @@ def _key_lanes(v: DVal, sp: SortSpec) -> list[tuple[jnp.ndarray, int]]:
     return lanes
 
 
+def _bias_unsigned(lane: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Signed int64 lane of `width` significant bits -> the whole
+    unsigned-comparable uint64 value (the un-chunked form of _bias_chunks)."""
+    u = lane.astype(jnp.uint64) ^ jnp.uint64(1 << (width - 1) if width < 64
+                                             else 1 << 63)
+    if width < 64:
+        u = u & jnp.uint64((1 << width) - 1)
+    return u
+
+
+def _full_specs(v: DVal, sp: SortSpec) -> tuple:
+    """Adaptive-pack spec for one key: (null_bit, [u64 whole encoded
+    lanes], descending, valid).  Keeping each encoded value WHOLE (no
+    31-bit chunking) lets runtime min-reduction shrink it to its true bit
+    width — a small-range int8/timestamp key costs its range's bits, not
+    64."""
+    isnull = (~v.valid).astype(jnp.int64)
+    null_bit = isnull if not sp.nulls_go_first() else (1 - isnull)
+    if v.t is T.NUMERIC:
+        from .preagg import _num_sort_keys
+        p, s = _num_sort_keys(v.data, v.exp)
+        fulls = [_bias_unsigned(p, 10), _bias_unsigned(s, 62)]
+    elif v.t is T.FLOAT8:
+        bits = getattr(v, "bits", None)
+        if bits is None:
+            bits = jax.lax.bitcast_convert_type(
+                v.data.astype(jnp.float64), jnp.int64)
+        fulls = [_bias_unsigned(_f64_orderkey(bits), 64)]
+    elif v.t is T.FLOAT4:
+        b32 = jax.lax.bitcast_convert_type(v.data.astype(jnp.float32),
+                                           jnp.int32)
+        b32 = jnp.where(b32 == jnp.int32(-(1 << 31)), jnp.int32(0), b32)
+        expm = jnp.int32(0x7F800000)
+        isn = ((b32 & expm) == expm) & ((b32 & jnp.int32(0x007FFFFF)) != 0)
+        b32 = jnp.where(isn, jnp.int32(0x7FC00000), b32)
+        key = jnp.where(b32 < 0, jnp.int32(-1) - (b32 & jnp.int32(0x7FFFFFFF)),
+                        b32)
+        fulls = [_bias_unsigned(key.astype(jnp.int64), 32)]
+    else:
+        width = {T.BOOL: 1, T.INT2: 16, T.INT4: 32, T.DATE: 32,
+                 T.TIME: 64, T.TIMESTAMP: 64, T.INT8: 64}.get(v.t, 64)
+        fulls = [_bias_unsigned(v.data.astype(jnp.int64), max(width, 2))]
+    return (null_bit, fulls, sp.descending, v.valid)
+
+
+def _bit_width_u64(x: jnp.ndarray) -> jnp.ndarray:
+    """ceil(log2(x+1)) of a non-negative traced uint64 scalar."""
+    w = jnp.uint64(0)
+    for k in range(63):
+        w = w + (x >= jnp.uint64(1 << k)).astype(jnp.uint64)
+    return w
+
+
+def _argsort_adaptive(dead_bit: jnp.ndarray,
+                      key_specs: Sequence[tuple], n: int):
+    """Adaptive single-pass stable multi-key argsort: (perm, fits).
+
+    Per key, reduce the whole encoded value by its runtime min and measure
+    its true bit width; when the dead bit + null bits + reduced widths +
+    row-id bits fit one 64-bit word, ONE packed lax.sort is the exact
+    stable answer (dynamic shift amounts are ordinary XLA ops).  Multi-key
+    ORDER BY over real data (ids, categories, dates, dictionary codes)
+    almost always fits — removing the per-pass composition gathers that
+    made 2-key sorts ~8x slower than single-key (BASELINE.md: 31 vs 258
+    Mrows/s; TPU gathers are ~150ms/16M rows).
+
+    fits=False => perm is meaningless; the CALLER re-dispatches the static
+    LSD program (packed_argsort) — the engine's standard host-driven retry
+    shape.  A traced lax.cond was measured 2x WORSE than the plain static
+    path on the non-fitting case, so the decision is a host round trip.
+    """
+    rb = _rbits(n)
+    iota = jax.lax.broadcasted_iota(jnp.uint64, (n,), 0)
+    wide = iota
+    shift = jnp.uint64(rb)
+    big = jnp.uint64((1 << 64) - 1)
+    for null_bit, fulls, desc, valid in reversed(list(key_specs)):
+        for lane in reversed(fulls):
+            any_ok = jnp.any(valid)
+            m = jnp.where(any_ok, jnp.min(jnp.where(valid, lane, big)),
+                          jnp.uint64(0))
+            red = jnp.where(valid, lane - m, jnp.uint64(0))
+            rmax = jnp.where(any_ok, jnp.max(red), jnp.uint64(0))
+            if desc:
+                red = jnp.where(valid, rmax - red, jnp.uint64(0))
+            wk = _bit_width_u64(rmax)
+            wide = wide | (red << jnp.minimum(shift, jnp.uint64(63)))
+            shift = shift + wk
+        wide = wide | (null_bit.astype(jnp.uint64)
+                       << jnp.minimum(shift, jnp.uint64(63)))
+        shift = shift + jnp.uint64(1)
+    # dead/qual bit (the most significant) on top
+    wide = wide | (dead_bit.astype(jnp.uint64)
+                   << jnp.minimum(shift, jnp.uint64(63)))
+    fits = (shift + jnp.uint64(1)) <= jnp.uint64(64)
+    s = jax.lax.sort(wide)
+    perm = (s & jnp.uint64((1 << rb) - 1)).astype(jnp.int32)
+    return perm, fits
+
+
 def packed_argsort(lanes: Sequence[tuple[jnp.ndarray, int]], n: int) -> jnp.ndarray:
     """Stable ascending argsort over lexicographic (lane, width) chunks,
     most-significant first.  Every lax.sort call is single-operand; key sets
@@ -244,10 +344,19 @@ def build_sort_topk_fn(schema: Sequence[ColMeta], specs: Sequence[SortSpec],
         total = sum(w for _, w in lanes)
 
         if exact or kk > 8192 or kk * 4 >= n:
-            perm = packed_argsort(lanes, n)
+            if exact:
+                perm = packed_argsort(lanes, n)
+                fits = None
+            else:
+                # adaptive single-pass; a non-fitting key set raises `ovf`
+                # and the caller re-runs with exact=True (static passes)
+                fs = [_full_specs(lw.lower(sp.expr, qual), sp)
+                      for sp in specs]
+                perm, fits = _argsort_adaptive(lanes[0][0], fs, n)
             top = perm[:kk]
+            ovf = no_ovf if fits is None else ~fits
             return (top, tuple(lane[top] for lane, _ in lanes), nqual, err,
-                    no_ovf)
+                    ovf)
 
         if total + rb <= 63:
             # packed top-k: keys + row id in one word -> all values distinct,
@@ -303,9 +412,15 @@ def build_sort_topk_fn(schema: Sequence[ColMeta], specs: Sequence[SortSpec],
     return f
 
 
-def build_sort_fn(schema: Sequence[ColMeta], specs: Sequence[SortSpec]) -> Callable:
-    """f(cols, nrows) -> (perm int32[n], err).  perm[:nrows] orders the live
-    rows per the sort specs; dead (padding) rows sort last."""
+def build_sort_fn(schema: Sequence[ColMeta], specs: Sequence[SortSpec],
+                  adaptive: bool = True) -> Callable:
+    """f(cols, nrows) -> (perm int32[n], err, fits bool).
+
+    perm[:nrows] orders the live rows per the sort specs; dead (padding)
+    rows sort last.  adaptive=True uses the range-reduced single-pass sort;
+    fits=False means the runtime key widths didn't fit one word and perm is
+    meaningless — the caller re-dispatches with adaptive=False (static LSD
+    passes, always valid, fits=True)."""
     specs = list(specs)
 
     def f(cols: tuple, nrows):
@@ -314,10 +429,17 @@ def build_sort_fn(schema: Sequence[ColMeta], specs: Sequence[SortSpec]) -> Calla
         lw = Lowerer(schema, cols, live)
         lanes: list[tuple[jnp.ndarray, int]] = [
             ((~live).astype(jnp.int64), 1)]           # dead rows last
+        fs = []
         for sp in specs:
             v = lw.lower(sp.expr, live)
             lanes.extend(_key_lanes(v, sp))
-        perm = packed_argsort(lanes, n)
-        return perm, jnp.max(jnp.where(live, lw.err, jnp.uint8(0)))
+            fs.append(_full_specs(v, sp))
+        err = jnp.max(jnp.where(live, lw.err, jnp.uint8(0)))
+        if adaptive:
+            perm, fits = _argsort_adaptive(lanes[0][0], fs, n)
+        else:
+            perm = packed_argsort(lanes, n)
+            fits = jnp.bool_(True)
+        return perm, err, fits
 
     return f

@@ -323,3 +323,15 @@ def date_to_timestamp(d: int) -> int:
 def timestamp_to_date(ts: int) -> int:
     # floored: pre-epoch timestamps land on the right day (timestamp2date)
     return int(np.int32(ts // 86_400_000_000))
+
+
+def timestamp_to_time(ts: int) -> int:
+    # time-of-day in usec; floored division keeps pre-epoch timestamps in
+    # [0, 86400e6) (reference opencl_timelib.h:261 pgfn_timestamp_time)
+    return ts - (ts // 86_400_000_000) * 86_400_000_000
+
+
+def datetime_timestamp(d: int, t: int) -> int:
+    # date + time -> timestamp (reference opencl_timelib.h:382
+    # pgfn_datetime_pl)
+    return d * 86_400_000_000 + t

@@ -43,6 +43,28 @@ class Perfmon:
         if config.perfmon:
             self.bytes[channel] += n
 
+    def device_call(self, kernel: str, fn, *args):
+        """Dispatch `fn(*args)` attributing its DEVICE time to `kernel`.
+
+        The per-kernel analog of the reference's OpenCL event profiling
+        (CL_QUEUE_PROFILING_ENABLE + clGetEventProfilingInfo harvested per
+        respond callback, gpuscan.c:1784-1866; rendered as per-kernel
+        totals/averages under EXPLAIN ANALYZE, main.c:504-660).  XLA exposes
+        no per-program event clock through the tunnel, so when perfmon is
+        on the dispatch is bracketed with block_until_ready — this
+        serializes the async window (perfmon is a diagnostic mode; the
+        reference's profiling also perturbs its pipeline) but yields true
+        per-kernel wall device times.  perfmon off: zero overhead."""
+        if not config.perfmon:
+            return fn(*args)
+        import jax
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        self.times[f"kernel {kernel}"] += time.perf_counter() - t0
+        self.counts[f"kernel {kernel}"] += 1
+        return out
+
     def merge(self, other: "Perfmon") -> None:
         for k, v in other.times.items():
             self.times[k] += v
@@ -53,15 +75,26 @@ class Perfmon:
 
     def report_lines(self) -> list[str]:
         out = []
+        kernels = []
         for phase, t in sorted(self.times.items()):
             n = self.counts.get(phase, 0)
             avg = t / n if n else 0.0
-            out.append(f"{phase}: total {t*1e3:.3f}ms, calls {n}, avg {avg*1e3:.3f}ms")
+            line = (f"{phase}: total {t*1e3:.3f}ms, calls {n}, "
+                    f"avg {avg*1e3:.3f}ms")
+            (kernels if phase.startswith("kernel ") else out).append(line)
+        if kernels:
+            # per-kernel device-time section (main.c:504-660 rendering)
+            out.append("Device Kernels:")
+            out.extend("  " + k for k in kernels)
         for ch, b in sorted(self.bytes.items()):
-            t = self.times.get("dispatch" if ch == "h2d" else "device_wait", 0.0)
+            t = self.times.get("dispatch" if ch == "h2d" else "device_wait",
+                               0.0)
+            # transfer bandwidth over the phase that carried the bytes
             bw = (b / t / 1e9) if t > 0 else 0.0
-            out.append(f"{ch}: {b/1e6:.2f}MB" + (f", {bw:.2f}GB/s" if bw else ""))
-        for c in ("device_chunks", "recheck_chunks"):
+            out.append(f"{ch}: {b/1e6:.2f}MB"
+                       + (f", {bw:.2f}GB/s" if bw else ""))
+        for c in ("device_chunks", "recheck_chunks", "tcache_hits",
+                  "dist_steps", "dist_repartitions"):
             if self.counts.get(c):
                 out.append(f"{c}: {self.counts[c]}")
         return out

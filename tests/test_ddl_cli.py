@@ -165,3 +165,90 @@ class TestNativeCopy:
                 execute(f"copy nt from '{path}'", db)
         finally:
             os.unlink(path)
+
+
+class TestNativeCopyExtended:
+    """COPY via the native parallel loader for date/text/numeric columns
+    (VERDICT round-1 item 7: the loader previously handled only int/float
+    lanes, so string-bearing tables fell back to the slow python path)."""
+
+    def _db(self):
+        from pg_strom_tpu.datastore import Database
+        from pg_strom_tpu.sql.api import execute
+        db = Database()
+        execute("create table mix (id int4, x float8, d date, "
+                "name text, n numeric)", db)
+        return db
+
+    def _write(self, tmp_path, body):
+        f = tmp_path / "data.csv"
+        f.write_text(body)
+        return str(f)
+
+    def test_native_path_taken_and_exact(self, tmp_path):
+        import pg_strom_tpu.sql.api as api
+        from pg_strom_tpu.datastore import Database
+        from pg_strom_tpu.sql.api import execute
+        body = "".join(
+            f"{i},{i * 0.25},2023-0{1 + i % 9}-1{i % 3},nm{i % 7},{i}.5\n"
+            for i in range(500))
+        fn = self._write(tmp_path, body)
+        db = self._db()
+        orig = api._copy_native
+        hit = {}
+
+        def wrapped(stmt, db2, tbl):
+            r = orig(stmt, db2, tbl)
+            hit["native"] = r is not None
+            return r
+
+        api._copy_native = wrapped
+        try:
+            r = execute(f"copy mix from '{fn}' with (format csv)", db)
+        finally:
+            api._copy_native = orig
+        assert hit["native"] is True
+        assert r.command == "COPY 500"
+        # python-path twin must agree value-for-value
+        db2 = self._db()
+        from pg_strom_tpu.sql import parser as ast
+        api._copy_python(ast.parse(f"copy mix from '{fn}' with (format csv)"),
+                         db2, db2.get("mix"))
+        q = ("select mix.id, mix.x, mix.d, mix.name, mix.n from mix "
+             "order by mix.id")
+        assert execute(q, db).rows == execute(q, db2).rows
+
+    def test_nulls_and_appends_merge_dictionaries(self, tmp_path):
+        from pg_strom_tpu.sql.api import execute
+        db = self._db()
+        execute("insert into mix values (1, 0.5, '2024-01-15', 'zed', 1.25)",
+                db)
+        fn = self._write(tmp_path, "2,,2020-06-09,alpha,-3.07\n3,1.5,,,\n")
+        execute(f"copy mix from '{fn}' with (format csv)", db)
+        rows = execute("select mix.id, mix.name, mix.n from mix "
+                       "order by mix.id", db).rows
+        from decimal import Decimal
+        assert rows == [(1, "zed", Decimal("1.25")),
+                        (2, "alpha", Decimal("-3.07")),
+                        (3, None, None)]
+
+    def test_bad_date_falls_back_to_exact_errors(self, tmp_path):
+        import pytest
+        from pg_strom_tpu.sql.api import execute
+        db = self._db()
+        fn = self._write(tmp_path, "2,1.0,2023-02-31,x,1\n")
+        with pytest.raises(Exception):
+            execute(f"copy mix from '{fn}' with (format csv)", db)
+
+    def test_arena_shows_live_planes(self, tmp_path):
+        from pg_strom_tpu.datastore import Database
+        from pg_strom_tpu.sql.api import execute
+        db = Database()
+        execute("create table b2 (id int8, x float8)", db)
+        body = "".join(f"{i},{i * 0.5}\n" for i in range(20000))
+        fn = self._write(tmp_path, body)
+        execute(f"copy b2 from '{fn}' with (format csv)", db)
+        live = execute("select * from pgstrom_arena_info", db).rows
+        assert any(r[2] > 0 for r in live)      # bytes_live > 0
+        s = execute("select sum(b2.x) from b2", db).scalar()
+        assert s == sum(i * 0.5 for i in range(20000))

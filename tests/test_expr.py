@@ -282,3 +282,49 @@ class TestTimestampDateCast:
         spec = [("d", T.DATE, days)]
         e = explicit_cast(explicit_cast(col("d", T.DATE), T.TIMESTAMP), T.DATE)
         check_consistent(spec, e)
+
+
+class TestTimeCatalogGaps:
+    """Round-2 catalog additions: timestamp->time cast and date+time
+    (reference opencl_timelib.h:261, :382)."""
+
+    def _dev_vs_host(self, expr_sql, cols, want):
+        import numpy as np
+        import jax
+        from pg_strom_tpu.datastore import Database, Table, column_from_values
+        from pg_strom_tpu.sql.api import execute
+        from pg_strom_tpu.config import override
+        db = Database()
+        db.create(Table.from_columns("tt", cols))
+        with override(debug_force_offload=True):
+            dev = execute(f"select {expr_sql} from tt", db).rows
+        with override(enabled=False):
+            host = execute(f"select {expr_sql} from tt", db).rows
+        assert dev == host == want, (dev, host, want)
+
+    def test_timestamp_to_time_cast(self):
+        from pg_strom_tpu.datastore import column_from_values
+        usec_day = 86_400_000_000
+        vals = [3 * usec_day + 7_500_000, -2 * usec_day + 5, 0, None]
+        self._dev_vs_host(
+            "tt.ts::time",
+            {"ts": column_from_values(T.TIMESTAMP, vals)},
+            [(7_500_000,), (5,), (0,), (None,)])
+
+    def test_date_plus_time(self):
+        from pg_strom_tpu.datastore import column_from_values
+        usec_day = 86_400_000_000
+        self._dev_vs_host(
+            "tt.d + tt.t",
+            {"d": column_from_values(T.DATE, [10, -3, None]),
+             "t": column_from_values(T.TIME, [5_000_000, 12, 7])},
+            [(10 * usec_day + 5_000_000,), (-3 * usec_day + 12,), (None,)])
+
+    def test_time_plus_date(self):
+        from pg_strom_tpu.datastore import column_from_values
+        usec_day = 86_400_000_000
+        self._dev_vs_host(
+            "tt.t + tt.d",
+            {"d": column_from_values(T.DATE, [4]),
+             "t": column_from_values(T.TIME, [99])},
+            [(4 * usec_day + 99,)])

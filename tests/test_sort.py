@@ -47,7 +47,10 @@ def run_sort(cols_spec, specs):
     schema = schema_from_chunk_columns(names, cols)
     fn = jax.jit(build_sort_fn(schema, bound))
     planes = tuple(planes_of_column(c) for c in cols)
-    perm, err = fn(planes, np.int32(n))
+    perm, err, fits = fn(planes, np.int32(n))
+    if not bool(fits):
+        fn2 = jax.jit(build_sort_fn(schema, bound, adaptive=False))
+        perm, err, _ = fn2(planes, np.int32(n))
     assert int(err) == 0
     perm = np.asarray(perm)[:n]
 
@@ -290,3 +293,86 @@ class TestVectorizedOrderBy:
             return [tuple("NaN" if isinstance(v, float) and v != v else v
                           for v in r) for r in rows]
         assert canon(got) == canon(want)
+
+
+class TestHybridAdaptiveSort:
+    """_argsort_hybrid: the adaptive single-pass (runtime range-reduced
+    widths) and the static LSD multi-pass must produce identical stable
+    permutations; narrow multi-key data takes the single pass."""
+
+    def _run(self, coldefs, specs_def, n=4000, seed=0):
+        import numpy as np
+        import jax
+        from pg_strom_tpu.expr.lower_jax import ColMeta
+        from pg_strom_tpu.expr.ir import ColumnRef
+        from pg_strom_tpu.ops.sort import build_sort_fn, SortSpec
+        rng = np.random.default_rng(seed)
+        schema, cols, pycols = [], [], []
+        for i, (name, t, lo, hi, nullfrac) in enumerate(coldefs):
+            if t is T.FLOAT8:
+                data = rng.random(n) * (hi - lo) + lo
+            else:
+                data = rng.integers(lo, hi, n).astype(np.int64)
+                if t is T.INT4:
+                    data = data.astype(np.int32)
+            valid = rng.random(n) >= nullfrac
+            schema.append(ColMeta(name, t))
+            cols.append((data, valid))
+            pycols.append([None if not v else
+                           (float(d) if t is T.FLOAT8 else int(d))
+                           for d, v in zip(data, valid)])
+        specs = [SortSpec(ColumnRef(type=schema[i].type, name=schema[i].name,
+                                    index=i), desc, nf)
+                 for i, desc, nf in specs_def]
+        fn = jax.jit(build_sort_fn(schema, specs))
+        perm, err, fits = fn(tuple(cols), np.int32(n))
+        if not bool(fits):
+            import jax as _jax
+            fn2 = _jax.jit(build_sort_fn(schema, specs, adaptive=False))
+            perm, err, fits2 = fn2(tuple(cols), np.int32(n))
+            assert bool(fits2)
+        perm = np.asarray(perm)[:n]
+        assert int(err) == 0
+
+        # host-truth stable sort
+        import functools
+        def cmp(a, b):
+            for i, desc, nf in specs_def:
+                va, vb = pycols[i][a], pycols[i][b]
+                nulls_first = desc if nf is None else nf
+                if va is None and vb is None:
+                    continue
+                if va is None:
+                    return -1 if nulls_first else 1
+                if vb is None:
+                    return 1 if nulls_first else -1
+                if va != vb:
+                    c = -1 if va < vb else 1
+                    return -c if desc else c
+            return 0
+        want = sorted(range(n), key=functools.cmp_to_key(cmp))
+        assert list(perm) == want
+
+    def test_narrow_two_key_single_pass(self):
+        self._run([("a", T.INT4, 0, 1000, 0.05),
+                   ("b", T.INT8, -500, 500, 0.05)],
+                  [(0, False, None), (1, True, None)])
+
+    def test_small_range_int8_keys_fit(self):
+        # 64-bit columns whose runtime range is tiny: adaptive reduction
+        # packs them into one word
+        self._run([("a", T.INT8, 10**15, 10**15 + 300, 0.0),
+                   ("b", T.INT8, -(10**17), -(10**17) + 99, 0.1)],
+                  [(0, False, None), (1, False, None)])
+
+    def test_wide_keys_force_multipass(self):
+        # full-range 64-bit keys cannot fit: the cond takes the LSD branch
+        self._run([("a", T.INT8, -(2**62), 2**62, 0.02),
+                   ("b", T.INT8, -(2**62), 2**62, 0.02)],
+                  [(0, False, None), (1, True, True)])
+
+    def test_three_keys_mixed_float(self):
+        self._run([("a", T.INT4, 0, 50, 0.1),
+                   ("x", T.FLOAT8, -1e6, 1e6, 0.1),
+                   ("b", T.INT2, -100, 100, 0.0)],
+                  [(0, True, False), (1, False, None), (2, True, None)])
