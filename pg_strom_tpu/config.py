@@ -60,6 +60,10 @@ class _Config:
     # pre-materialized V, pads it to 128 lanes in HBM; kept for comparison
     use_pallas_reduce: bool = False
     join_max_bucket_probe: int = 16       # bounded probe-chain length before fallback
+    # HBM budget for a device-resident join build side; larger builds run
+    # the nloops partition loop (gpuhashjoin.c:322-431 divide + outer
+    # rescan) instead of abandoning the device path
+    join_build_hbm_mb: int = 2048
     # dense-join probe via the MXU one-hot lookup kernel (ops/mxu_lookup.py)
     # when the build keys span <= its window; off -> plain XLA gather
     join_mxu_lookup: bool = True

@@ -152,6 +152,7 @@ class HashJoinExecutor:
         out_rows_np: list[dict[str, list]] = []
         collected = {self._pname(c): [] for c in self.out_probe_cols}
         collected.update({self._bname(c): [] for c in self.out_build_cols})
+        self._bview, self._boff = self.build, 0
 
         use_device = (config.enabled and config.enable_tpuhashjoin
                       and self.offload
@@ -160,23 +161,69 @@ class HashJoinExecutor:
             self._host_join_all(collected)
             return self._finish(collected)
 
+        # nloops partitioning (gpuhashjoin.c:322-431 estimate+divide,
+        # 3565-3816 threshold split with outer rescan): a build side whose
+        # device footprint exceeds the HBM budget is row-sliced into nloops
+        # partitions; the probe stream rescans once per partition (any
+        # disjoint row partition of the build is exact — each probe row
+        # simply finds its matches partition by partition).  Host fallbacks
+        # inside a pass join against THAT partition only, so union over
+        # passes stays exact.
+        budget = max(int(config.join_build_hbm_mb), 1) << 20
+        est = self._build_bytes_est()
+        nloops = 1
+        while est // nloops > budget and nloops < 256:
+            nloops *= 2
+        if nloops > 1:
+            self.perfmon.bump("nloops_passes", nloops)
+            step = -(-self.build.nrows // nloops)
+            for p0 in range(nloops):
+                lo = p0 * step
+                hi = min(self.build.nrows, lo + step)
+                if lo >= hi:
+                    break
+                self._bview = _slice_table(self.build, lo, hi)
+                self._boff = lo
+                self._host_ht = None          # pass-scoped host hash table
+                if not self._device_pass(collected):
+                    self._host_join_all(collected)   # partition-local
+            self._bview, self._boff = self.build, 0
+            self._host_ht = None
+            return self._finish(collected)
+        if not self._device_pass(collected):
+            self._host_join_all(collected)
+        return self._finish(collected)
+
+    def _build_bytes_est(self) -> int:
+        """Device footprint estimate of the build side: column planes +
+        hash-table lanes (keys, order, buckets ~ 3 int64/row)."""
+        b = 0
+        for c in self.build.columns.values():
+            b += c.data.nbytes + c.valid.nbytes
+            if c.num_exp is not None:
+                b += c.num_exp.nbytes + c.num_dscale.nbytes
+        return b + 24 * max(self.build.nrows, 1)
+
+    def _device_pass(self, collected) -> bool:
+        """Device build+probe of the probe stream against self._bview.
+        Returns False when the build side itself can't go on device (the
+        caller host-joins this partition)."""
         pm = self.perfmon
-        bl = self.build.column_names
-        bcols = [self.build.columns[n] for n in bl]
-        bcap = _next_pow2(max(self.build.nrows, 16))
+        bl = self._bview.column_names
+        bcols = [self._bview.columns[n] for n in bl]
+        bcap = _next_pow2(max(self._bview.nrows, 16))
         key_types = tuple(k.type for k in self.build_keys)
 
         # device-resident hash table, reused across queries (the cross-query
         # extension of the DMA-hashtable-once pattern, gpuhashjoin.c:4497)
-        row_bits = max(self.build.nrows, 1).bit_length()
+        row_bits = max(self._bview.nrows, 1).bit_length()
         ht_key = ("join_ht", tuple(c.uid for c in bcols),
                   tuple(self.build_keys), self.build_pred, bcap, row_bits)
         ht = TCACHE.get_aux(ht_key, pm)
         if ht is None:
-            bchunk = next(iter(self.build.chunks(bcap)))
+            bchunk = next(iter(self._bview.chunks(bcap)))
             if bchunk.row_recheck.any():
-                self._host_join_all(collected)
-                return self._finish(collected)
+                return False
             bschema = schema_from_chunk_columns(bl, [bchunk.columns[n] for n in bl])
             bplanes = tuple(planes_of_column(bchunk.columns[n]) for n in bl)
             build_fn = _cached_jit(
@@ -187,9 +234,8 @@ class HashJoinExecutor:
             with pm.timer("build_hash"):
                 ht = build_fn(bplanes, np.int32(bchunk.nrows))
             if int(ht["err"]) != 0:
-                self._host_join_all(collected)
-                return self._finish(collected)
-            TCACHE.put_aux(ht_key, ht, self.build.name, bcols)
+                return False
+            TCACHE.put_aux(ht_key, ht, self._bview.name, bcols)
         nbuckets = int(ht["bucket_start"].shape[0]) - 1
 
         pl = self.probe.column_names
@@ -260,7 +306,7 @@ class HashJoinExecutor:
                     self._drain(pending, out_cap, get_probe_fn, ht, collected)
                     streamed = 0
         self._drain(pending, out_cap, get_probe_fn, ht, collected)
-        return self._finish(collected)
+        return True
 
     def _drain(self, pending, out_cap, get_probe_fn, ht, collected) -> None:
         if not pending:
@@ -322,10 +368,10 @@ class HashJoinExecutor:
                                           probe_idx + chunk_start)))
         for c in self.out_build_cols:
             collected[self._bname(c)].append(
-                ("planes", _gather_planes(self.build.columns[c], build_row)))
+                ("planes", _gather_planes(self._bview.columns[c], build_row)))
         if self._track:
             self._pair_p.append(np.asarray(probe_idx, np.int64) + chunk_start)
-            self._pair_b.append(np.asarray(build_row, np.int64))
+            self._pair_b.append(np.asarray(build_row, np.int64) + self._boff)
 
     def _to_table(self, collected: dict[str, list]) -> Table:
         cols: dict[str, Column] = {}
@@ -401,19 +447,23 @@ class HashJoinExecutor:
     # -- host exact path -----------------------------------------------------
 
     def _host_hash_table(self) -> dict:
+        """Hash table over the CURRENT build view (whole table, or one
+        nloops partition) with GLOBAL build row ids."""
         if self._host_ht is not None:
             return self._host_ht
         ht: dict = {}
-        bl = self.build.column_names
-        for i in range(self.build.nrows):
-            row = lambda s: self.build.columns[bl[s]].get(i)
+        bv = self._bview
+        bl = bv.column_names
+        for i in range(bv.nrows):
+            row = lambda s: bv.columns[bl[s]].get(i)
             if self.build_pred is not None and \
                     eval_expr_cpu(self.build_pred, row) is not True:
                 continue
             kv = tuple(eval_expr_cpu(k, row) for k in self.build_keys)
             if any(v is None for v in kv):
                 continue
-            ht.setdefault(tuple(canon_group_key(v) for v in kv), []).append(i)
+            ht.setdefault(tuple(canon_group_key(v) for v in kv),
+                          []).append(i + self._boff)
         self._host_ht = ht
         return ht
 
@@ -451,6 +501,24 @@ class HashJoinExecutor:
     def _host_join_all(self, collected: dict[str, list]) -> None:
         for chunk in self.probe.chunks():
             self._host_join_chunk(chunk, collected)
+
+
+def _slice_table(t: Table, lo: int, hi: int) -> Table:
+    """Row-range view [lo, hi) sharing the underlying plane memory."""
+    cols: dict[str, Column] = {}
+    for nm, c in t.columns.items():
+        nc = Column(type=c.type, data=c.data[lo:hi], valid=c.valid[lo:hi],
+                    dictionary=c.dictionary)
+        if c.type is T.NUMERIC:
+            nc.num_exp = c.num_exp[lo:hi]
+            nc.num_dscale = c.num_dscale[lo:hi]
+            nc.recheck = c.recheck[lo:hi]
+            if nc.recheck.any():
+                for i, d in c._exact.items():
+                    if lo <= i < hi:
+                        nc._exact[i - lo] = d
+        cols[nm] = nc
+    return Table.from_columns(f"{t.name}[{lo}:{hi}]", cols)
 
 
 def _gather_planes(col: Column, idx: np.ndarray) -> dict:
