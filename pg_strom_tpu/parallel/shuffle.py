@@ -111,16 +111,22 @@ def _local_hash_join(pkey, pval, pvalid, bkey, bpay, bvalid, nbuckets: int,
     return matched, paym, ovf
 
 
-def _local_group_partials(gkey, val, valid, G: int):
-    """Segment partial aggregation by key into G slots: count / sum / min /
-    max per group; returns (keys[G], kvalid[G], count[G], sum[G], ...)."""
+def _local_group_partials(gkey, vals, valid, G: int):
+    """Segment partial aggregation by key into G slots: ONE sort per call
+    carries any number of value lanes (count + each lane's sum).
+
+    Returns (keys[G], kvalid[G], count[G] int64-exact, [sum[G] per value
+    lane], ovf).  `vals` may be a single lane or a list/tuple of lanes.
+    The count is an exact int64 segment sum (never re-aggregated through
+    floats — counts past 2^53 must stay exact)."""
+    single = not isinstance(vals, (list, tuple))
+    vlanes = [vals] if single else list(vals)
     n = gkey.shape[0]
     hk = _mix64(gkey).astype(jnp.int64) & ((1 << 62) - 1)
     hk = jnp.where(valid, hk, jnp.int64(1 << 62))
     from ..ops.sort import packed_argsort, _chunks_from_unsigned
     order = packed_argsort(_chunks_from_unsigned(hk, 63), n)
     ks = gkey[order]
-    vs = val[order]
     ok = valid[order]
     same = jnp.concatenate([jnp.zeros(1, dtype=jnp.bool_),
                             (ks[1:] == ks[:-1]) & ok[1:] & ok[:-1]])
@@ -129,13 +135,20 @@ def _local_group_partials(gkey, val, valid, G: int):
     ngroups = jnp.sum(new_seg.astype(jnp.int32))
     ovf = ngroups > G
     cnt = jax.ops.segment_sum(ok.astype(jnp.int64), seg, num_segments=G)
-    sm = jax.ops.segment_sum(jnp.where(ok, vs, 0.0), seg, num_segments=G)
+    sums = []
+    for v in vlanes:
+        vsorted = v[order]
+        zero = jnp.zeros((), dtype=v.dtype)
+        sums.append(jax.ops.segment_sum(jnp.where(ok, vsorted, zero), seg,
+                                        num_segments=G))
     pos = jnp.where(new_seg, jnp.arange(n, dtype=jnp.int64), jnp.int64(1 << 62))
     first = jnp.clip(jax.ops.segment_min(pos, seg, num_segments=G),
                      0, max(n - 1, 0)).astype(jnp.int32)
     gkeys = ks[first]
     gvalid = jnp.arange(G, dtype=jnp.int32) < ngroups
-    return gkeys, gvalid, cnt, sm, ovf
+    if single:
+        return gkeys, gvalid, cnt, sums[0], ovf
+    return gkeys, gvalid, cnt, sums, ovf
 
 
 _HEAVY_SENTINEL = -(1 << 63)
@@ -267,19 +280,20 @@ def build_shuffle_join_agg_step(mesh: Mesh, axis: str = "dp",
         gk, gv, cnt, sm, govf = _local_group_partials(jkey, jval, jvalid, G)
 
         # ---- phase 5: re-aggregate partials across devices ---------------
-        # shuffle group partials by hash(group key) so totals are exact
+        # shuffle group partials by hash(group key) so totals are exact;
+        # ONE sort carries both value lanes, and the count lane re-sums in
+        # exact int64 (no float64 detour)
         (gk_b, cnt_b, sm_b), gvb, _, rovf = _partition_lanes(
             (gk, cnt, sm), gk, gv, ndev, G)
         gk_x = jax.lax.all_to_all(gk_b, axis, 0, 0).reshape(-1)
         cnt_x = jax.lax.all_to_all(cnt_b, axis, 0, 0).reshape(-1)
         sm_x = jax.lax.all_to_all(sm_b, axis, 0, 0).reshape(-1)
         gv_x = jax.lax.all_to_all(gvb, axis, 0, 0).reshape(-1)
-        fk, fv, fcnt, fsum_cnt, fovf = _local_group_partials(
-            gk_x, cnt_x.astype(jnp.float64), gv_x, G)
-        _, _, _, fsum_val, _ = _local_group_partials(gk_x, sm_x, gv_x, G)
+        fk, fv, _fn, (fsum_cnt, fsum_val), fovf = _local_group_partials(
+            gk_x, [cnt_x, sm_x], gv_x, G)
 
         ovf = povf | bovf | jovf | govf | rovf | fovf | hovf
-        return fk, fv, fsum_cnt.astype(jnp.int64), fsum_val, ovf.reshape(1)
+        return fk, fv, fsum_cnt, fsum_val, ovf.reshape(1)
 
     specs = P(axis)
     in_specs = (specs,) * 6 + ((P(),) if k_heavy else ())

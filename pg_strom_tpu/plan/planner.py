@@ -896,7 +896,9 @@ def _run_plain(cur: Table, pred, items, order_specs, perfmon,
     bpred = bind_columns(pred, layout) if pred is not None else None
     bitems = [bind_columns(e, layout) for _, e in items]
     borders = [(bind_columns(oe, layout), d, nf) for oe, d, nf in order_specs]
-    if order_specs and limit_k is not None and 0 < limit_k <= (1 << 16):
+    # device top-k window raised to 2^20: k <= 8192 rides lax.top_k, larger
+    # k the exact full packed/adaptive sort (ops/sort.build_sort_topk_fn)
+    if order_specs and limit_k is not None and 0 < limit_k <= (1 << 20):
         rows = _topk_rows(cur, bpred, bitems, borders, limit_k, perfmon)
         if rows is not None:
             return rows
@@ -1406,6 +1408,12 @@ def _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
         d = {"Sort Key": ", ".join(
             fmt_expr(oe) + (" DESC" if desc else "")
             for oe, desc, _ in order_specs)}
+        if (stmt.limit is not None and not has_aggs and not stmt.distinct
+                and 0 < stmt.limit + (stmt.offset or 0) <= (1 << 20)
+                and config.enabled and config.enable_tpusort):
+            # ORDER BY + LIMIT rides the device top-k (plan-shape marker;
+            # recheck rows or host-only keys fall back at run time)
+            d["Method"] = "device top-k"
         node = PlanNode("Sort", d, [node], cost=node_costs["final"])
     if stmt.limit is not None:
         node = PlanNode("Limit", {"Count": str(stmt.limit)}, [node],
