@@ -281,42 +281,165 @@ class DistJoinAggExecutor:
 
         # ---- host merge of per-device partials --------------------------
         with pm.timer("materialize"):
-            states: dict[tuple, list[dict]] = {}
-            displays: dict[tuple, tuple] = {}
-            gvalid = np.asarray(gvalid)
-            gk_out = [np.asarray(a) for a in gk_out]
-            gkv_out = [np.asarray(a) for a in gkv_out]
-            slots = [{k: np.asarray(v) for k, v in d.items()} for d in slots]
-            for s in np.flatnonzero(gvalid):
-                s = int(s)
-                kvals = tuple(
-                    self._decode_gkey(gmeta[i], gk_out[i][s],
-                                      bool(gkv_out[i][s]))
-                    for i in range(len(self.group_exprs)))
-                ck = tuple(canon_group_key(v) for v in kvals)
-                parts = [extract_partials(inst, d, s)
-                         for inst, d in zip(self.aggs, slots)]
-                if ck not in states:
-                    states[ck] = parts
-                    displays[ck] = kvals
-                else:
-                    st = states[ck]
-                    states[ck] = [merge_partials(inst, a, b)
-                                  for inst, a, b in zip(self.aggs, st, parts)]
+            states, displays = _merge_device_partials(
+                gk_out, gkv_out, gvalid, slots, gmeta, self.group_exprs,
+                self.aggs)
         from .preagg_exec import finalize_agg_states
         return finalize_agg_states(self.group_exprs, self.aggs, states,
                                    displays)
 
     @staticmethod
     def _decode_gkey(meta, raw, valid: bool):
-        t, dictionary = meta
-        if not valid:
-            return None
-        raw = int(raw)
-        if t in (T.TEXT, T.BPCHAR):
-            return dictionary[raw] if dictionary else None
-        if t in (T.FLOAT4, T.FLOAT8):
-            return _unflip_orderkey(raw)
-        if t is T.BOOL:
-            return bool(raw)
-        return raw
+        return _decode_gkey(meta, raw, valid)
+
+
+def _decode_gkey(meta, raw, valid: bool):
+    t, dictionary = meta
+    if not valid:
+        return None
+    raw = int(raw)
+    if t in (T.TEXT, T.BPCHAR):
+        return dictionary[raw] if dictionary else None
+    if t in (T.FLOAT4, T.FLOAT8):
+        return _unflip_orderkey(raw)
+    if t is T.BOOL:
+        return bool(raw)
+    return raw
+
+
+def _merge_device_partials(gk_out, gkv_out, gvalid, slots, gmeta,
+                           group_exprs, aggs):
+    """Fold per-device group partial arrays into (states, displays) via
+    the engine's merge_partials — groups appearing on several devices (or
+    twice on one, after a hash collision) merge exactly."""
+    states: dict[tuple, list[dict]] = {}
+    displays: dict[tuple, tuple] = {}
+    gvalid = np.asarray(gvalid)
+    gk_out = [np.asarray(a) for a in gk_out]
+    gkv_out = [np.asarray(a) for a in gkv_out]
+    slots = [{k: np.asarray(v) for k, v in d.items()} for d in slots]
+    for s in np.flatnonzero(gvalid):
+        s = int(s)
+        kvals = tuple(_decode_gkey(gmeta[i], gk_out[i][s],
+                                   bool(gkv_out[i][s]))
+                      for i in range(len(group_exprs)))
+        ck = tuple(canon_group_key(v) for v in kvals)
+        parts = [extract_partials(inst, d, s)
+                 for inst, d in zip(aggs, slots)]
+        if ck not in states:
+            states[ck] = parts
+            displays[ck] = kvals
+        else:
+            st = states[ck]
+            states[ck] = [merge_partials(inst, a, b)
+                          for inst, a, b in zip(aggs, st, parts)]
+    return states, displays
+
+
+class DistPreAggExecutor:
+    """Single-table GROUP BY over the device mesh: rows shard across
+    devices, each computes partials for its rows (pure data parallelism —
+    no collective), host merge folds the overlapping groups.  The engine
+    analog of SURVEY §2's multi-device scheduling row at mesh scale."""
+
+    _STEP_CACHE: dict = {}
+
+    def __init__(self, table: Table, group_exprs: Sequence[Expr],
+                 aggs: Sequence[AggInstance], pred: Optional[Expr] = None,
+                 perfmon: Perfmon | None = None):
+        self.table = table
+        self.group_exprs = list(group_exprs)
+        self.aggs = list(aggs)
+        self.pred = pred
+        self.perfmon = perfmon or Perfmon()
+
+    def eligible(self) -> bool:
+        if not (config.enabled and config.distributed):
+            return False
+        if len(jax.devices()) < 2 or self.table.nrows == 0:
+            return False
+        for g in self.group_exprs:
+            if not isinstance(g, ColumnRef) or g.type not in GROUP_KEY_OK:
+                return False
+        for inst in self.aggs:
+            if inst.distinct:
+                return False
+            if any(kind not in DIST_SLOT_KINDS for kind in inst.slots):
+                return False
+            for a in inst.args:
+                if not isinstance(a, ColumnRef) or a.type not in AGG_ARG_OK:
+                    return False
+        return True
+
+    def run(self) -> list[tuple]:
+        if not self.eligible():
+            raise DistFallback("not eligible")
+        pm = self.perfmon
+        ndev = len(jax.devices())
+        mesh = get_mesh(ndev)
+        helper = DistJoinAggExecutor(self.table, self.table, [], [],
+                                     self.group_exprs, self.aggs,
+                                     perfmon=pm)
+
+        gspecs, gmeta = [], []
+        for g in self.group_exprs:
+            gspecs.append(LaneSpec(side="probe", t=g.type, role="gkey"))
+            gmeta.append((g.type, self.table.columns[g.name].dictionary))
+        agg_sigs = [(tuple(LaneSpec(side="probe", t=a.type, role="arg")
+                           for a in inst.args), tuple(inst.slots))
+                    for inst in self.aggs]
+        sig = DistPlanSig(n_probe_jkeys=0, n_build_jkeys=0,
+                          gkeys=tuple(gspecs), aggs=tuple(agg_sigs),
+                          ungrouped=not self.group_exprs)
+
+        with pm.timer("dist_prepare"):
+            ii = helper._filtered_rows(self.table, self.pred)
+            if ii.size == 0:
+                # zero matching rows: finalize handles the empty/ungrouped
+                # case exactly on the host
+                raise DistFallback("empty filtered input")
+            valid = np.ones(ii.size, bool)
+            lanes, lvalids = [], []
+            for gi, g in enumerate(self.group_exprs):
+                d, v = helper._value_lane(self.table, gspecs[gi], g.name, ii)
+                lanes.append(d)
+                lvalids.append(v)
+            for inst, (specs, _k) in zip(self.aggs, agg_sigs):
+                for a, sp in zip(inst.args, specs):
+                    d, v = helper._value_lane(self.table, sp, a.name, ii)
+                    lanes.append(d)
+                    lvalids.append(v)
+
+        from ..parallel.dist import build_dist_preagg_step
+        G = _next_pow2(config.dist_group_slots, lo=64)
+        for attempt in range(4):
+            key = (sig, ndev, G)
+            step = self._STEP_CACHE.get(key)
+            if step is None:
+                step = build_dist_preagg_step(mesh, sig, G=G)
+                self._STEP_CACHE[key] = step
+            args = [pad_shards(valid, ndev, fill=False)]
+            args += [pad_shards(d, ndev) for d in lanes]
+            args += [pad_shards(v, ndev, fill=False) for v in lvalids]
+            with pm.timer("dispatch"):
+                out = step(*args)
+            with pm.timer("device_wait"):
+                out = jax.device_get(out)
+            gk_out, gkv_out, gvalid, slots, err, ovf = out
+            if np.any(np.asarray(err)):
+                pm.bump("dist_recheck")
+                raise DistFallback("device err lane (CpuReCheck)")
+            if not np.any(np.asarray(ovf)):
+                break
+            pm.bump("dist_repartitions")
+            G *= 2
+        else:
+            raise DistFallback("group-slot ladder exhausted")
+        pm.bump("dist_steps")
+        with pm.timer("materialize"):
+            states, displays = _merge_device_partials(
+                gk_out, gkv_out, gvalid, slots, gmeta, self.group_exprs,
+                self.aggs)
+        from .preagg_exec import finalize_agg_states
+        return finalize_agg_states(self.group_exprs, self.aggs, states,
+                                   displays)

@@ -265,79 +265,132 @@ def build_dist_join_agg_step(mesh: Mesh, sig: DistPlanSig,
         for argspecs, _kinds in sig.aggs:
             arg_lanes.append([joined_lane(sp) for sp in argspecs])
 
-        # ---- 4: group + partials ----------------------------------------
-        if sig.ungrouped:
-            seg = jnp.where(jvalid, jnp.int32(0), jnp.int32(G))
-            order2 = None
-            govf = jnp.bool_(False)
-        else:
-            # NULL-safe encodings: zero the data lane of NULL keys and fold
-            # the validity pattern into the hash so (0, NULL) != (0, 0)
-            enc = [jnp.where(gv, gl, jnp.int64(0))
-                   for gl, gv in zip(glanes, gvalids)]
-            vbits = sum(gv.astype(jnp.int64) << k
-                        for k, gv in enumerate(gvalids))
-            gh = _combine_hash(enc + [vbits])
-            gh = jnp.where(jvalid, gh & jnp.int64((1 << 62) - 1),
-                           jnp.int64(1 << 62))
-            from ..ops.sort import packed_argsort, _chunks_from_unsigned
-            order2 = packed_argsort(_chunks_from_unsigned(gh, 63), nj)
-            jvs = jvalid[order2]
-            lanes_s = [l[order2] for l in enc]
-            gvs = [v[order2] for v in gvalids]
-            same = jnp.concatenate([jnp.zeros(1, jnp.bool_),
-                                    jvs[1:] & jvs[:-1]])
-            for ls, vs in zip(lanes_s, gvs):
-                eq = jnp.concatenate([
-                    jnp.zeros(1, jnp.bool_),
-                    (ls[1:] == ls[:-1]) & (vs[1:] == vs[:-1])])
-                same = same & eq
-            new_seg = jvs & ~same
-            seg_sorted = jnp.clip(jnp.cumsum(new_seg.astype(jnp.int32)) - 1,
-                                  0, G - 1)
-            ngroups = jnp.sum(new_seg.astype(jnp.int32))
-            seg = jnp.where(jvs, seg_sorted, jnp.int32(G))
-            govf = ngroups > G
-
-        from ..ops.preagg import _slot_compute
-        shim = _ErrShim()
-        row_idx = jnp.arange(nj, dtype=jnp.int64)
-        jv_sorted = jvalid if order2 is None else jvalid[order2]
-        slot_out = []
-        for (argspecs, kinds), lanes in zip(sig.aggs, arg_lanes):
-            dvals = []
-            for sp, (d, v) in zip(argspecs, lanes):
-                if order2 is not None:
-                    d = d[order2]
-                    v = v[order2]
-                dvals.append(_arg_dval(sp, d, v))
-            d_out = {}
-            for kind in kinds:
-                d_out.update(_slot_compute(kind, dvals, jv_sorted, seg, G,
-                                           shim, row_idx))
-            slot_out.append(d_out)
-
-        # group key values at segment-first positions
-        if sig.ungrouped:
-            gk_out = tuple(jnp.zeros(G, jnp.int64) for _ in sig.gkeys)
-            gkv_out = tuple(jnp.zeros(G, jnp.bool_) for _ in sig.gkeys)
-            gvalid = jnp.zeros(G, jnp.bool_).at[0].set(True)
-        else:
-            pos = jnp.where(new_seg, jnp.arange(nj, dtype=jnp.int64),
-                            jnp.int64(1 << 62))
-            first = jnp.clip(jax.ops.segment_min(pos, seg_sorted,
-                                                 num_segments=G),
-                             0, max(nj - 1, 0)).astype(jnp.int32)
-            gvalid = jnp.arange(G, dtype=jnp.int32) < jnp.minimum(ngroups, G)
-            gk_out = tuple(ls[first] for ls in lanes_s)
-            gkv_out = tuple(vs[first] for vs in gvs)
+        # ---- 4: group + partials (shared with the no-join step) ---------
+        gk_out, gkv_out, gvalid, slot_out, govf, err_l = _partials_phase(
+            sig, glanes, gvalids, arg_lanes, jvalid, G)
 
         ovf = (povf | bovf | jovf | govf).reshape(1)
-        err = shim.err.reshape(1)
-        return (gk_out, gkv_out, gvalid, tuple(slot_out), err, ovf)
+        return (gk_out, gkv_out, gvalid, slot_out, err_l.reshape(1), ovf)
 
     nin = (sig.n_probe_jkeys + 1 + 2 * len(pspecs)
            + sig.n_build_jkeys + 1 + 2 * len(bspecs))
+    f = shard_map(step, mesh=mesh, in_specs=(P(axis),) * nin,
+                  out_specs=P(axis))
+    return jax.jit(f)
+
+def _partials_phase(sig: DistPlanSig, glanes, gvalids, arg_lanes, live,
+                    G: int):
+    """Per-device grouping + partial-slot computation over row-aligned
+    lanes: sort by group hash, segment boundaries by exact lane equality,
+    ops/preagg._slot_compute per agg.  Shared by the shuffle-join step and
+    the no-join (single-table data-parallel) step.
+
+    Returns (gk_out, gkv_out, gvalid, slot_out, govf, err)."""
+    nj = live.shape[0]
+    if sig.ungrouped:
+        seg = jnp.where(live, jnp.int32(0), jnp.int32(G))
+        order2 = None
+        govf = jnp.bool_(False)
+    else:
+        # NULL-safe encodings: zero the data lane of NULL keys and fold
+        # the validity pattern into the hash so (0, NULL) != (0, 0)
+        enc = [jnp.where(gv, gl, jnp.int64(0))
+               for gl, gv in zip(glanes, gvalids)]
+        vbits = sum(gv.astype(jnp.int64) << k
+                    for k, gv in enumerate(gvalids))
+        gh = _combine_hash(enc + [vbits])
+        gh = jnp.where(live, gh & jnp.int64((1 << 62) - 1),
+                       jnp.int64(1 << 62))
+        from ..ops.sort import packed_argsort, _chunks_from_unsigned
+        order2 = packed_argsort(_chunks_from_unsigned(gh, 63), nj)
+        jvs = live[order2]
+        lanes_s = [l[order2] for l in enc]
+        gvs = [v[order2] for v in gvalids]
+        same = jnp.concatenate([jnp.zeros(1, jnp.bool_),
+                                jvs[1:] & jvs[:-1]])
+        for ls, vs in zip(lanes_s, gvs):
+            eq = jnp.concatenate([
+                jnp.zeros(1, jnp.bool_),
+                (ls[1:] == ls[:-1]) & (vs[1:] == vs[:-1])])
+            same = same & eq
+        new_seg = jvs & ~same
+        seg_sorted = jnp.clip(jnp.cumsum(new_seg.astype(jnp.int32)) - 1,
+                              0, G - 1)
+        ngroups = jnp.sum(new_seg.astype(jnp.int32))
+        seg = jnp.where(jvs, seg_sorted, jnp.int32(G))
+        govf = ngroups > G
+
+    from ..ops.preagg import _slot_compute
+    shim = _ErrShim()
+    row_idx = jnp.arange(nj, dtype=jnp.int64)
+    jv_sorted = live if order2 is None else live[order2]
+    slot_out = []
+    for (argspecs, kinds), lanes in zip(sig.aggs, arg_lanes):
+        dvals = []
+        for sp, (d, v) in zip(argspecs, lanes):
+            if order2 is not None:
+                d = d[order2]
+                v = v[order2]
+            dvals.append(_arg_dval(sp, d, v))
+        d_out = {}
+        for kind in kinds:
+            d_out.update(_slot_compute(kind, dvals, jv_sorted, seg, G,
+                                       shim, row_idx))
+        slot_out.append(d_out)
+
+    # group key values at segment-first positions
+    if sig.ungrouped:
+        gk_out = tuple(jnp.zeros(G, jnp.int64) for _ in sig.gkeys)
+        gkv_out = tuple(jnp.zeros(G, jnp.bool_) for _ in sig.gkeys)
+        gvalid = jnp.zeros(G, jnp.bool_).at[0].set(True)
+    else:
+        pos = jnp.where(new_seg, jnp.arange(nj, dtype=jnp.int64),
+                        jnp.int64(1 << 62))
+        first = jnp.clip(jax.ops.segment_min(pos, seg_sorted,
+                                             num_segments=G),
+                         0, max(nj - 1, 0)).astype(jnp.int32)
+        gvalid = jnp.arange(G, dtype=jnp.int32) < jnp.minimum(ngroups, G)
+        gk_out = tuple(ls[first] for ls in lanes_s)
+        gkv_out = tuple(vs[first] for vs in gvs)
+    return gk_out, gkv_out, gvalid, tuple(slot_out), govf, shim.err
+
+
+def build_dist_preagg_step(mesh: Mesh, sig: DistPlanSig, axis: str = "dp",
+                           G: int = 1024):
+    """Single-table data-parallel distributed aggregation: rows shard on
+    the leading axis, each device computes group partials for ITS rows (no
+    collective — groups overlap across devices; the host merge folds
+    duplicates), the multi-device-scheduling analog of the reference's
+    round-robin device pick (opencl_serv.c:100-106) at mesh scale.
+
+    f(valid, lanes..., lane_valids...) -> (gkeys..., gkey_valids...,
+    gvalid, slots, err, ovf) with per-device [ndev*G] outputs."""
+    specs = [sp for sp in sig.gkeys] +             [sp for ag in sig.aggs for sp in ag[0]]
+
+    def step(*flat):
+        it = iter(flat)
+        valid = next(it)
+        lanes = [next(it) for _ in range(len(specs))]
+        lvalids = [next(it) for _ in range(len(specs))]
+        i = 0
+        glanes, gvalids = [], []
+        for _sp in sig.gkeys:
+            glanes.append(lanes[i])
+            gvalids.append(lvalids[i].astype(jnp.bool_) & valid)
+            i += 1
+        arg_lanes = []
+        for argspecs, _k in sig.aggs:
+            al = []
+            for _sp in argspecs:
+                al.append((lanes[i], lvalids[i].astype(jnp.bool_)))
+                i += 1
+            arg_lanes.append(al)
+        gk_out, gkv_out, gvalid, slot_out, govf, err = _partials_phase(
+            sig, glanes, gvalids, arg_lanes, valid, G)
+        return (gk_out, gkv_out, gvalid, slot_out, err.reshape(1),
+                govf.reshape(1))
+
+    nin = 1 + 2 * len(specs)
     f = shard_map(step, mesh=mesh, in_specs=(P(axis),) * nin,
                   out_specs=P(axis))
     return jax.jit(f)

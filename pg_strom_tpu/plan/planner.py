@@ -879,9 +879,22 @@ def _run_agg(cur: Table, pred, group_exprs, items, having, order_specs,
             distinct=ag.distinct))
     bound_groups = [bind_columns(g, layout) for g in group_exprs]
     bpred = bind_columns(pred, layout) if pred is not None else None
-    ex = PreAggExecutor(cur, bpred, bound_groups, insts, perfmon=perfmon,
-                        offload=offload)
-    raw = ex.run()   # rows: (group key vals..., agg vals...)
+    raw = None
+    if config.distributed and offload:
+        # single-table data-parallel aggregation over the mesh; ineligible
+        # shapes / device recheck fall back to the local executor
+        from ..exec.dist_exec import DistPreAggExecutor, DistFallback
+        dx = DistPreAggExecutor(cur, bound_groups, insts, pred=bpred,
+                                perfmon=perfmon)
+        if dx.eligible():
+            try:
+                raw = dx.run()
+            except DistFallback:
+                raw = None
+    if raw is None:
+        ex = PreAggExecutor(cur, bpred, bound_groups, insts, perfmon=perfmon,
+                            offload=offload)
+        raw = ex.run()   # rows: (group key vals..., agg vals...)
     return _finish_agg(raw, group_exprs, aggrefs, items, having, order_specs)
 
 

@@ -220,3 +220,52 @@ def test_executor_repartition_counter():
                   dist_group_slots=64):
         dist = execute(q, db).rows
     assert _rows_equal(host, dist)
+
+
+@pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")
+class TestDistPreAgg:
+    """Single-table distributed GROUP BY (data-parallel shards + host
+    merge) must match the local path exactly and actually engage."""
+
+    def test_single_table_group_by(self, db):
+        q = ("select fact.k2, count(*), sum(fact.q), min(fact.s), "
+             "max(fact.s), avg(fact.x), stddev(fact.x) "
+             "from fact group by fact.k2 order by fact.k2")
+        from pg_strom_tpu.exec import dist_exec as de
+        ran = {}
+        orig = de.DistPreAggExecutor.run
+
+        def wrapped(self):
+            ran["yes"] = True
+            return orig(self)
+
+        host = execute(q, db).rows
+        de.DistPreAggExecutor.run = wrapped
+        try:
+            with override(distributed=True, debug_force_offload=True):
+                dist = execute(q, db).rows
+        finally:
+            de.DistPreAggExecutor.run = orig
+        assert ran.get("yes"), "DistPreAggExecutor did not engage"
+        assert _rows_equal(host, dist)
+
+    def test_single_table_with_where(self, db):
+        q = ("select fact.k2, count(fact.x), sum(fact.x) from fact "
+             "where fact.s > 0 group by fact.k2 order by fact.k2")
+        host, dist = _both(db, q)
+        assert _rows_equal(host, dist)
+
+    def test_ungrouped_single_table(self, db):
+        q = "select count(*), sum(fact.q), max(fact.x) from fact"
+        host, dist = _both(db, q)
+        assert _rows_equal(host, dist)
+
+    def test_group_slot_ladder(self, db):
+        # fact.k has 240 distinct values > the 64-slot floor: ladder doubles
+        q = ("select fact.k, count(*) from fact group by fact.k "
+             "order by fact.k")
+        host = execute(q, db).rows
+        with override(distributed=True, debug_force_offload=True,
+                      dist_group_slots=64):
+            dist = execute(q, db).rows
+        assert _rows_equal(host, dist)
