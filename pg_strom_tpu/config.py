@@ -39,10 +39,12 @@ class _Config:
     debug_force_offload: bool = False     # force TPU plan regardless of cost (test determinism)
 
     # --- sizing -------------------------------------------------------------
-    # rows per streamed columnar chunk (15MB analog).  4M: per-launch sync
-    # through the tunnel costs ~20ms regardless of size, so bigger chunks
-    # amortize it; device-resident (tcache) planes make re-dispatch free
-    chunk_rows: int = 1 << 22
+    # rows per streamed columnar chunk (15MB analog).  2^26: the measured
+    # ~3.8ms fixed dispatch floor per kernel launch (BASELINE.md truth #0)
+    # makes kernels invisible below ~30M rows/launch, so device chunks are
+    # as large as HBM comfortably allows (~1.3GB planes for a 20B/row
+    # schema); chunk_capacity() still clamps to the table's next pow2
+    chunk_rows: int = 1 << 26
     min_async_chunks: int = 2             # pipeline low-water mark (main.c:142-151)
     max_async_chunks: int = 3             # pipeline high-water mark (main.c:152-161)
     # per-chunk device group-bucket count.  One-hot traffic scales with
