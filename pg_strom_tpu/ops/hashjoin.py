@@ -239,9 +239,12 @@ def _keys_match(probe_keys: list[DVal], ht_key_planes: tuple,
         bvalid = planes[1][j]
         pd = pk.data
         if t in (T.FLOAT4, T.FLOAT8):
+            # PostgreSQL float equality is float8_cmp_internal == 0:
+            # -0 = +0 AND NaN = NaN (the btree semantics the host tier's
+            # cmp_values implements) — plain IEEE == would drop NaN pairs
             pd0 = jnp.where(pd == 0, jnp.zeros_like(pd), pd)
             bd0 = jnp.where(bdata == 0, jnp.zeros_like(bdata), bdata)
-            same = pd0 == bd0  # NaN != NaN: SQL '=' semantics (no match)
+            same = (pd0 == bd0) | (jnp.isnan(pd) & jnp.isnan(bdata))
         else:
             same = pd == bdata
         if t is T.NUMERIC:

@@ -269,3 +269,57 @@ class TestDistPreAgg:
                       dist_group_slots=64):
             dist = execute(q, db).rows
         assert _rows_equal(host, dist)
+
+
+@pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")
+class TestDistEdgeCases:
+    def test_all_null_join_keys(self):
+        db = Database()
+        db.create(Table.from_columns("f", {
+            "k": column_from_values(T.INT4, [None] * 64),
+            "x": column_from_values(T.FLOAT8, [1.0] * 64)}))
+        db.create(Table.from_columns("d", {
+            "dk": column_from_values(T.INT4, list(range(8)))}))
+        q = "select count(*), sum(f.x) from f, d where f.k = d.dk"
+        host, dist = _both(db, q)
+        assert host == dist == [(0, None)]
+
+    def test_null_group_key_group(self):
+        db = Database()
+        db.create(Table.from_columns("f", {
+            "k": column_from_values(T.INT4, [1, 1, 2, 2, 1, 2] * 20),
+            "g": column_from_values(T.INT4,
+                                    ([None, 5, None, 7, 5, 7] * 20)),
+            "x": column_from_values(T.FLOAT8, [float(i) for i in range(120)]),
+        }))
+        db.create(Table.from_columns("d", {
+            "dk": column_from_values(T.INT4, [1, 2])}))
+        q = ("select f.g, count(*), sum(f.x) from f, d where f.k = d.dk "
+             "group by f.g order by f.g")
+        host, dist = _both(db, q)
+        assert _rows_equal(host, dist)
+        assert host[-1][0] is None       # the NULL-key group exists
+
+    def test_float_join_keys_negzero_and_nan(self):
+        # PG float equality: -0 == +0 and NaN == NaN (btree semantics);
+        # the order-key encoding must preserve both
+        db = Database()
+        db.create(Table.from_columns("f", {
+            "k": column_from_values(T.FLOAT8,
+                                    [0.0, -0.0, float("nan"), 1.5] * 16),
+            "x": column_from_values(T.FLOAT8, [1.0] * 64)}))
+        db.create(Table.from_columns("d", {
+            "dk": column_from_values(T.FLOAT8, [0.0, float("nan"), 1.5])}))
+        q = "select count(*) from f, d where f.k = d.dk"
+        host, dist = _both(db, q)
+        assert host == dist
+        assert host[0][0] == 64          # every row matches exactly one dim
+
+    def test_single_table_all_rows_filtered(self):
+        db = Database()
+        db.create(Table.from_columns("f", {
+            "k": column_from_values(T.INT4, [1, 2, 3]),
+            "x": column_from_values(T.FLOAT8, [1.0, 2.0, 3.0])}))
+        q = "select f.k, count(*) from f where f.x > 99 group by f.k"
+        host, dist = _both(db, q)        # dist falls back on empty input
+        assert host == dist == []
