@@ -30,7 +30,11 @@ from typing import Any, Iterator
 @dataclasses.dataclass
 class _Config:
     # --- behavior -----------------------------------------------------------
-    enabled: bool = True                  # master switch (pg_strom.enabled)
+    _enabled: bool = True                 # session switch (pg_strom.enabled)
+    # superuser/global kill switch for benchmarking sessions (reference
+    # pg_strom.enabled_global, main.c:49-102: lives in shmem so one SET
+    # disables offloading engine-wide); effective enablement = AND of both
+    enabled_global: bool = True
     enable_tpuscan: bool = True           # enable_gpuscan
     enable_tpuhashjoin: bool = True       # enable_gpuhashjoin
     enable_tpupreagg: bool = True         # enable_gpupreagg
@@ -113,10 +117,21 @@ class _Config:
     skew_heavy_threshold: float = 0.10    # key freq above this => broadcast side
 
 
+def _enabled_get(self) -> bool:
+    return self._enabled and self.enabled_global
+
+
+def _enabled_set(self, v: bool) -> None:
+    self._enabled = v
+
+
+_Config.enabled = property(_enabled_get, _enabled_set)
+
 config = _Config()
 _lock = threading.Lock()
 
-_FIELD_NAMES = {f.name for f in dataclasses.fields(_Config)}
+_FIELD_NAMES = {f.name for f in dataclasses.fields(_Config)} | {"enabled"}
+_FIELD_NAMES.discard("_enabled")
 
 
 def get_config(name: str) -> Any:
@@ -140,7 +155,10 @@ def set_config(name: str, value: Any) -> None:
 
 
 def show_all() -> dict[str, Any]:
-    return dataclasses.asdict(config)
+    d = dataclasses.asdict(config)
+    d["enabled"] = config.enabled
+    d.pop("_enabled", None)
+    return d
 
 
 @contextlib.contextmanager

@@ -23,6 +23,7 @@ _SESSION = {"extra_float_digits": 0}
 
 _GUC_MAP = {
     "pg_strom.enabled": "enabled",
+    "pg_strom.enabled_global": "enabled_global",
     "pg_strom.enable_gpuscan": "enable_tpuscan",
     "pg_strom.enable_tpuscan": "enable_tpuscan",
     "pg_strom.enable_gpuhashjoin": "enable_tpuhashjoin",

@@ -110,3 +110,21 @@ def test_join_offload_decision(db):
         txt = explain("select tiny.k from tiny, dim "
                       "where tiny.k = dim.k", db)
         assert "TpuHashJoin" not in txt and "HashJoin" in txt
+
+
+def test_enabled_global_kill_switch(db):
+    """pg_strom.enabled_global (main.c:49-102): one global switch disables
+    offloading regardless of the session flag or force overrides."""
+    from pg_strom_tpu.sql.api import execute
+    with override(debug_force_offload=True):
+        assert "Tpu" in explain("select k, sum(x) from bigt group by k", db)
+        execute("set pg_strom.enabled_global to off", db)
+        try:
+            txt = explain("select k, sum(x) from bigt group by k", db)
+            assert "Tpu" not in txt
+            # results still exact on the host tier
+            r = execute("select count(*) from bigt", db)
+            assert r.rows[0][0] == 300000
+        finally:
+            execute("set pg_strom.enabled_global to on", db)
+        assert "Tpu" in explain("select k, sum(x) from bigt group by k", db)
