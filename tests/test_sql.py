@@ -202,3 +202,25 @@ class TestParseErrors:
     def test_unknown_table(self, db):
         with pytest.raises(KeyError):
             execute("select * from no_such_table", db)
+
+
+class TestExplainAnalyzePerfmon:
+    """EXPLAIN ANALYZE perfmon rendering (main.c:504-660 analog): per-kernel
+    device times under a Device Kernels section plus transfer lines."""
+
+    def test_device_kernels_section(self, db):
+        r = execute("explain analyze select key, sum(smlint_x) "
+                    "from gpupreagg_test group by key", db)
+        txt = "\n".join(row[0] for row in r.rows)
+        assert "Device Kernels:" in txt
+        assert "kernel tpupreagg" in txt
+        assert "Execution Time:" in txt
+        assert "(actual rows=" in txt
+
+    def test_transfer_bandwidth_line(self, db):
+        from pg_strom_tpu.exec.devcache import TCACHE
+        TCACHE.clear()                    # force a fresh h2d upload
+        r = execute("explain analyze select count(*) from gpupreagg_test "
+                    "where integer_x > 0", db)
+        txt = "\n".join(row[0] for row in r.rows)
+        assert "h2d:" in txt and "MB" in txt

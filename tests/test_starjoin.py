@@ -151,3 +151,27 @@ class TestStarJoin:
              "where t0.aid = t1.aid and t1.aid = t2.bid")
         host, dev = _run_both(db, q, expect_star=False)
         _match(host, dev)
+
+
+class TestStarJoinQueryShapes:
+    def test_having_over_star(self, db):
+        q = ("select t1.atext, count(*) from t0, t1, t2 "
+             "where t0.aid = t1.aid and t0.bid = t2.bid "
+             "group by t1.atext having count(*) > 500 order by t1.atext")
+        host, dev = _run_both(db, q)
+        _match(host, dev)
+
+    def test_order_limit_over_star(self, db):
+        q = ("select t1.atext, sum(t0.x) from t0, t1, t3 "
+             "where t0.aid = t1.aid and t0.cid = t3.cid "
+             "group by t1.atext order by sum(t0.x) desc limit 3")
+        host, dev = _run_both(db, q)
+        _match(host, dev)
+
+    def test_agg_expr_over_mixed_sides(self, db):
+        # aggregate argument combining fact and dim columns: joined-layout
+        # binding must resolve both sides inside the fused program
+        q = ("select count(*), corr(t0.x, t3.cw) from t0, t1, t3 "
+             "where t0.aid = t1.aid and t0.cid = t3.cid")
+        host, dev = _run_both(db, q)
+        _match(host, dev)
