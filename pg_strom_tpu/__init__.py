@@ -40,8 +40,12 @@ jax.config.update("jax_enable_x64", True)
 _cache_dir = os.environ.get(
     "PG_STROM_TPU_PROGRAM_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "pg_strom_tpu", "xla"))
-_platforms = jax.config.jax_platforms or ""
-if _cache_dir and _cache_dir != "off" and "cpu" not in _platforms.split(","):
+# skip the cache only when cpu is the PRIMARY platform (the test suite's
+# JAX_PLATFORMS=cpu) — NOT when it is merely a fallback entry: the real TPU
+# tunnel runs as "axon,cpu", and round 2's substring check disabled the
+# cache exactly where the 704s flagship compile needed it (BENCH_r02)
+_platforms = (jax.config.jax_platforms or "").split(",")
+if _cache_dir and _cache_dir != "off" and (_platforms[0] or "tpu") != "cpu":
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -49,6 +49,19 @@ class _Config:
     # as large as HBM comfortably allows (~1.3GB planes for a 20B/row
     # schema); chunk_capacity() still clamps to the table's next pow2
     chunk_rows: int = 1 << 26
+    # cold-compile fallback tier (utils/devprog.py, the opencl_devprog.c
+    # async-build analog): queries whose big-chunk program is still
+    # compiling run at this capacity while the build finishes behind them
+    chunk_rows_cold: int = 1 << 24
+    # park at most this long on an in-flight program build before taking
+    # the fallback tier (the reference parks messages on the build waitq,
+    # opencl_devprog.c:128-250; mqueue-style timeout)
+    devprog_build_wait_ms: int = 3000
+    devprog_async_build: bool = True
+    # persistent on-disk XLA compilation cache (compile once per machine);
+    # empty dir -> ~/.cache/pg_strom_tpu/xla-cache
+    devprog_enable_disk_cache: bool = True
+    devprog_cache_dir: str = ""
     min_async_chunks: int = 2             # pipeline low-water mark (main.c:142-151)
     max_async_chunks: int = 3             # pipeline high-water mark (main.c:152-161)
     # per-chunk device group-bucket count.  One-hot traffic scales with
@@ -164,7 +177,11 @@ def show_all() -> dict[str, Any]:
 @contextlib.contextmanager
 def override(**kwargs: Any) -> Iterator[None]:
     """Temporarily override config values (test fixture analog of SET/RESET)."""
-    saved = {k: getattr(config, k) for k in kwargs}
+    # snapshot the raw session field for 'enabled' — the property ANDs in
+    # enabled_global, so saving the property value would clobber the session
+    # flag to False whenever the global switch happened to be off (ADVICE r2)
+    saved = {k: getattr(config, "_enabled" if k == "enabled" else k)
+             for k in kwargs}
     for k, v in kwargs.items():
         set_config(k, v)
     try:

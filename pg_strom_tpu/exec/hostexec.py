@@ -110,8 +110,12 @@ def update_state(inst: AggInstance, s: dict[str, Any], args: Sequence[Any]) -> N
             s[kind] += int(args[0]) * int(args[0])
         elif kind == "sum_f":
             if inst.family == "f4" and inst.aggname == "sum":
-                # PG float4pl: stepwise float4 accumulation with overflow check
-                r = float(np.float32(np.float32(s[kind]) + np.float32(args[0])))
+                # PG float4pl: stepwise float4 accumulation with overflow
+                # check; overflow->inf is intended (explicit errstate — _ckf
+                # raises the PG error, numpy's warning path is noise)
+                with np.errstate(over="ignore"):
+                    r = float(np.float32(np.float32(s[kind])
+                                         + np.float32(args[0])))
                 s[kind] = _ckf(r, s[kind], float(args[0]))
             else:
                 s[kind] = _ckf(s[kind] + float(args[0]), s[kind], float(args[0]))

@@ -215,9 +215,15 @@ class HashJoinExecutor:
         key_types = tuple(k.type for k in self.build_keys)
 
         # device-resident hash table, reused across queries (the cross-query
-        # extension of the DMA-hashtable-once pattern, gpuhashjoin.c:4497)
+        # extension of the DMA-hashtable-once pattern, gpuhashjoin.c:4497).
+        # Key on the PARENT table's column uids + the partition row range:
+        # _slice_table mints fresh Column objects per query, so keying on
+        # the sliced uids would rebuild every nloops partition table every
+        # run and churn the TCACHE LRU (ADVICE r2).
         row_bits = max(self._bview.nrows, 1).bit_length()
-        ht_key = ("join_ht", tuple(c.uid for c in bcols),
+        parent_cols = [self.build.columns[n] for n in bl]
+        ht_key = ("join_ht", tuple(c.uid for c in parent_cols),
+                  (self._boff, self._bview.nrows),
                   tuple(self.build_keys), self.build_pred, bcap, row_bits)
         ht = TCACHE.get_aux(ht_key, pm)
         if ht is None:
@@ -235,7 +241,9 @@ class HashJoinExecutor:
                 ht = build_fn(bplanes, np.int32(bchunk.nrows))
             if int(ht["err"]) != 0:
                 return False
-            TCACHE.put_aux(ht_key, ht, self._bview.name, bcols)
+            # anchor liveness on the parent columns — the sliced view dies
+            # at end of query, which would instantly evict the entry
+            TCACHE.put_aux(ht_key, ht, self._bview.name, parent_cols)
         nbuckets = int(ht["bucket_start"].shape[0]) - 1
 
         pl = self.probe.column_names

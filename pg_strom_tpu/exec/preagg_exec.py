@@ -31,6 +31,7 @@ from ..ops.preagg_mxu import mxu_keys_supported, mxu_dense_supported, \
 from .devcache import TCACHE, CachedChunk, chunk_capacity, planes_on_device, fetch_host
 from .hostexec import replay_chunk_preagg, canon_group_key, new_state
 from ..utils.perfmon import Perfmon
+from ..utils.devprog import tiered_capacity
 
 _JIT_CACHE: dict[Any, Any] = {}
 
@@ -192,6 +193,16 @@ class PreAggExecutor:
         fn = _get_jitted(self._schema, tuple(self.group_exprs),
                          tuple(self.aggs), self.pred, G, cap,
                          strategy=self._strategy)
+        # async program build (opencl_devprog.c analog): when the big-chunk
+        # program is still compiling, run THIS query at the small fallback
+        # tier and let the build finish in the background
+        cap2 = tiered_capacity(
+            cap, _plan_key(self._schema, tuple(self.group_exprs),
+                           tuple(self.aggs), self.pred, G, 0,
+                           self._strategy),
+            fn, self._shape_args(cap), self.perfmon)
+        if cap2 != cap:
+            cap = self._cap = cap2
 
         # dispatch all chunks asynchronously, then read every result back in
         # ONE batched transfer — each separate device->host read costs a full
@@ -227,6 +238,19 @@ class PreAggExecutor:
         pending.clear()
 
     # ------------------------------------------------------------------
+
+    def _shape_args(self, cap: int) -> tuple:
+        """ShapeDtypeStruct pytree matching a cap-sized fn(...) call, for
+        AOT background builds (utils/devprog.tiered_capacity)."""
+        import jax
+        probe = Chunk.from_table(self.table, 0, min(self.table.nrows, 8), 8)
+        from ..expr.lower_jax import planes_of_column
+        shapes = tuple(
+            tuple(jax.ShapeDtypeStruct((cap,), p.dtype)
+                  for p in planes_of_column(probe.columns[nm]))
+            for nm in self.layout_names)
+        return (shapes, jax.ShapeDtypeStruct((), np.int32),
+                jax.ShapeDtypeStruct((), np.uint64))
 
     def _key_metas(self) -> list[ColMeta | None]:
         metas = []

@@ -571,7 +571,8 @@ static void parse_span2(const char* p, const char* end, const CsvJob2& job) {
           ok = ok && q < fe && *q == '-' && q != q0; q++;
           q0 = q;
           while (q < fe && *q >= '0' && *q <= '9') d = d * 10 + (*q++ - '0');
-          if (ok && q == fe && q != q0 && m >= 1 && m <= 12 && d >= 1) {
+          if (ok && q == fe && q != q0 && y >= 1 && m >= 1 && m <= 12 &&
+              d >= 1) {  // y == 0: PostgreSQL rejects year 0 -> python path
             static const int dim[12] = {31,28,31,30,31,30,31,31,30,31,30,31};
             int64_t md = dim[m - 1];
             if (m == 2 && (y % 4 == 0 && (y % 100 != 0 || y % 400 == 0)))
@@ -598,7 +599,7 @@ static void parse_span2(const char* p, const char* end, const CsvJob2& job) {
           bool neg = false;
           if (q < fe && (*q == '+' || *q == '-')) { neg = (*q == '-'); q++; }
           long long mant = 0;
-          int ndig = 0, dscale = 0;
+          int ndig = 0, dscale = 0, nchars = 0;
           bool seen_dot = false, ok = q < fe;
           for (; q < fe; q++) {
             if (*q == '.') {
@@ -611,9 +612,14 @@ static void parse_span2(const char* p, const char* end, const CsvJob2& job) {
               mant = mant * 10 + (*q - '0');
               if (mant != 0 || *q != '0' || seen_dot) ndig++;
               if (seen_dot) dscale++;
+              nchars++;
             } else { ok = false; break; }  // exponent form etc.: fallback
           }
-          if (!ok || ndig > 18 || dscale > 32) { valid[row] = 0; (*job.bad)++; }
+          // nchars == 0: a lone '.' / '-.' has no digit at all — PostgreSQL
+          // rejects it, so fall back to the PG-exact python loader
+          if (!ok || nchars == 0 || ndig > 18 || dscale > 32) {
+            valid[row] = 0; (*job.bad)++;
+          }
           else {
             ((int64_t*)job.data[col])[row] = neg ? -mant : mant;
             ((int32_t*)job.aux[col])[row] = dscale;

@@ -179,7 +179,7 @@ def _full_specs(v: DVal, sp: SortSpec) -> tuple:
 def _bit_width_u64(x: jnp.ndarray) -> jnp.ndarray:
     """ceil(log2(x+1)) of a non-negative traced uint64 scalar."""
     w = jnp.uint64(0)
-    for k in range(63):
+    for k in range(64):   # full 64: a range >= 2^63 must report width 64
         w = w + (x >= jnp.uint64(1 << k)).astype(jnp.uint64)
     return w
 

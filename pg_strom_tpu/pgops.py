@@ -106,17 +106,21 @@ def _f(t: T, v: float) -> float:
 
 
 def float_add(t: T, a: float, b: float) -> float:
-    r = _f(t, np.float32(a) + np.float32(b)) if t is T.FLOAT4 else a + b
+    with np.errstate(over="ignore"):   # overflow->inf is the PG semantics;
+        # _checkfloat turns it into the exact PG error surface
+        r = _f(t, np.float32(a) + np.float32(b)) if t is T.FLOAT4 else a + b
     return _checkfloat(t, r, math.isinf(a) or math.isinf(b), True)
 
 
 def float_sub(t: T, a: float, b: float) -> float:
-    r = _f(t, np.float32(a) - np.float32(b)) if t is T.FLOAT4 else a - b
+    with np.errstate(over="ignore"):
+        r = _f(t, np.float32(a) - np.float32(b)) if t is T.FLOAT4 else a - b
     return _checkfloat(t, r, math.isinf(a) or math.isinf(b), True)
 
 
 def float_mul(t: T, a: float, b: float) -> float:
-    r = _f(t, np.float32(a) * np.float32(b)) if t is T.FLOAT4 else a * b
+    with np.errstate(over="ignore"):
+        r = _f(t, np.float32(a) * np.float32(b)) if t is T.FLOAT4 else a * b
     return _checkfloat(t, r, math.isinf(a) or math.isinf(b),
                        a == 0.0 or b == 0.0)
 
@@ -124,7 +128,8 @@ def float_mul(t: T, a: float, b: float) -> float:
 def float_div(t: T, a: float, b: float) -> float:
     if b == 0.0:
         raise SqlError("division by zero", ERR_DIV_BY_ZERO)
-    r = _f(t, np.float32(a) / np.float32(b)) if t is T.FLOAT4 else a / b
+    with np.errstate(over="ignore"):
+        r = _f(t, np.float32(a) / np.float32(b)) if t is T.FLOAT4 else a / b
     return _checkfloat(t, r, math.isinf(a) or math.isinf(b), a == 0.0)
 
 
