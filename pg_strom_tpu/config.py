@@ -72,6 +72,10 @@ class _Config:
     # fully fused Pallas grouped aggregation (ops/preagg_fused.py): builds
     # the limb matrix AND the one-hot in VMEM — the default TPU path
     use_fused_preagg: bool = True
+    # v2 raw-plane kernel (ops/preagg_fused2.py): statistics-driven, reads
+    # raw storage planes and derives mask/buckets/limbs in VMEM — measured
+    # 2.4x v1 on the flagship shape; falls back to v1 outside its envelope
+    use_fused_preagg2: bool = True
     # run the fused kernel in Pallas interpret mode on the CPU backend
     # (tests); off by default — interpret mode is slow
     force_fused_preagg_cpu: bool = False

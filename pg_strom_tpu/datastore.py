@@ -170,6 +170,112 @@ def next_column_uid() -> int:
     return next(_COL_UID)
 
 
+# ---------------------------------------------------------------------------
+# column statistics — the ANALYZE analog.
+#
+# The reference leans on PostgreSQL's pg_statistic for its cost model
+# (cost_gpuhashjoin/gpupreagg consume baserel rows/selectivity the DBMS
+# computed).  This engine owns its datastore, so statistics are exact where
+# cheap (min/max/null_count: one vectorized pass) and sampled where not
+# (ndistinct: the Duj1 / Haas-Stokes estimator PostgreSQL's ANALYZE uses).
+# Consumers: plan/cost.py (group-count and join-selectivity estimates) and
+# the fused preagg kernel (range-compressed integer limbs: a column whose
+# [min, max] span fits fewer 8-bit limbs builds a narrower V matrix).
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ColumnStats:
+    nrows: int
+    null_count: int
+    min_val: Any = None          # python int/float over valid rows
+    max_val: Any = None
+    ndistinct: float | None = None   # distinct non-null values (maybe est.)
+    exact_ndistinct: bool = False
+    has_nan: bool = False        # float lanes: NaN present among valid rows
+
+    @property
+    def n_valid(self) -> int:
+        return self.nrows - self.null_count
+
+
+_NDISTINCT_EXACT_MAX = 1 << 22   # np.unique up to 4M rows (~100ms)
+_NDISTINCT_SAMPLE = 1 << 16
+
+
+def _estimate_ndistinct(vals: np.ndarray, uid: int) -> tuple[float, bool]:
+    """Distinct-count estimate: exact for small columns, else the Duj1
+    (Haas–Stokes) estimator over a uniform sample — the same estimator
+    PostgreSQL ANALYZE applies (analyze.c compute_distinct_stats)."""
+    n_total = len(vals)
+    if n_total <= _NDISTINCT_EXACT_MAX:
+        return float(len(np.unique(vals))), True
+    rng = np.random.default_rng(uid & 0xFFFFFFFF)   # deterministic per version
+    # with-replacement draw: choice(replace=False) materializes an O(N)
+    # permutation; at 64k of many millions the difference is negligible
+    idx = rng.integers(0, n_total, size=_NDISTINCT_SAMPLE)
+    sample = vals[idx]
+    uniq, counts = np.unique(sample, return_counts=True)
+    d = len(uniq)
+    f1 = int((counts == 1).sum())
+    n = len(sample)
+    if f1 == n:
+        # every sampled value unique: assume the column is (nearly) unique
+        return float(n_total), False
+    # Duj1: d / (1 - f1/n + f1/N * ...) — PostgreSQL's form:
+    #   stadistinct = n*d / (n - f1 + f1*n/N)
+    denom = n - f1 + f1 * (n / n_total)
+    est = n * d / max(denom, 1e-9)
+    return float(min(max(est, d), n_total)), False
+
+
+def column_stats(col: Column) -> ColumnStats:
+    """Lazy per-column statistics, cached on the Column (columns are
+    immutable; a mutated column gets a fresh object/uid, dropping the
+    cache)."""
+    st = getattr(col, "_stats_store", None)
+    if st is not None:
+        return st
+    n = len(col.data)
+    nulls = int(n - np.count_nonzero(col.valid))
+    mn = mx = None
+    nd = None
+    exact = False
+    has_nan = False
+    t = col.type
+    if n - nulls > 0 and t is not T.NUMERIC:
+        vals = col.data[col.valid] if nulls else col.data
+        if t in (T.FLOAT4, T.FLOAT8):
+            nanmask = np.isnan(vals)
+            has_nan = bool(nanmask.any())
+            finite = vals[~nanmask] if has_nan else vals
+            if len(finite):
+                mn = float(finite.min())
+                mx = float(finite.max())
+        elif t is T.BOOL:
+            mn = int(vals.min())
+            mx = int(vals.max())
+        else:
+            mn = int(vals.min())
+            mx = int(vals.max())
+        if t in (T.TEXT, T.BPCHAR) and col.dictionary is not None:
+            nd, exact = float(len(col.dictionary)), True
+        else:
+            nd, exact = _estimate_ndistinct(vals, col.uid)
+    elif n - nulls > 0 and t is T.NUMERIC:
+        # distinct of (mantissa, exponent) pairs via a 64-bit mix (display
+        # scale does not affect equality; hash collisions are negligible
+        # for an estimate)
+        with np.errstate(over="ignore"):
+            vals = (col.data[col.valid].astype(np.int64)
+                    * np.int64(-7046029254386353131)
+                    + col.num_exp[col.valid].astype(np.int64))
+        nd, exact = _estimate_ndistinct(vals, col.uid)
+    st = ColumnStats(nrows=n, null_count=nulls, min_val=mn, max_val=mx,
+                     ndistinct=nd, exact_ndistinct=exact, has_nan=has_nan)
+    col._stats_store = st
+    return st
+
+
 @dataclasses.dataclass
 class Table:
     """Host table: ordered named columns, equal length."""

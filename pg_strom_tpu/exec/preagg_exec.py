@@ -34,20 +34,38 @@ from ..utils.perfmon import Perfmon
 from ..utils.devprog import tiered_capacity
 
 _JIT_CACHE: dict[Any, Any] = {}
+_SPLIT_FN = None
+
+
+def _i64_split_jit():
+    """Tiny device program splitting a resident i64 plane into u32 halves
+    (the v2 kernel's Mosaic-legal view of 64-bit lanes)."""
+    global _SPLIT_FN
+    if _SPLIT_FN is None:
+        import jax.numpy as jnp
+
+        def s(d):
+            u = d.astype(jnp.uint64)
+            return ((u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                    (u >> jnp.uint64(32)).astype(jnp.uint32))
+        _SPLIT_FN = jax.jit(s)
+    return _SPLIT_FN
 
 
 def _plan_key(schema: Sequence[ColMeta], group_exprs, aggs, pred, G, cap,
-              strategy):
+              strategy, v2sig=None):
     ssig = tuple((m.name, m.type, m.dict_id) for m in schema)
-    return (ssig, tuple(group_exprs), tuple(aggs), pred, G, cap, strategy)
+    return (ssig, tuple(group_exprs), tuple(aggs), pred, G, cap, strategy,
+            v2sig)
 
 
-def _get_jitted(schema, group_exprs, aggs, pred, G, cap, strategy="scatter"):
-    key = _plan_key(schema, group_exprs, aggs, pred, G, cap, strategy)
+def _get_jitted(schema, group_exprs, aggs, pred, G, cap, strategy="scatter",
+                v2sig=None):
+    key = _plan_key(schema, group_exprs, aggs, pred, G, cap, strategy, v2sig)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(build_preagg_fn(schema, group_exprs, aggs, pred, G,
-                                     strategy))
+                                     strategy, v2sig=v2sig))
         _JIT_CACHE[key] = fn
     return fn
 
@@ -130,6 +148,7 @@ class PreAggExecutor:
         # debug_force_tpupreagg overrides it upstream)
         self.offload = offload
         self._gskey: tuple | None = None
+        self._v2 = None
 
     def run(self) -> list[tuple]:
         """Returns rows: (key_values..., agg_values...) in no defined order."""
@@ -189,10 +208,24 @@ class PreAggExecutor:
         self._schema = schema_from_chunk_columns(
             self.layout_names,
             [self.table.columns[nm] for nm in self.layout_names])
+        # v2 raw-plane kernel (ops/preagg_fused2.py): dense single-key plans
+        # whose shape fits the stats-driven envelope skip the XLA encode
+        # pass entirely — measured 2.4x the v1 fused kernel on v5e
+        self._v2 = None
+        if (self._strategy == "mxu_dense" and fused_on
+                and config.use_fused_preagg2):
+            from ..ops.preagg_fused2 import derive_v2_plan
+            self._v2 = derive_v2_plan(
+                [self.table.columns[nm] for nm in self.layout_names],
+                self._schema, self.group_exprs, self.aggs, self.pred,
+                max_g=config.max_groups_cap)
+            if self._v2 is not None:
+                G = self._v2.G
         self._G, self._cap = G, cap
         fn = _get_jitted(self._schema, tuple(self.group_exprs),
                          tuple(self.aggs), self.pred, G, cap,
-                         strategy=self._strategy)
+                         strategy=self._strategy,
+                         v2sig=self._v2.sig if self._v2 else None)
         # async program build (opencl_devprog.c analog): when the big-chunk
         # program is still compiling, run THIS query at the small fallback
         # tier and let the build finish in the background
@@ -217,8 +250,13 @@ class PreAggExecutor:
                     self._replay(cc.host_chunk(self.table), states, displays)
                 continue
             with pm.timer("dispatch"):
-                out = pm.device_call("tpupreagg", fn, cc.planes,
-                                     np.int32(cc.nrows), np.uint64(0))
+                if self._v2 is not None:
+                    out = pm.device_call("tpupreagg", fn, cc.planes,
+                                         np.int32(cc.nrows), np.uint64(0),
+                                         self._v2_scal(cc))
+                else:
+                    out = pm.device_call("tpupreagg", fn, cc.planes,
+                                         np.int32(cc.nrows), np.uint64(0))
             pending.append((cc, out))
             if not planes_on_device(cc.planes):
                 streamed += 1
@@ -239,6 +277,33 @@ class PreAggExecutor:
 
     # ------------------------------------------------------------------
 
+    def _v2_scal(self, cc: CachedChunk) -> dict:
+        """Runtime scalars + i64 split planes for one chunk (v2 kernel).
+
+        int64 columns ride as u32 (lo, hi) pairs: split ON DEVICE from the
+        resident plane (one pass over HBM, cached in the tcache aux space
+        per column version/chunk), or host-side for streamed chunks so the
+        tunnel only uploads the pair once."""
+        plan = self._v2
+        split = {}
+        for idx in plan.split_cols:
+            nm = self.layout_names[idx]
+            col = self.table.columns[nm]
+            key = ("i64split", col.uid, cc.capacity, cc.start)
+            aux = TCACHE.get_aux(key, self.perfmon)
+            if aux is None:
+                d = cc.planes[idx][0]
+                if isinstance(d, jax.Array):
+                    aux = _i64_split_jit()(d)
+                    TCACHE.put_aux(key, aux, self.table.name, [col])
+                else:
+                    u = d.view(np.uint64)
+                    aux = ((u & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                           (u >> np.uint64(32)).astype(np.uint32))
+            split[idx] = aux
+        return {"i": plan.scal_i, "u": plan.scal_u, "f4sc": plan.f4sc,
+                "f4e": plan.f4e, "split": split}
+
     def _shape_args(self, cap: int) -> tuple:
         """ShapeDtypeStruct pytree matching a cap-sized fn(...) call, for
         AOT background builds (utils/devprog.tiered_capacity)."""
@@ -249,8 +314,20 @@ class PreAggExecutor:
             tuple(jax.ShapeDtypeStruct((cap,), p.dtype)
                   for p in planes_of_column(probe.columns[nm]))
             for nm in self.layout_names)
-        return (shapes, jax.ShapeDtypeStruct((), np.int32),
+        args = (shapes, jax.ShapeDtypeStruct((), np.int32),
                 jax.ShapeDtypeStruct((), np.uint64))
+        if self._v2 is not None:
+            p = self._v2
+            args += ({
+                "i": jax.ShapeDtypeStruct(p.scal_i.shape, np.int32),
+                "u": jax.ShapeDtypeStruct(p.scal_u.shape, np.uint32),
+                "f4sc": jax.ShapeDtypeStruct(p.f4sc.shape, np.float32),
+                "f4e": jax.ShapeDtypeStruct(p.f4e.shape, np.int32),
+                "split": {i: (jax.ShapeDtypeStruct((cap,), np.uint32),
+                              jax.ShapeDtypeStruct((cap,), np.uint32))
+                          for i in p.split_cols},
+            },)
+        return args
 
     def _key_metas(self) -> list[ColMeta | None]:
         metas = []
@@ -308,7 +385,10 @@ class PreAggExecutor:
                 collided, overflow = mxu_absorb(
                     out, self.group_exprs, self.aggs, key_metas, states,
                     displays, merge_partials, extract_partials,
-                    canon_group_key, dense_key=cur_strategy == "mxu_dense")
+                    canon_group_key, dense_key=cur_strategy == "mxu_dense",
+                    recipes=(self._v2.recipes
+                             if self._v2 is not None
+                             and cur_strategy == "mxu_dense" else None))
                 if overflow:
                     continue
                 if not collided:

@@ -541,8 +541,14 @@ def _slot_minmax(kind: str, a: DVal, ok: jnp.ndarray, seg_id: jnp.ndarray,
 
 def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
                     aggs: Sequence[AggInstance], pred: Optional[Expr],
-                    G: int, strategy: str = "scatter") -> Callable:
+                    G: int, strategy: str = "scatter",
+                    v2sig=None) -> Callable:
     """Build f(cols, nrows, salt) -> chunk partials.
+
+    v2sig (a preagg_fused2.V2Sig from derive_v2_plan): the raw-plane
+    stats-driven kernel replaces the whole lowering+encode+reduce pipeline;
+    the returned f takes a 4th `scal` argument (runtime statistics
+    scalars + i64 split planes) and emits the same mxu output contract.
 
     Grouping strategies:
       scatter — TPU-preferred: hash keys straight into G buckets and
@@ -567,6 +573,10 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
     """
     group_exprs = list(group_exprs)
     aggs = list(aggs)
+
+    if v2sig is not None:
+        from .preagg_fused2 import build_fused2_fn
+        return build_fused2_fn(schema, group_exprs, aggs, pred, G, v2sig)
 
     def f(cols: tuple, nrows, salt):
         n = cols[0][0].shape[0] if cols else 0

@@ -1,0 +1,771 @@
+"""Fused preagg kernel v2: RAW column planes in, everything derived in VMEM.
+
+Round-2 measurement (BASELINE.md truth #9 + tools/probe_v2.py): the v1 fused
+kernel (ops/preagg_fused.py) is VPU-bound on V-build AND pays a whole XLA
+encode pass of HBM traffic writing masked/biased lanes before the kernel
+reads them back.  v2 removes the encode pass: the kernel reads the columns'
+RAW storage planes (the same device-resident planes every other executor
+shares in the tcache) and derives mask / bucket ids / limbs / digits in
+VMEM.  Measured on v5e at the flagship shape (2^26 rows, G=32,
+`SELECT key, sum(x), count(x), sum(y) WHERE x > .25 GROUP BY key`):
+11.36 ms vs 26.94 ms for v1 — 2.4x, bit-exact.
+
+What makes it possible:
+
+* **Column statistics as plan parameters** (datastore.column_stats — exact
+  min/max per immutable column version).  Integer sums encode v' = v - min:
+  the limb count shrinks to ceil(bits(max-min)/8) (5 limbs for a 40-bit
+  range instead of 8 + bias handling), extraction adds min*okcnt back in
+  exact host big-int arithmetic, and overflow is IMPOSSIBLE (the limb sums
+  reconstruct the true sum with no modular wrap), so the sum_i shadow lane
+  disappears.  The float4 digit-window anchor comes from the column max
+  (math.frexp — exact), not a per-chunk device reduction.
+* **In-kernel predicate evaluation** for kernel-safe predicates
+  (comparisons over 32-bit lanes with PostgreSQL NaN semantics, AND/OR/NOT
+  with Kleene 3VL, NULL tests) — the WHERE clause runs on the VMEM tile.
+* **int64 lanes ride as u32 (lo, hi) pairs** (Mosaic has no 64-bit vector
+  ops): the executor splits the resident i64 plane once per chunk on
+  device (cached in the tcache aux space) and passes the halves as extra
+  inputs; subtraction of the 64-bit min happens in-kernel with explicit
+  borrow arithmetic.
+
+Eligibility is deliberately narrow (single dense 32-bit-lane group key;
+plain-column agg args; kinds nrows/count/sum_i/sumsq_i/sum_f(float4);
+kernel-safe or absent predicate) — everything else falls back to the v1
+fused kernel or the XLA MXU path unchanged.  The output contract matches
+the mxu layout (mxu_sums/mxu_fsums/mxu_f4exps + dense_* fields) so
+mxu_absorb / mxu_extract_slot consume it with v2-shaped recipes.
+
+Reference parity: gpupreagg preparation+reduction in one pass
+(opencl_gpupreagg.h:380-615) with the qual evaluated in the same kernel
+(gpupreagg_qual_eval, gpupreagg.c:1181-1943).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..sqltypes import T
+from ..expr.ir import Expr, ColumnRef, Const, FuncExpr, BoolExpr, NullTest
+from .preagg_mxu import _SlotRecipe, F4_LIMBS
+
+LANES = 128
+FLUSH_ROWS = 1 << 16
+MAX_TILE = 32768
+P = 8
+
+# storage lanes the kernel can read directly as (8, T4) blocks
+_I32_LANE_TYPES = (T.INT4, T.DATE, T.TEXT, T.BPCHAR)
+_KEY_TYPES = (T.INT4, T.DATE, T.TEXT, T.BPCHAR, T.BOOL)
+
+
+# ---------------------------------------------------------------------------
+# plan derivation (executor side; consumes column statistics)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class V2Sig:
+    """Static kernel signature — hashable, part of the jit plan key.
+    Carries structure only (op shapes / limb counts), never data values
+    (mins/scales ride as runtime scalars so programs survive data
+    versions)."""
+    ops: tuple                   # kernel ops, see _build_kernel
+    inputs: tuple                # (schema_idx, plane) plane in data/valid/lo/hi
+    ni: int                      # i32 scalar count (after nrows at [0])
+    nu: int                      # u32 scalar count
+    nf4: int
+    ncols: int                   # physical kernel columns
+    S: int                       # recipe (mxu_sums) width
+    int_map: tuple               # (recipe_col, phys_col, mult)
+    shadow_map: tuple            # (recipe_shadow_col, phys_col)
+    rng: int                     # dense key range; G buckets >= rng + 2
+    has_pred: bool
+
+
+@dataclasses.dataclass
+class V2Plan:
+    sig: V2Sig
+    G: int
+    kmin: int
+    recipes: list                # per-agg {kind: _SlotRecipe}
+    scal_i: np.ndarray           # (1, ni) int32  [0]=placeholder for nrows
+    scal_u: np.ndarray           # (1, max(nu,1)) uint32
+    f4sc: np.ndarray             # (2, max(nf4,1)) float32 two-step scales
+    f4e: np.ndarray              # (max(nf4,1),) int32 window exponents
+    split_cols: tuple            # schema idxs needing i64 (lo[,hi]) planes
+    pred: Optional[Expr]
+
+
+def _bits(x: int) -> int:
+    return max(int(x).bit_length(), 1)
+
+
+def _wrap_i32(v: int) -> int:
+    """Two's-complement wrap of a python int into the int32 value range
+    (the kernel subtracts in i32 where wraparound is the point)."""
+    return ((int(v) & 0xFFFFFFFF) ^ 0x80000000) - 0x80000000
+
+
+def _pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p <<= 1
+    return p
+
+
+_CMP_TAGS = {"=": "eq", "<>": "ne", "<": "lt", "<=": "le",
+             ">": "gt", ">=": "ge"}
+_PRED_OK_TYPES = (T.INT4, T.DATE, T.FLOAT4, T.BOOL)
+
+
+def _pred_kernel_safe(e: Optional[Expr], schema) -> bool:
+    """True when the predicate lowers to Mosaic-legal elementwise ops on
+    32-bit lanes: comparisons (col vs const / col vs col, matching lane
+    families), AND/OR/NOT, IS [NOT] NULL, bare bool columns/consts."""
+    if e is None:
+        return True
+
+    def leaf_ok(a: Expr) -> bool:
+        if isinstance(a, ColumnRef):
+            return a.type in _PRED_OK_TYPES
+        if isinstance(a, Const):
+            return a.type in (T.INT4, T.INT2, T.INT8, T.DATE, T.FLOAT4,
+                              T.FLOAT8, T.BOOL) and a.value is not None
+        return False
+
+    def ok(x: Expr) -> bool:
+        if isinstance(x, BoolExpr):
+            return all(ok(a) for a in x.args)
+        if isinstance(x, NullTest):
+            return isinstance(x.arg, ColumnRef)
+        if isinstance(x, ColumnRef):
+            return x.type is T.BOOL
+        if isinstance(x, Const):
+            return x.type is T.BOOL
+        if isinstance(x, FuncExpr):
+            op = x.fname.split("::", 1)[0]
+            if op not in _CMP_TAGS or len(x.args) != 2:
+                return False
+            a, b = x.args
+            if not (leaf_ok(a) and leaf_ok(b)):
+                return False
+            ts = {s.type for s in (a, b) if isinstance(s, ColumnRef)}
+            if not ts:
+                return False               # const-vs-const: let v1 fold it
+            # int consts against float columns (and vice versa) are fine —
+            # the const is materialized in the column's compare domain at
+            # trace time; int8 consts must fit the i32/f32 compare exactly
+            for s in (a, b):
+                if isinstance(s, Const) and s.type in (T.INT8, T.INT2,
+                                                       T.INT4, T.DATE):
+                    v = int(s.value)
+                    if T.FLOAT4 in ts:
+                        if float(np.float32(v)) != v:
+                            return False
+                    elif not (-(1 << 31) <= v < (1 << 31)):
+                        return False
+                if isinstance(s, Const) and s.type in (T.FLOAT4, T.FLOAT8):
+                    if T.FLOAT4 in ts and s.type is T.FLOAT8:
+                        # f8 const vs f4 column: PG compares in f8; only a
+                        # const exactly representable in f32 keeps the f32
+                        # compare faithful
+                        if not (math.isnan(float(s.value))
+                                or float(np.float32(s.value))
+                                == float(s.value)):
+                            return False
+                    if ts - {T.FLOAT4} and T.FLOAT4 not in ts:
+                        return False       # float const vs int column
+            return True
+        return False
+
+    return ok(e)
+
+
+def v2_supported_kinds(inst, a_t) -> bool:
+    for kind in inst.slots:
+        if kind in ("nrows", "count"):
+            continue
+        if kind == "sum_i" and a_t in (T.INT4, T.INT8):
+            continue
+        if kind == "sumsq_i" and a_t is T.INT4:
+            continue
+        if kind == "sum_f" and a_t is T.FLOAT4:
+            continue
+        return False
+    return True
+
+
+def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
+                   pred: Optional[Expr], max_g: int) -> Optional[V2Plan]:
+    """Build the v2 plan from real column statistics, or None when the
+    query shape is outside v2's envelope (caller then uses the v1 path).
+
+    columns: datastore.Column per schema position (stats source)."""
+    from ..datastore import column_stats
+
+    if len(group_exprs) != 1 or not isinstance(group_exprs[0], ColumnRef):
+        return None
+    key = group_exprs[0]
+    if key.type not in _KEY_TYPES or key.type is T.BOOL:
+        return None
+    kcol = columns[key.index]
+    if kcol.data.dtype != np.int32:
+        return None
+    kst = column_stats(kcol)
+    if kst.n_valid == 0:
+        kmin, rng = 0, 0
+    else:
+        kmin, rng = int(kst.min_val), int(kst.max_val) - int(kst.min_val)
+    if rng + 2 > max_g:
+        return None                        # sparse key: v1 ladder handles it
+    if not _pred_kernel_safe(pred, schema):
+        return None
+
+    ops: list = []
+    inputs: list = []
+    in_ix: dict = {}
+    # i32 scalar vector layout AT THE KERNEL: [nrows, kmin, user...].
+    # scal_i here holds [kmin, user...]; the wrapper prepends nrows.
+    scal_i: list = [_wrap_i32(kmin)]
+    scal_u: list = []
+    f4sc: list = []
+    f4e: list = []
+    split_cols: list = []
+    int_map: list = []
+    shadow_map: list = []
+    col = 0
+    recipes: list = []
+    S = 1                                  # recipe col 0 = bucket row count
+
+    def get_in(idx: int, plane: str) -> int:
+        k = (idx, plane)
+        if k not in in_ix:
+            in_ix[k] = len(inputs)
+            inputs.append(k)
+        return in_ix[k]
+
+    def emit(op, width) -> int:
+        nonlocal col
+        ops.append(op)
+        c = col
+        col += width
+        return c
+
+    # register key + predicate column planes as kernel inputs (the ops walk
+    # below only registers agg-arg planes)
+    get_in(key.index, "data")
+    get_in(key.index, "valid")
+    for node in ([pred] if pred is not None else []):
+        stack = [node]
+        while stack:
+            x = stack.pop()
+            if isinstance(x, ColumnRef):
+                get_in(x.index, "data")
+                get_in(x.index, "valid")
+            for ch in getattr(x, "children", lambda: ())():
+                stack.append(ch)
+
+    # physical col 0: the mask column (recipe col 0 and every nrows slot)
+    int_map.append((0, emit(("mask",), 1), 1))
+
+    for inst in aggs:
+        a = inst.args[0] if inst.args else None
+        if a is not None and not isinstance(a, ColumnRef):
+            return None
+        a_t = a.type if a is not None else None
+        if not v2_supported_kinds(inst, a_t):
+            return None
+        acol = columns[a.index] if a is not None else None
+        ast = column_stats(acol) if acol is not None else None
+        d: dict = {}
+        cnt_col = None
+
+        def cnt_phys() -> int:
+            nonlocal cnt_col
+            if cnt_col is None:
+                vin = get_in(a.index, "valid")
+                cnt_col = emit(("cnt", vin), 1)
+            return cnt_col
+
+        for kind in inst.slots:
+            if kind == "nrows":
+                d[kind] = _SlotRecipe(kind, [0])   # maps onto recipe col 0
+            elif kind == "count":
+                r = _SlotRecipe(kind, [S]); S += 1
+                int_map.append((r.limbs[0], cnt_phys(), 1))
+                d[kind] = r
+            elif kind == "sum_i":
+                if ast.n_valid == 0:
+                    amin, arng = 0, 0
+                else:
+                    amin = int(ast.min_val)
+                    arng = int(ast.max_val) - amin
+                nl = max(-(-_bits(arng) // 8), 1) if arng else 1
+                if a_t is T.INT4:
+                    din = get_in(a.index, "data")
+                    si = len(scal_i)
+                    scal_i.append(_wrap_i32(amin))
+                    c = emit(("sum_i4", din, get_in(a.index, "valid"),
+                              nl, si), nl)
+                else:                      # INT8 via u32 pair planes
+                    lin = get_in(a.index, "lo")
+                    hin = get_in(a.index, "hi") if nl > 4 else -1
+                    if a.index not in split_cols:
+                        split_cols.append(a.index)
+                    su = len(scal_u)
+                    um = amin & ((1 << 64) - 1)
+                    scal_u += [np.uint32(um & 0xFFFFFFFF),
+                               np.uint32(um >> 32)]
+                    c = emit(("sum_i8", lin, hin,
+                              get_in(a.index, "valid"), nl, su), nl)
+                r = _SlotRecipe(kind, list(range(S, S + nl)),
+                                okcnt=-2, bias_value=amin)
+                # okcnt rides the shared count column (recipe position)
+                okr = _SlotRecipe("count", [S + nl])
+                S += nl + 1
+                for j in range(nl):
+                    int_map.append((r.limbs[j], c + j, 1))
+                int_map.append((okr.limbs[0], cnt_phys(), 1))
+                r.okcnt = okr.limbs[0]
+                d[kind] = r
+            elif kind == "sumsq_i":
+                maxabs = max(abs(int(ast.min_val or 0)),
+                             abs(int(ast.max_val or 0)))
+                din = get_in(a.index, "data")
+                if maxabs < (1 << 16):
+                    nl = max(-(-(2 * _bits(maxabs)) // 8), 1)
+                    c = emit(("sumsq4", din, get_in(a.index, "valid"), nl),
+                             nl)
+                    r = _SlotRecipe(kind, list(range(S, S + nl)))
+                    S += nl
+                    for j in range(nl):
+                        int_map.append((r.limbs[j], c + j, 1))
+                else:
+                    # |v| = a*2^16 + b: v^2 = a^2*2^32 + ab*2^17 + b^2
+                    c = emit(("sumsq4_big", din,
+                              get_in(a.index, "valid")), 12)
+                    r = _SlotRecipe(kind, list(range(S, S + 8)))
+                    S += 8
+                    for j in range(4):
+                        int_map.append((r.limbs[j], c + j, 1))
+                    for j in range(4):
+                        int_map.append((r.limbs[j + 2], c + 4 + j, 2))
+                    for j in range(4):
+                        int_map.append((r.limbs[j + 4], c + 8 + j, 1))
+                d[kind] = r
+            else:                          # sum_f on FLOAT4
+                din = get_in(a.index, "data")
+                vin = get_in(a.index, "valid")
+                nf = len(f4sc)
+                mx = float(ast.max_val) if ast.min_val is not None else 0.0
+                mx = max(mx, abs(float(ast.min_val or 0.0)))
+                if mx > 0.0 and math.isfinite(mx):
+                    _, E = math.frexp(mx)  # mx * 2^-E in [0.5, 1)
+                else:
+                    E = 0
+                e1 = E - E // 2
+                f4sc.append((np.float32(2.0 ** (-e1)),
+                             np.float32(2.0 ** (-(E - e1)))))
+                f4e.append(np.int32(E))
+                c = emit(("f4s", din, vin, nf), F4_LIMBS)
+                r = _SlotRecipe(kind, list(range(S, S + F4_LIMBS)),
+                                shadow=S + F4_LIMBS, f4_slot_no=nf)
+                S += F4_LIMBS + 1
+                for j in range(F4_LIMBS):
+                    int_map.append((r.limbs[j], c + j, 1))
+                shadow_map.append((r.shadow, emit(("fabs", din, vin), 1)))
+                d[kind] = r
+        recipes.append(d)
+
+    if col > LANES:
+        return None
+    shadow_map.sort(key=lambda p: p[0])
+    sig = V2Sig(ops=tuple(ops), inputs=tuple(inputs),
+                ni=len(scal_i) + 1,       # +1: nrows prepended per call
+                nu=max(len(scal_u), 1), nf4=len(f4sc), ncols=col, S=S,
+                int_map=tuple(int_map), shadow_map=tuple(shadow_map),
+                rng=rng, has_pred=pred is not None)
+    G = max(_pow2(rng + 2), 8)
+    return V2Plan(
+        sig=sig, G=G, kmin=kmin, recipes=recipes,
+        scal_i=np.asarray([scal_i], np.int32),
+        scal_u=np.asarray([scal_u or [0]], np.uint32),
+        f4sc=np.asarray(list(zip(*f4sc)) if f4sc else [[0.0], [0.0]],
+                        np.float32),
+        f4e=np.asarray(f4e or [0], np.int32),
+        split_cols=tuple(split_cols), pred=pred)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel predicate mini-lowerer (PG 3-valued logic + float NaN order)
+# ---------------------------------------------------------------------------
+
+def _kpred(e: Expr, rd_col, key_schema) -> tuple:
+    """Lower a kernel-safe predicate over (8, T4) blocks -> (data, valid)
+    bool arrays.  Mirrors expr/lower_jax._cmp semantics for the supported
+    subset (comparisons with PG NaN ordering, Kleene AND/OR/NOT, NULL
+    tests)."""
+    if isinstance(e, BoolExpr):
+        subs = [_kpred(a, rd_col, key_schema) for a in e.args]
+        if e.op == "not":
+            d, v = subs[0]
+            return ~d, v
+        d, v = subs[0]
+        for d2, v2 in subs[1:]:
+            if e.op == "and":
+                nv = (v & v2) | (v & ~d) | (v2 & ~d2)
+                d = d & d2
+            else:
+                nv = (v & v2) | (v & d) | (v2 & d2)
+                d = d | d2
+            v = nv
+        return d, v
+    if isinstance(e, NullTest):
+        _, cv = rd_col(e.arg)
+        r = ~cv if e.isnull else cv
+        return r, jnp.ones_like(r)
+    if isinstance(e, ColumnRef):               # bare bool column
+        cd, cv = rd_col(e)
+        return cd.astype(jnp.bool_), cv
+    assert isinstance(e, FuncExpr)
+    tag = _CMP_TAGS[e.fname.split("::", 1)[0]]
+    a, b = e.args
+    is_float = any(isinstance(s, ColumnRef) and s.type is T.FLOAT4
+                   for s in (a, b))
+
+    def side(s):
+        if isinstance(s, ColumnRef):
+            d, v = rd_col(s)
+            if is_float and s.type is not T.FLOAT4:
+                d = d.astype(jnp.float32)
+            elif not is_float:
+                d = d.astype(jnp.int32)
+            return d, v
+        val = s.value
+        if is_float:
+            return jnp.float32(float(val)), None
+        return jnp.int32(int(val)), None
+
+    (xd, xv), (yd, yv) = side(a), side(b)
+    valid = None
+    for v in (xv, yv):
+        if v is not None:
+            valid = v if valid is None else (valid & v)
+    if is_float:
+        xn, yn = jnp.isnan(xd + jnp.float32(0.0)), jnp.isnan(
+            yd + jnp.float32(0.0))
+        lt = jnp.where(xn | yn, (~xn) & yn, xd < yd)
+        eq = jnp.where(xn | yn, xn & yn, xd == yd)
+        d = {"eq": eq, "ne": ~eq, "lt": lt, "le": lt | eq,
+             "gt": ~(lt | eq), "ge": ~lt}[tag]
+    else:
+        d = {"eq": xd == yd, "ne": xd != yd, "lt": xd < yd,
+             "le": xd <= yd, "gt": xd > yd, "ge": xd >= yd}[tag]
+    if d.ndim == 0:                        # const vs const guard (unused)
+        d = jnp.broadcast_to(d, valid.shape)
+    return d, (valid if valid is not None else jnp.ones_like(d))
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=128)
+def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
+                  pred_key: Any, N: int, G: int, TILE: int,
+                  interpret: bool):
+    """sig.ops drive the V-matrix build; pred_key is the predicate expr
+    (hashable IR) lowered in-kernel, or None."""
+    T4 = TILE // P
+    GP = G * P
+    K = sig.ncols
+    nsteps = N // TILE
+    flush_every = max(FLUSH_ROWS // TILE, 1)
+    SK = -(-K * P // LANES)
+    SKL = SK * LANES
+    n_in = len(sig.inputs)
+
+    def rep(x, k):
+        return x if k == 1 else jnp.concatenate([x] * k, axis=0)
+
+    def limb_iota(k, mod=None):
+        it = (jax.lax.broadcasted_iota(jnp.int32, (k * P, T4), 0)
+              // jnp.int32(P))
+        return it if mod is None else it % jnp.int32(mod)
+
+    def u_limbs(u, nl, base=0):
+        """nl 8-bit limb rows of a u32 block, limbs [base, base+nl)."""
+        r = rep(u, nl)
+        sh = (limb_iota(nl) + jnp.int32(base)) * jnp.int32(8)
+        return (((r >> sh.astype(jnp.uint32)) & jnp.uint32(0xFF))
+                .astype(jnp.int32).astype(jnp.bfloat16))
+
+    def kernel(*refs):
+        in_refs = refs[:n_in]
+        si_ref, su_ref, sc_ref = refs[n_in:n_in + 3]
+        hi_ref, lo_ref, sh_ref, fail_ref = refs[n_in + 3:n_in + 7]
+        acc, hi_acc, lo_acc, sh_acc, fail_acc = refs[n_in + 7:]
+        step = pl.program_id(0)
+
+        @pl.when(step == jnp.int32(0))
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+            hi_acc[:] = jnp.zeros_like(hi_acc)
+            lo_acc[:] = jnp.zeros_like(lo_acc)
+            sh_acc[:] = jnp.zeros_like(sh_acc)
+            fail_acc[0, 0] = jnp.int32(0)
+
+        def rd(i):
+            return in_refs[i][:]
+
+        nrows = si_ref[0, 0]
+        kmin = si_ref[0, 1]
+        rng = jnp.int32(sig.rng)
+        live = ((step * jnp.int32(TILE)
+                 + jax.lax.broadcasted_iota(jnp.int32, (P, T4), 0)
+                 * jnp.int32(T4)
+                 + jax.lax.broadcasted_iota(jnp.int32, (P, T4), 1)) < nrows)
+
+        def rd_col(cref: ColumnRef):
+            di = _in_index(sig, cref.index, "data")
+            vi = _in_index(sig, cref.index, "valid")
+            return rd(di), rd(vi)
+
+        if pred_key is not None:
+            pd, pv = _kpred(pred_key, rd_col, None)
+            mask = live & pd & pv
+        else:
+            mask = live
+        kd = rd(key_in_d)
+        kv = rd(key_in_v)
+        okk = kv & mask
+        segk = kd - kmin
+        bad = okk & ((segk < jnp.int32(0)) | (segk > rng))
+        seg = jnp.where(mask,
+                        jnp.where(okk,
+                                  jnp.clip(segk, jnp.int32(0), rng),
+                                  rng + jnp.int32(1)),
+                        jnp.int32(G))
+        fail_acc[0, 0] = fail_acc[0, 0] | jnp.max(bad.astype(jnp.int32))
+
+        rows: list = []
+        for op in sig.ops:
+            tag = op[0]
+            if tag == "mask":
+                rows.append(mask.astype(jnp.bfloat16))
+            elif tag == "cnt":
+                rows.append((rd(op[1]) & mask).astype(jnp.bfloat16))
+            elif tag == "sum_i4":
+                _, din, vin, nl, si = op
+                ok = rd(vin) & mask
+                # scal layout [nrows, kmin=scal_i[0], ...]: user index si
+                # lands at kernel offset si + 1
+                u = jax.lax.bitcast_convert_type(rd(din) - si_ref[0, si + 1],
+                                                 jnp.uint32)
+                u = jnp.where(ok, u, jnp.uint32(0))
+                rows.append(u_limbs(u, nl))
+            elif tag == "sum_i8":
+                _, lin, hin, vin, nl, su = op
+                ok = rd(vin) & mask
+                mlo = su_ref[0, su]
+                lo = rd(lin) - mlo
+                if nl <= 4:
+                    lo = jnp.where(ok, lo, jnp.uint32(0))
+                    rows.append(u_limbs(lo, nl))
+                else:
+                    borrow = (rd(lin) < mlo).astype(jnp.uint32)
+                    hi = rd(hin) - su_ref[0, su + 1] - borrow
+                    lo = jnp.where(ok, lo, jnp.uint32(0))
+                    hi = jnp.where(ok, hi, jnp.uint32(0))
+                    rows.append(jnp.concatenate(
+                        [u_limbs(lo, 4), u_limbs(hi, nl - 4)], axis=0))
+            elif tag in ("sumsq4", "sumsq4_big"):
+                din, vin = op[1], op[2]
+                ok = rd(vin) & mask
+                d = rd(din)
+                ub = jax.lax.bitcast_convert_type(d, jnp.uint32)
+                u = jnp.where(d < jnp.int32(0), jnp.uint32(0) - ub, ub)
+                u = jnp.where(ok, u, jnp.uint32(0))
+                if tag == "sumsq4":
+                    rows.append(u_limbs(u * u, op[3]))
+                else:
+                    a = u >> jnp.uint32(16)
+                    b = u & jnp.uint32(0xFFFF)
+                    for sq in (b * b, a * b, a * a):
+                        rows.append(u_limbs(sq, 4))
+            elif tag == "f4s":
+                din, vin, nf = op[1], op[2], op[3]
+                ok = rd(vin) & mask
+                x = jnp.where(ok, rd(din), jnp.float32(0.0))
+                zero = jnp.float32(0.0)
+                pos = jnp.where(x > zero, x, zero)
+                neg = jnp.where(x < zero, -x, zero)
+                sgn = jnp.where(x < zero, jnp.float32(-1.0),
+                                jnp.float32(1.0))
+                v = ((pos + neg) * sc_ref[0, nf]) * sc_ref[1, nf]
+                assert F4_LIMBS == 9
+                p24 = jnp.float32(1 << 24)
+                ints = []
+                for _ in range(3):
+                    w = v * p24
+                    i_ = jnp.floor(w)
+                    v = w - i_
+                    ints.append(i_.astype(jnp.int32))
+                rows9 = jnp.concatenate([rep(t, 3) for t in reversed(ints)],
+                                        axis=0)
+                shl = limb_iota(9, mod=3) * jnp.int32(8)
+                digits = (rows9 >> shl) & jnp.int32(0xFF)
+                rows.append((digits.astype(jnp.float32) * rep(sgn, 9))
+                            .astype(jnp.bfloat16))
+            elif tag == "fabs":
+                din, vin = op[1], op[2]
+                ok = rd(vin) & mask
+                x = jnp.where(ok, rd(din), jnp.float32(0.0))
+                rows.append(jnp.abs(x).astype(jnp.bfloat16))
+            else:                          # pragma: no cover
+                raise AssertionError(tag)
+        if K * P < SKL:
+            rows.append(jnp.zeros((SKL - K * P, T4), jnp.bfloat16))
+        Vt = jnp.concatenate(rows, axis=0)
+
+        oht = (rep(seg, G) == limb_iota(G)).astype(jnp.bfloat16)
+        for sg in range(-(-GP // LANES)):
+            g0 = sg * LANES
+            h = min(LANES, GP - g0)
+            oh_sg = oht[g0:g0 + h]
+            for sk in range(SK):
+                k0 = sk * LANES
+                acc[g0:g0 + h, k0:k0 + LANES] += jax.lax.dot_general(
+                    oh_sg, Vt[k0:k0 + LANES], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+        @pl.when((step % jnp.int32(flush_every)
+                  == jnp.int32(flush_every - 1))
+                 | (step == jnp.int32(nsteps - 1)))
+        def _():
+            a = acc[:]
+            sh_acc[:] += a
+            t = a.astype(jnp.int32)
+            lo_acc[:] += t & jnp.int32(0xFFF)
+            hi_acc[:] += t >> jnp.int32(12)
+            acc[:] = jnp.zeros_like(acc)
+
+        @pl.when(step == jnp.int32(nsteps - 1))
+        def _():
+            hi_ref[:] = hi_acc[:]
+            lo_ref[:] = lo_acc[:]
+            sh_ref[:] = sh_acc[:]
+            fail_ref[0, 0] = fail_acc[0, 0]
+
+    lane = pl.BlockSpec((P, T4), lambda i: (i, i * 0),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((GP, SKL), lambda i: (i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+
+    def srow(h, w):
+        return pl.BlockSpec((h, w), lambda i: (i * 0, i * 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel, grid=(nsteps,), interpret=interpret,
+        in_specs=[lane] * n_in + [srow(1, sig.ni), srow(1, sig.nu),
+                                  srow(2, max(sig.nf4, 1))],
+        out_specs=(out_spec, out_spec, out_spec,
+                   pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0),
+                                memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((GP, SKL), jnp.int32),
+                   jax.ShapeDtypeStruct((GP, SKL), jnp.int32),
+                   jax.ShapeDtypeStruct((GP, SKL), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((GP, SKL), jnp.float32),
+                        pltpu.VMEM((GP, SKL), jnp.int32),
+                        pltpu.VMEM((GP, SKL), jnp.int32),
+                        pltpu.VMEM((GP, SKL), jnp.float32),
+                        pltpu.SMEM((1, 1), jnp.int32)],
+    )
+
+
+def _in_index(sig: V2Sig, schema_idx: int, plane: str) -> int:
+    return sig.inputs.index((schema_idx, plane))
+
+
+# ---------------------------------------------------------------------------
+# jittable wrapper (XLA side: input gather + epilogue into the mxu layout)
+# ---------------------------------------------------------------------------
+
+def build_fused2_fn(schema, group_exprs, aggs, pred, G: int, sig: V2Sig):
+    """f(cols, nrows, salt, scal) -> mxu-layout output pytree.
+
+    scal: {"i": (1, ni) i32 (slot 0 overwritten by nrows, slot 1 kmin),
+           "u": (1, nu) u32, "f4sc": (2, nf4) f32, "f4e": (nf4,) i32,
+           "split": {schema_idx: (lo, hi) u32 arrays}}."""
+    key = group_exprs[0]
+    interpret = jax.default_backend() == "cpu"
+
+    def f(cols, nrows, salt, scal):
+        n = cols[0][0].shape[0]
+        TILE = min(MAX_TILE, n)
+        T4 = TILE // P
+
+        def plane(idx, which):
+            if which == "data":
+                return cols[idx][0]
+            if which == "valid":
+                return cols[idx][1]
+            return scal["split"][idx][0 if which == "lo" else 1]
+
+        kin = tuple(plane(i, w).reshape(-1, T4) for i, w in sig.inputs)
+        # i32 scalar row: [nrows, kmin, user...] — scal["i"] = [kmin, user...]
+        si = jnp.concatenate(
+            [jnp.asarray(nrows, jnp.int32).reshape(1, 1),
+             jnp.asarray(scal["i"], jnp.int32)], axis=1)
+        kfn = _build_kernel(sig, _in_index(sig, key.index, "data"),
+                            _in_index(sig, key.index, "valid"),
+                            pred, n, G, TILE, interpret)
+        hi, lo, sh, fail = kfn(*kin, si,
+                               jnp.asarray(scal["u"], jnp.uint32),
+                               jnp.asarray(scal["f4sc"], jnp.float32))
+        full = (hi.astype(jnp.int64) << 12) + lo.astype(jnp.int64)
+        SKL = full.shape[1]
+        a4 = full.reshape(G, P, SKL // P, P)
+        ints = jnp.sum(jnp.diagonal(a4, axis1=1, axis2=3), axis=-1)
+        s4 = sh.reshape(G, P, SKL // P, P)
+        sh_g = jnp.sum(jnp.diagonal(s4, axis1=1, axis2=3)
+                       .astype(jnp.float64), axis=-1)
+
+        sums = jnp.zeros((G, sig.S), jnp.int64)
+        by_mult: dict = {}
+        for rc, pc, m in sig.int_map:
+            by_mult.setdefault(m, []).append((rc, pc))
+        for m, pairs in by_mult.items():
+            rcs = np.asarray([p[0] for p in pairs], np.int32)
+            pcs = np.asarray([p[1] for p in pairs], np.int32)
+            sums = sums.at[:, rcs].add(ints[:, pcs] * jnp.int64(m))
+        if sig.shadow_map:
+            pcs = np.asarray([pc for _, pc in sig.shadow_map], np.int32)
+            fsums = sh_g[:, pcs].astype(jnp.float64)
+        else:
+            fsums = jnp.zeros((G, 0), jnp.float64)
+
+        return {
+            "err": jnp.uint8(0),
+            "mxu_sums": sums,
+            "mxu_fsums": fsums,
+            "mxu_f4exps": jnp.asarray(scal["f4e"], jnp.int32),
+            "slots": tuple({} for _ in aggs),
+            "dense_kmin": jnp.asarray(scal["i"], jnp.int32)[0, 0]
+            .astype(jnp.int64),
+            "dense_rng": jnp.int32(sig.rng),
+            "dense_fail": fail[0, 0] > 0,
+        }
+
+    return f

@@ -129,6 +129,10 @@ class _SlotRecipe:
     # residual TAIL (q - f32(q)), each with its own exponent slot
     lo_limbs: list[int] = dataclasses.field(default_factory=list)
     lo_slot_no: int = -1
+    # v2 (stats-driven) integer sums: the device encodes v - bias_value and
+    # extraction adds bias_value * okcnt back in exact host big-int
+    # arithmetic — no modular wrap, no overflow shadow (preagg_fused2.py)
+    bias_value: int | None = None
 
 
 @dataclasses.dataclass
@@ -484,7 +488,7 @@ def mxu_overflow(out, slot_recipes) -> bool:
     spos = {c: i for i, c in enumerate(mxu_shadow_cols(slot_recipes))}
     for d in slot_recipes:
         for kind, r in d.items():
-            if kind == "sum_i" and np.any(
+            if kind == "sum_i" and r.shadow >= 0 and np.any(
                     fsums[:, spos[r.shadow]] > float(1 << 61)):
                 return True
             if kind == "sum_f" and not r.lo_limbs:
@@ -513,6 +517,12 @@ def mxu_extract_slot(r: _SlotRecipe, out, g: int) -> dict:
         return {r.kind: int(sums[g, r.limbs[0]])}
     if r.kind == "sum_i":
         okcnt = int(sums[g, r.okcnt])
+        if r.bias_value is not None:
+            # v2 min-biased encode: the limb sums reconstruct sum(v - min)
+            # with no truncation, so the true sum is exact — no modular
+            # wrap, no shadow guard needed (preagg_fused2.py)
+            return {"sum_i": _limb_int(sums, g, r.limbs)
+                    + okcnt * r.bias_value}
         total = _limb_int(sums, g, r.limbs) - (okcnt << r.bias_bits)
         total &= (1 << 64) - 1               # modular-int64 contract
         if total >= (1 << 63):
@@ -574,17 +584,22 @@ def mxu_dense_groups(out, key_type: T, meta):
 
 def mxu_absorb(out_host, group_exprs, aggs, key_metas, states, displays,
                merge_partials, extract_partials, canon_group_key,
-               dense_key: bool = False):
+               dense_key: bool = False, recipes=None):
     """Merge one fetched MXU-strategy output into (states, displays).
 
     Returns (collision, overflow): collision => executor re-salts / falls
     back to the sort strategy; overflow => host replays the chunk (the
     CpuReCheck contract).  Either way states are untouched on failure.
-    dense_key must match the strategy that produced out_host ('mxu_dense')."""
+    dense_key must match the strategy that produced out_host ('mxu_dense').
+    recipes overrides the layout walk (the v2 stats-driven kernel derives
+    its own slot recipes — preagg_fused2.derive_v2_plan)."""
     key_types = [g.type for g in group_exprs]
     arg_types = [tuple(a.type for a in inst.args) for inst in aggs]
-    keyr, slotr, _ = mxu_recipes(key_types, aggs, arg_types,
-                                 dense_key=dense_key)
+    if recipes is not None:
+        keyr, slotr = [], recipes
+    else:
+        keyr, slotr, _ = mxu_recipes(key_types, aggs, arg_types,
+                                     dense_key=dense_key)
     if dense_key:
         groups = mxu_dense_groups(out_host, key_types[0], key_metas[0])
     else:

@@ -41,6 +41,7 @@ from .binder import Scope, bind_expr, BindError
 from .cost import (
     Cost, cost_seqscan, cost_tpuscan, cost_hashjoin, cost_tpuhashjoin,
     cost_hostagg, cost_tpupreagg, estimate_num_groups, rel_width,
+    eq_join_selectivity,
 )
 
 
@@ -478,6 +479,26 @@ def _plan_costs(rels, shells, sub_plans, per_rel, join_equis, has_outer,
                    "agg": Cost, "final": Cost}
     """
     force = config.debug_force_offload
+
+    # statistics resolver: qualified "alias.col" -> ColumnStats (the
+    # pg_statistic analog; datastore.column_stats computes/caches per
+    # column version).  Subquery aliases have no base columns -> None.
+    from ..datastore import column_stats
+
+    def stats(qname: str):
+        alias, _, col = qname.partition(".")
+        tbl = shells.get(alias)
+        if tbl is None or col == "":
+            return None
+        # base shells store bare column names; aliased views qualified ones
+        c = tbl.columns.get(col) or tbl.columns.get(qname)
+        if c is None:
+            return None
+        try:
+            return column_stats(c)
+        except Exception:
+            return None
+
     dec_scan: dict[str, bool] = {}
     c_scan: dict[str, Cost] = {}
     for alias, _ in rels:
@@ -494,8 +515,8 @@ def _plan_costs(rels, shells, sub_plans, per_rel, join_equis, has_outer,
         quals = per_rel.get(alias, [])
         dev = [q for q in quals if device_expression_supported(q)]
         host = [q for q in quals if not device_expression_supported(q)]
-        ch = cost_seqscan(nrows, width, quals)
-        ct = cost_tpuscan(nrows, width, dev, host)
+        ch = cost_seqscan(nrows, width, quals, stats)
+        ct = cost_tpuscan(nrows, width, dev, host, stats)
         use = (config.enabled and config.enable_tpuscan
                and alias not in sub_plans
                and (force or (bool(dev) and ct.total < ch.total)))
@@ -517,8 +538,17 @@ def _plan_costs(rels, shells, sub_plans, per_rel, join_equis, has_outer,
     for alias, nhc in seq:
         inner = c_scan.get(alias, Cost(0, 0, 1, 32))
         width = cur.width + inner.width
-        ch = cost_hashjoin(cur, inner, nhc, width)
-        ct = cost_tpuhashjoin(cur, [inner], [nhc], width)
+        # equi-join selectivity from real ndistinct (eqjoinsel shape):
+        # product over this inner's clauses of 1/max(nd_l, nd_r)
+        clauses = [cj for cj in join_equis if alias in rels_of(cj)]
+        eq_sel = 1.0
+        for cj in clauses:
+            eq_sel *= eq_join_selectivity(cj, stats)
+        if not clauses:
+            eq_sel = None
+        ch = cost_hashjoin(cur, inner, nhc, width, eq_sel)
+        ct = cost_tpuhashjoin(cur, [inner], [nhc], width,
+                              None if eq_sel is None else [eq_sel])
         use = (config.enabled and config.enable_tpuhashjoin
                and (force or ct.total < ch.total))
         dec_join[alias] = bool(use)
@@ -541,7 +571,7 @@ def _plan_costs(rels, shells, sub_plans, per_rel, join_equis, has_outer,
     c_agg = None
     if has_aggs:
         ngc = len(group_exprs)
-        n_groups = estimate_num_groups(cur.rows, ngc)
+        n_groups = estimate_num_groups(cur.rows, ngc, group_exprs, stats)
         ch = cost_hostagg(cur, n_aggs, ngc, n_groups, out_width)
         ct = cost_tpupreagg(cur, n_aggs, ngc, n_groups, out_width)
         dec_agg = (config.enabled and config.enable_tpupreagg

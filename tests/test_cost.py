@@ -128,3 +128,83 @@ def test_enabled_global_kill_switch(db):
         finally:
             execute("set pg_strom.enabled_global to on", db)
         assert "Tpu" in explain("select k, sum(x) from bigt group by k", db)
+
+
+# ---------------------------------------------------------------------------
+# statistics-driven estimation (the ANALYZE analog, round 3)
+# ---------------------------------------------------------------------------
+
+def _rows_est(txt: str, node: str) -> int:
+    """rows= estimate of the first plan line containing `node`."""
+    import re
+    for line in txt.splitlines():
+        if node in line:
+            m = re.search(r"rows=(\d+)", line)
+            if m:
+                return int(m.group(1))
+    raise AssertionError(f"no rows= on node {node}:\n{txt}")
+
+
+def test_column_stats_basic():
+    from pg_strom_tpu.datastore import column_stats
+    c = column_from_values(T.INT4, [5, 1, None, 9, 1])
+    st = column_stats(c)
+    assert (st.nrows, st.null_count) == (5, 1)
+    assert (st.min_val, st.max_val) == (1, 9)
+    assert st.ndistinct == 3.0 and st.exact_ndistinct
+    # cached: same object back
+    assert column_stats(c) is st
+
+
+def test_column_stats_text_and_float():
+    from pg_strom_tpu.datastore import column_stats
+    c = column_from_values(T.TEXT, ["b", "a", None, "b"])
+    st = column_stats(c)
+    assert st.ndistinct == 2.0 and st.exact_ndistinct
+    f = column_from_values(T.FLOAT8, [1.5, float("nan"), -2.0])
+    stf = column_stats(f)
+    assert stf.has_nan and stf.min_val == -2.0 and stf.max_val == 1.5
+
+
+def test_group_count_estimate_from_stats(db):
+    """High-cardinality GROUP BY prices G with the real ndistinct: bigt.k
+    has 30 distinct values; the Agg row estimate must be ~30, not the
+    stats-less nrows/10 fallback (= 30000)."""
+    with override(debug_force_offload=False, debug_force_tpupreagg=False):
+        r = execute("explain select k, sum(x) from bigt group by k", db)
+    txt = "\n".join(row[0] for row in r.rows)
+    est = _rows_est(txt, "Agg")
+    assert 15 <= est <= 60, txt
+
+
+def test_filter_rows_estimate_within_2x(db):
+    """Range-qual row estimates interpolate on real min/max: x is uniform
+    over [0, 96], so x > 48 keeps ~half the 300k rows."""
+    with override(debug_force_offload=False, debug_force_tpupreagg=False):
+        r = execute("explain select count(*) from bigt where x > 48", db)
+    txt = "\n".join(row[0] for row in r.rows)
+    est = _rows_est(txt, "Scan")
+    true_rows = 300000 * 48 / 97
+    assert true_rows / 2 <= est <= true_rows * 2, txt
+
+
+def test_join_rows_estimate_from_ndistinct(db):
+    """Equi-join selectivity = 1/max(nd): bigt JOIN dim ON k keeps every
+    bigt row (dim.k unique over bigt.k's domain) -> ~300k, not the
+    DEFAULT_EQ_SEL fallback (300000*30*0.005 = 45000)."""
+    with override(debug_force_offload=False, debug_force_tpupreagg=False):
+        r = execute("explain select bigt.k from bigt, dim "
+                    "where bigt.k = dim.k", db)
+    txt = "\n".join(row[0] for row in r.rows)
+    est = _rows_est(txt, "Join")
+    assert 150000 <= est <= 600000, txt
+
+
+def test_eq_selectivity_outside_range(db):
+    """Equality against a constant outside the observed [min,max] prices
+    ~zero selectivity."""
+    with override(debug_force_offload=False, debug_force_tpupreagg=False):
+        r = execute("explain select count(*) from bigt where k = 1000000", db)
+    txt = "\n".join(row[0] for row in r.rows)
+    est = _rows_est(txt, "Scan")
+    assert est <= 5, txt
