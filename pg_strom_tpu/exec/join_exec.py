@@ -272,9 +272,11 @@ class HashJoinExecutor:
         use_dense = bool(ht["dense_ok"])
         dense_fn = None
         if use_dense:
-            # MXU one-hot lookup instead of an XLA gather when the build
-            # keys span the tighter mxu window (ops/mxu_lookup.py)
-            use_mxu = (config.join_mxu_lookup
+            # serial-PK identity build: probe is pure lane arithmetic (no
+            # table access); else MXU one-hot lookup instead of an XLA
+            # gather when the build keys span the mxu window (mxu_lookup.py)
+            use_ident = bool(ht.get("dense_ident", False))
+            use_mxu = (not use_ident and config.join_mxu_lookup
                        and bool(ht.get("dense_m_ok", False)))
             dcap_p = mxu_dense_window(bcap) if use_mxu \
                 else dense_cap_for(bcap)
@@ -282,10 +284,11 @@ class HashJoinExecutor:
                 ("probe_dense",
                  tuple((m.name, m.type, m.dict_id) for m in pschema),
                  tuple(self.probe_keys), self.probe_pred,
-                 dcap_p, pcap, use_mxu, row_bits),
+                 dcap_p, pcap, use_mxu, use_ident, row_bits),
                 lambda: _split_dense(build_probe_dense_fn(
                     pschema, self.probe_keys, dcap_p,
-                    self.probe_pred, use_mxu=use_mxu, row_bits=row_bits)))
+                    self.probe_pred, use_mxu=use_mxu, row_bits=row_bits,
+                    use_ident=use_ident)))
 
         # dispatch all probe chunks, then read results in batched transfers
         # (one round trip per drain instead of 4 per chunk); regrows re-run

@@ -147,6 +147,18 @@ def build_hash_table(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
                 rows, mode="drop")
             cnt = jnp.zeros(dcap, jnp.int32).at[tgt].add(1, mode="drop")
             dense_ok = fits & jnp.all(cnt <= 1)
+            # IDENTITY fast path: build key of row i is exactly kmin + i for
+            # EVERY build row (the serial-PK dim-table shape — reference
+            # testdb.sql t1..t5, and star schemas generally).  Then
+            # slot == build row and occupied slots are exactly [0, nbuild):
+            # the probe needs NO table access at all — pure lane arithmetic
+            # at HBM speed instead of the D-proportional MXU one-hot lookup.
+            live_rows = jnp.arange(n, dtype=jnp.int32) < nrows
+            dense_ident = (dense_ok
+                           & jnp.all(allvalid == live_rows)
+                           & jnp.all(jnp.where(live_rows,
+                                               off == rows.astype(jnp.int64),
+                                               True)))
             # MXU digit-matrix view (ops/mxu_lookup.py): the probe replaces
             # its one XLA gather (~150ms/16M rows — no hardware vector-gather
             # on TPU) with a one-hot MXU contraction (~10-20ms).  Lookup cost
@@ -170,11 +182,13 @@ def build_hash_table(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
             kmin = jnp.int64(0)
             dense_ok = jnp.bool_(False)
             dense_m_ok = jnp.bool_(False)
+            dense_ident = jnp.bool_(False)
             dense_M = jnp.zeros((LANE, _MXU_HPAD_MIN), jnp.bfloat16)
         return {"bucket_start": bucket_start, "order": order,
                 "key_planes": tuple(key_planes),
                 "dense": dense, "kmin": kmin, "dense_ok": dense_ok,
                 "dense_M": dense_M, "dense_m_ok": dense_m_ok,
+                "dense_ident": dense_ident,
                 "nbuild": jnp.sum(allvalid.astype(jnp.int32)),
                 "err": jnp.max(jnp.where(live, lw.err, jnp.uint8(0)))}
 
@@ -184,7 +198,8 @@ def build_hash_table(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
 def build_probe_dense_fn(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
                          dense_cap: int, pred: Optional[Expr] = None,
                          use_mxu: bool = False,
-                         row_bits: Optional[int] = None) -> Callable:
+                         row_bits: Optional[int] = None,
+                         use_ident: bool = False) -> Callable:
     """One-gather probe against a direct-address build table:
        f(ht, cols, nrows) -> (matched bool[n], build_row int32[n], nout, err).
 
@@ -211,7 +226,13 @@ def build_probe_dense_fn(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
         off = k.data.astype(jnp.int64) - ht["kmin"]
         in_r = mask & k.valid & (off >= 0) & (off < dense_cap)
         slot = jnp.clip(off, 0, dense_cap - 1).astype(jnp.int32)
-        if use_mxu:                    # MXU one-hot lookup, no gather
+        if use_ident:
+            # identity build (ht['dense_ident']): slot IS the build row and
+            # occupied slots are exactly [0, nbuild) — no table access,
+            # HBM-bound lane arithmetic (vs the D-proportional MXU lookup)
+            br = slot
+            matched = in_r & (off < ht["nbuild"].astype(jnp.int64))
+        elif use_mxu:                  # MXU one-hot lookup, no gather
             nb = ht["order"].shape[0]
             rb = row_bits if row_bits is not None \
                 else max(nb, 1).bit_length()

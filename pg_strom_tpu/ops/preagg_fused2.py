@@ -525,7 +525,11 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
             fail_acc[0, 0] = jnp.int32(0)
 
         def rd(i):
-            return in_refs[i][:]
+            # bool planes arrive bitcast to int8 (loading an i1-typed ref
+            # makes Mosaic emit an i8->i1 vector trunci it cannot lower on
+            # this service); compare back to i1 here
+            v = in_refs[i][:]
+            return (v != jnp.int8(0)) if v.dtype == jnp.int8 else v
 
         nrows = si_ref[0, 0]
         kmin = si_ref[0, 1]
@@ -718,10 +722,16 @@ def build_fused2_fn(schema, group_exprs, aggs, pred, G: int, sig: V2Sig):
 
         def plane(idx, which):
             if which == "data":
-                return cols[idx][0]
-            if which == "valid":
-                return cols[idx][1]
-            return scal["split"][idx][0 if which == "lo" else 1]
+                p = cols[idx][0]
+            elif which == "valid":
+                p = cols[idx][1]
+            else:
+                p = scal["split"][idx][0 if which == "lo" else 1]
+            if p.dtype == jnp.bool_:
+                # i1 loads are not Mosaic-lowerable on this service; ship
+                # the same bits as int8 (bitwise view)
+                p = p.view(jnp.int8)
+            return p
 
         kin = tuple(plane(i, w).reshape(-1, T4) for i, w in sig.inputs)
         # i32 scalar row: [nrows, kmin, user...] — scal["i"] = [kmin, user...]

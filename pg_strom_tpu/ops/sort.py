@@ -231,6 +231,59 @@ def _argsort_adaptive(dead_bit: jnp.ndarray,
     return perm, fits
 
 
+def _argsort_adaptive2(dead_bit: jnp.ndarray,
+                       key_specs: Sequence[tuple], n: int):
+    """Two-word adaptive stable multi-key argsort: (perm, fits).
+
+    Same runtime range reduction as _argsort_adaptive, but the reduced keys
+    pack into TWO 64-bit words sorted lexicographically by ONE variadic
+    lax.sort (num_keys=2) — the wide-key tier between the single-word fast
+    path and the static LSD passes, with NO per-pass composition gathers
+    (the 31 Mrows/s killer of the old wide path, BASELINE.md).  Key sets up
+    to ~128 - rowid bits wide fit; fits=False => caller takes the static
+    path."""
+    rb = _rbits(n)
+    iota = jax.lax.broadcasted_iota(jnp.uint64, (n,), 0)
+    lo = iota
+    hi = jnp.zeros((n,), jnp.uint64)
+    shift = jnp.uint64(rb)
+    big = jnp.uint64((1 << 64) - 1)
+    c64 = jnp.uint64(64)
+    c63 = jnp.uint64(63)
+
+    def put(bits, width):
+        nonlocal lo, hi, shift
+        off = shift
+        lo_part = jnp.where(off < c64,
+                            bits << jnp.minimum(off, c63), jnp.uint64(0))
+        straddle = jnp.where((off > jnp.uint64(0)) & (off < c64),
+                             bits >> jnp.minimum(c64 - off, c63),
+                             jnp.uint64(0))
+        hi_part = jnp.where(off >= c64,
+                            bits << jnp.minimum(off - c64, c63),
+                            jnp.uint64(0))
+        lo = lo | lo_part
+        hi = hi | straddle | hi_part
+        shift = shift + width
+
+    for null_bit, fulls, desc, valid in reversed(list(key_specs)):
+        for lane in reversed(fulls):
+            any_ok = jnp.any(valid)
+            m = jnp.where(any_ok, jnp.min(jnp.where(valid, lane, big)),
+                          jnp.uint64(0))
+            red = jnp.where(valid, lane - m, jnp.uint64(0))
+            rmax = jnp.where(any_ok, jnp.max(red), jnp.uint64(0))
+            if desc:
+                red = jnp.where(valid, rmax - red, jnp.uint64(0))
+            put(red, _bit_width_u64(rmax))
+        put(null_bit.astype(jnp.uint64), jnp.uint64(1))
+    put(dead_bit.astype(jnp.uint64), jnp.uint64(1))
+    fits = shift <= jnp.uint64(128)
+    hs, ls = jax.lax.sort((hi, lo), num_keys=2)
+    perm = (ls & jnp.uint64((1 << rb) - 1)).astype(jnp.int32)
+    return perm, fits
+
+
 def packed_argsort(lanes: Sequence[tuple[jnp.ndarray, int]], n: int) -> jnp.ndarray:
     """Stable ascending argsort over lexicographic (lane, width) chunks,
     most-significant first.  Every lax.sort call is single-operand; key sets
@@ -413,15 +466,19 @@ def build_sort_topk_fn(schema: Sequence[ColMeta], specs: Sequence[SortSpec],
 
 
 def build_sort_fn(schema: Sequence[ColMeta], specs: Sequence[SortSpec],
-                  adaptive: bool = True) -> Callable:
+                  adaptive: bool | int = True) -> Callable:
     """f(cols, nrows) -> (perm int32[n], err, fits bool).
 
     perm[:nrows] orders the live rows per the sort specs; dead (padding)
-    rows sort last.  adaptive=True uses the range-reduced single-pass sort;
-    fits=False means the runtime key widths didn't fit one word and perm is
-    meaningless — the caller re-dispatches with adaptive=False (static LSD
-    passes, always valid, fits=True)."""
+    rows sort last.  Tiers: adaptive in (True, 1) = single-word
+    range-reduced sort; adaptive == 2 = TWO-word lexicographic lax.sort
+    (wide key sets, still gather-free); adaptive in (False, 0) = static
+    LSD passes (always valid, fits=True).  fits=False means the runtime
+    key widths didn't fit the tier's word budget and perm is meaningless —
+    the caller re-dispatches the next tier down."""
     specs = list(specs)
+    tier = 1 if adaptive is True else (0 if adaptive is False
+                                       else int(adaptive))
 
     def f(cols: tuple, nrows):
         n = cols[0][0].shape[0] if cols else 0
@@ -435,8 +492,10 @@ def build_sort_fn(schema: Sequence[ColMeta], specs: Sequence[SortSpec],
             lanes.extend(_key_lanes(v, sp))
             fs.append(_full_specs(v, sp))
         err = jnp.max(jnp.where(live, lw.err, jnp.uint8(0)))
-        if adaptive:
+        if tier == 1:
             perm, fits = _argsort_adaptive(lanes[0][0], fs, n)
+        elif tier == 2:
+            perm, fits = _argsort_adaptive2(lanes[0][0], fs, n)
         else:
             perm = packed_argsort(lanes, n)
             fits = jnp.bool_(True)

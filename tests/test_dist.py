@@ -200,26 +200,36 @@ def test_executor_repartition_counter():
     """Drive the executor directly with tiny capacities via a small
     dist_group_slots so the ladder provably fires at least once."""
     rng = np.random.default_rng(9)
-    nf = 3000
+    nf = 6000
+    ngroups = 2000        # per-DEVICE slots overflow: groups are hash-
+    # sharded over the mesh, so forcing the ladder needs
+    # > dist_group_slots * n_devices distinct keys (2000 > 64*8)
     db = Database()
     db.create(Table.from_columns("f", {
         "k": column_from_values(T.INT4,
-                                [int(v) for v in rng.integers(0, 400, nf)]),
+                                [int(v) for v in
+                                 rng.integers(0, ngroups, nf)]),
         "x": column_from_values(T.FLOAT8,
                                 [float(v) for v in rng.random(nf)]),
     }))
     db.create(Table.from_columns("d", {
-        "dk": column_from_values(T.INT4, list(range(400))),
+        "dk": column_from_values(T.INT4, list(range(ngroups))),
     }))
-    # 400 groups > 64 slots: the G ladder must double until they fit
+    # ~250 groups/device > 64 slots: the G ladder must double until they fit
     q = ("select f.k, count(*), sum(f.x) from f, d where f.k = d.dk "
          "group by f.k order by f.k")
     host = execute(q, db).rows
-    from pg_strom_tpu.exec.dist_exec import DistJoinAggExecutor
+    from pg_strom_tpu.sql.parser import parse
+    from pg_strom_tpu.plan.planner import plan_query
     with override(distributed=True, debug_force_offload=True,
-                  dist_group_slots=64):
-        dist = execute(q, db).rows
+                  dist_group_slots=64, perfmon=True):
+        pq = plan_query(parse(q), db)
+        dist = pq.execute()
     assert _rows_equal(host, dist)
+    # the ladder PROVABLY fired: 400 groups never fit 64 slots, so the
+    # executor must have doubled G at least once and counted it
+    assert pq.perfmon.counts.get("dist_repartitions", 0) >= 1, \
+        dict(pq.perfmon.counts)
 
 
 @pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")

@@ -255,3 +255,61 @@ class TestNloopsPartitionedJoin:
         rows2 = sorted((tuple(t2.columns[c].get(i) for c in t2.column_names)
                         for i in range(t2.nrows)), key=key)
         assert rows == rows2
+
+
+class TestDenseIdentity:
+    """Serial-PK identity fast path (ht['dense_ident']): the probe is pure
+    lane arithmetic — verify it engages exactly when keys are kmin+rownum
+    with every build row live, and that results match the host join."""
+
+    def _tables(self, bkeys, nprobe=500, seed=3):
+        rng = np.random.default_rng(seed)
+        build = Table.from_columns("dim", {
+            "k": column_from_values(T.INT4, bkeys),
+            "payload": column_from_values(T.INT4,
+                                          list(range(len(bkeys)))),
+        })
+        pkeys = [int(rng.integers(-3, len(bkeys) + 5))
+                 if rng.random() > 0.05 else None for _ in range(nprobe)]
+        probe = Table.from_columns("fact", {
+            "k": column_from_values(T.INT4, pkeys),
+            "v": column_from_values(T.FLOAT8,
+                                    [float(i) for i in range(nprobe)]),
+            "id": column_from_values(T.INT4, list(range(nprobe))),
+        })
+        return probe, build
+
+    def _ident_flag(self, build):
+        import jax
+        from pg_strom_tpu.ops.hashjoin import build_hash_table
+        from pg_strom_tpu.expr.lower_jax import (
+            schema_from_chunk_columns, planes_of_column)
+        names = build.column_names
+        schema = schema_from_chunk_columns(
+            names, [build.columns[n] for n in names])
+        bk = bind_columns(ColumnRef(type=T.INT4, name="k"),
+                          {n: i for i, n in enumerate(names)})
+        planes = tuple(planes_of_column(build.columns[n]) for n in names)
+        ht = jax.jit(build_hash_table(schema, [bk]))(
+            planes, np.int32(build.nrows))
+        return bool(ht["dense_ident"])
+
+    def test_serial_pk_engages_and_matches(self):
+        probe, build = self._tables([100 + i for i in range(64)])
+        assert self._ident_flag(build)
+        assert run_join(probe, build, True) == run_join(probe, build, False)
+
+    def test_shuffled_keys_do_not_engage(self):
+        keys = list(range(64))
+        keys[3], keys[40] = keys[40], keys[3]
+        probe, build = self._tables(keys)
+        assert not self._ident_flag(build)
+        assert run_join(probe, build, True) == run_join(probe, build, False)
+
+    def test_gap_from_null_key_does_not_engage(self):
+        keys = list(range(64))
+        keys[10] = None                    # masked build row -> gap at 10
+        probe, build = self._tables(keys)
+        assert not self._ident_flag(build)
+        # the probe of key 10 must NOT match anything
+        assert run_join(probe, build, True) == run_join(probe, build, False)

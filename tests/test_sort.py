@@ -376,3 +376,52 @@ class TestHybridAdaptiveSort:
                    ("x", T.FLOAT8, -1e6, 1e6, 0.1),
                    ("b", T.INT2, -100, 100, 0.0)],
                   [(0, True, False), (1, False, None), (2, True, None)])
+
+
+class TestTwoWordAdaptive:
+    """Two-word lexicographic tier (_argsort_adaptive2): wide key sets sort
+    gather-free; permutation must equal the static LSD answer exactly."""
+
+    def _run(self, cols_spec, n=4000, seed=11):
+        import jax
+        from pg_strom_tpu.expr.lower_jax import ColMeta
+        from pg_strom_tpu.ops.sort import build_sort_fn, SortSpec
+        from pg_strom_tpu.expr.ir import ColumnRef
+        rng = np.random.default_rng(seed)
+        schema, cols, planes = [], [], []
+        for i, (nm, t, lohi, desc, nulls) in enumerate(cols_spec):
+            schema.append(ColMeta(nm, t))
+            cols.append(SortSpec(ColumnRef(type=t, name=nm, index=i),
+                                 descending=desc))
+            data = rng.integers(lohi[0], lohi[1], n).astype(
+                np.int64 if t is T.INT8 else np.int32)
+            valid = (rng.random(n) > 0.1) if nulls else np.ones(n, np.bool_)
+            planes.append((jax.device_put(data), jax.device_put(valid)))
+        planes = tuple(planes)
+        fn2 = jax.jit(build_sort_fn(schema, cols, adaptive=2))
+        p2, e2, fits2 = fn2(planes, np.int32(n))
+        fn0 = jax.jit(build_sort_fn(schema, cols, adaptive=False))
+        p0, e0, _ = fn0(planes, np.int32(n))
+        return (np.asarray(p2), bool(np.asarray(fits2)), np.asarray(p0))
+
+    def test_wide_three_keys_match_static(self):
+        p2, fits2, p0 = self._run([
+            ("a", T.INT8, (0, 1 << 32), True, True),
+            ("b", T.INT8, (-(1 << 31), 1 << 31), False, False),
+            ("c", T.INT8, (0, 1 << 30), False, True)])
+        assert fits2
+        assert (p2 == p0).all()
+
+    def test_narrow_keys_also_exact(self):
+        p2, fits2, p0 = self._run([
+            ("a", T.INT4, (0, 50), False, True),
+            ("b", T.INT4, (-7, 7), True, False)])
+        assert fits2
+        assert (p2 == p0).all()
+
+    def test_too_wide_reports_not_fits(self):
+        p2, fits2, p0 = self._run([
+            ("a", T.INT8, (0, (1 << 62)), False, False),
+            ("b", T.INT8, (0, (1 << 62)), False, False),
+            ("c", T.INT8, (0, (1 << 62)), False, False)])
+        assert not fits2
