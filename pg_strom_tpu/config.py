@@ -83,6 +83,9 @@ class _Config:
     # pre-materialized V, pads it to 128 lanes in HBM; kept for comparison
     use_pallas_reduce: bool = False
     join_max_bucket_probe: int = 16       # bounded probe-chain length before fallback
+    # fused N-way chain: cap on the cartesian product of per-inner fanout
+    # slices (ops/starjoin.py); beyond it the pairwise chain runs
+    join_star_max_slices: int = 16
     # HBM budget for a device-resident join build side; larger builds run
     # the nloops partition loop (gpuhashjoin.c:322-431 divide + outer
     # rescan) instead of abandoning the device path
@@ -128,6 +131,9 @@ class _Config:
     # (parallel/dist.py via exec/dist_exec.py); off by default — a single
     # visible device makes it a no-op either way
     distributed: bool = False
+    # >1: 2D ("hosts", "chips") mesh — the shuffle exchange runs ICI-first
+    # (all_to_all over chips within a host) then DCN (over hosts); 1 = flat
+    dist_mesh_hosts: int = 1
     dist_group_slots: int = 1024          # per-device group-partial slots
     shuffle_partitions_per_device: int = 1
     skew_sample_rows: int = 4096          # rows sampled for heavy-hitter detection

@@ -88,14 +88,16 @@ class StarJoinAggExecutor:
         if self.probe_pred is not None:
             exprs.append(self.probe_pred)
         for d in self.dims:
-            if len(d.probe_keys) != 1 or len(d.build_keys) != 1:
-                return False              # dense probe: single key per dim
             exprs += d.probe_keys + d.build_keys
             if d.build_pred is not None:
                 exprs.append(d.build_pred)
-            if d.build_keys[0].type in (T.TEXT, T.BPCHAR, T.NUMERIC,
-                                        T.FLOAT4, T.FLOAT8):
-                return False              # direct-address: int-lane keys
+            # text join keys compare via per-table dictionaries — no shared
+            # code space on device (same gate as the pairwise executor);
+            # non-unique / multi-key / float / numeric inners now ride the
+            # bounded-fanout multi probe (round 3)
+            if any(k.type in (T.TEXT, T.BPCHAR)
+                   for k in d.probe_keys + d.build_keys):
+                return False
         if any(not device_expression_supported(e) for e in exprs):
             return False
         for inst in self.aggs:
@@ -179,16 +181,31 @@ class StarJoinAggExecutor:
                 if int(ht["err"]) != 0:
                     raise StarFallback("build-side device error")
                 TCACHE.put_aux(ht_key, ht, d.table.name, bcols_all)
-            if not bool(ht["dense_ok"]):
-                raise StarFallback("dimension not unique-dense")
-            use_mxu = (config.join_mxu_lookup
-                       and bool(ht.get("dense_m_ok", False)))
-            dcap = mxu_dense_window(bcap) if use_mxu else dense_cap_for(bcap)
             pkeys = [bind_columns(k, playout) for k in d.probe_keys]
             hts.append(ht)
             bccs.append(bcc)
-            dim_specs.append({"probe_keys": pkeys, "dense_cap": dcap,
-                              "use_mxu": use_mxu, "row_bits": row_bits})
+            if (bool(ht["dense_ok"]) and len(d.build_keys) == 1
+                    and d.build_keys[0].type not in (T.NUMERIC, T.FLOAT4,
+                                                     T.FLOAT8)):
+                use_ident = bool(ht.get("dense_ident", False))
+                use_mxu = (not use_ident and config.join_mxu_lookup
+                           and bool(ht.get("dense_m_ok", False)))
+                dcap = (mxu_dense_window(bcap) if use_mxu
+                        else dense_cap_for(bcap))
+                dim_specs.append({"mode": "dense", "probe_keys": pkeys,
+                                  "dense_cap": dcap, "use_mxu": use_mxu,
+                                  "use_ident": use_ident,
+                                  "row_bits": row_bits})
+            else:
+                # non-unique / multi-key / float inner: bounded-fanout
+                # row-aligned probe; start F at the exact duplicate maximum
+                # when cheaply computable, else 2 (the join_ovf ladder
+                # doubles it)
+                dim_specs.append({"mode": "multi", "probe_keys": pkeys,
+                                  "key_types": tuple(k.type
+                                                     for k in d.build_keys),
+                                  "max_chain": 0,   # filled by _spec_tune
+                                  "fanout": self._initial_fanout(d)})
 
         ppred = bind_columns(self.probe_pred, playout) \
             if self.probe_pred is not None else None
@@ -202,12 +219,17 @@ class StarJoinAggExecutor:
         self._G = config.max_groups_device
         key_metas = self._key_metas(jnames)
 
-        spec_sig = tuple((tuple(s["probe_keys"]), s["dense_cap"],
-                          s["use_mxu"], s["row_bits"]) for s in dim_specs)
+        self._dim_specs = dim_specs
+        self._spec_tune()
 
         def fused(strategy=None, G=None):
             strategy = strategy or self._strategy
             G = G if G is not None else self._G
+            specs = [dict(s) for s in self._dim_specs]
+            spec_sig = tuple(
+                tuple(sorted((k, (tuple(v) if isinstance(v, (list, tuple))
+                                  else v)) for k, v in s.items()))
+                for s in specs)
             return _cached_jit(
                 ("starjoinagg",
                  tuple((m.name, m.type, m.dict_id) for m in pschema),
@@ -215,9 +237,11 @@ class StarJoinAggExecutor:
                  tuple((m.name, m.type, m.dict_id) for m in jschema),
                  tuple(probe_slots), tuple(sorted(build_slot_map.items())),
                  tuple(bound_groups), tuple(bound_aggs), G, strategy),
-                lambda strategy=strategy, G=G: build_star_join_preagg_fn(
-                    pschema, dim_specs, ppred, jschema, probe_slots,
-                    build_slot_map, bound_groups, bound_aggs, G, strategy))
+                lambda strategy=strategy, G=G, specs=specs:
+                    build_star_join_preagg_fn(
+                        pschema, specs, ppred, jschema, probe_slots,
+                        build_slot_map, bound_groups, bound_aggs, G,
+                        strategy))
 
         bplanes = tuple(bcc.planes for bcc in bccs)
         hts_t = tuple(hts)
@@ -253,9 +277,52 @@ class StarJoinAggExecutor:
             self._consume(cc, oh, *consume_args)
         pending.clear()
 
+    def _initial_fanout(self, d: "DimSpec") -> int:
+        """Starting F for a multi-mode inner: the exact duplicate maximum
+        of the build key when cheaply computable (dims are small), else 2;
+        the join_ovf ladder doubles on underestimate."""
+        if len(d.build_keys) == 1 and isinstance(d.build_keys[0], ColumnRef):
+            col = d.table.columns.get(d.build_keys[0].name)
+            if (col is not None and col.data.dtype.kind in "iu"
+                    and len(col.data) <= (1 << 22)):
+                vals = col.data[col.valid]
+                if len(vals):
+                    _, cnts = np.unique(vals, return_counts=True)
+                    return int(min(max(int(cnts.max()), 1), 64))
+        return 2
+
+    def _spec_tune(self) -> None:
+        slices = 1
+        for s in self._dim_specs:
+            if s.get("mode") == "multi":
+                s["fanout"] = max(int(s["fanout"]), 1)
+                s["max_chain"] = max(config.join_max_bucket_probe,
+                                     2 * s["fanout"])
+                slices *= s["fanout"]
+        if slices > config.join_star_max_slices:
+            raise StarFallback(f"fanout slice count {slices} exceeds cap")
+
+    def _grow_fanout(self) -> bool:
+        grew = False
+        for s in self._dim_specs:
+            if s.get("mode") == "multi":
+                s["fanout"] *= 2
+                grew = True
+        if not grew:
+            return False
+        try:
+            self._spec_tune()
+        except StarFallback:
+            return False
+        return True
+
     def _consume(self, cc, out, states, displays, key_metas, jnames,
                  jlayout, bound_groups, bound_aggs, hts_t, bplanes,
                  fused) -> None:
+        """Absorb one chunk's slice outputs with the standard retry
+        ladders.  Slices stage into scratch accumulators and commit only
+        when EVERY slice absorbed — a mid-slice redispatch must not
+        double-count the already-absorbed ones."""
         pm = self.perfmon
         lstrat = "mxu" if self._strategy == "mxu_dense" else self._strategy
         ladder = [(self._G, 0x9E3779B97F4A7C15, lstrat)]
@@ -264,7 +331,6 @@ class StarJoinAggExecutor:
             ladder += [(G2, 0, lstrat), (G2, 0xC2B2AE3D27D4EB4F, lstrat)]
         ladder.append((config.max_groups_cap, 0, "sort"))
         attempt = 0
-        overflow = False
         cur = (self._G, 0, self._strategy)
 
         def redispatch():
@@ -274,37 +340,66 @@ class StarJoinAggExecutor:
                 np.uint64(salt)))
 
         while True:
-            err = int(out["err"])
-            if err != 0 or overflow:
-                break                                 # -> host replay
-            if bound_groups and "mxu_sums" in out:
-                if bool(np.asarray(out.get("dense_fail", False))):
-                    pm.bump("dense_fallbacks")
-                    cur = (cur[0], cur[1], "mxu")
-                    out = redispatch()
-                    continue
-                collided, overflow = mxu_absorb(
-                    out, bound_groups, bound_aggs, key_metas, states,
-                    displays, merge_partials, extract_partials,
-                    canon_group_key, dense_key=cur[2] == "mxu_dense")
-                if overflow:
-                    continue
-                if not collided:
-                    pm.bump("device_chunks")
-                    return
-            else:
-                collided = (bool(out.get("collision", False))
-                            if bound_groups else False)
-                if not collided:
-                    absorb_preagg_out(out, bound_groups, bound_aggs,
-                                      key_metas, states, displays, pm)
-                    return
-            if attempt >= len(ladder):
+            # bounded-fanout ladder first: some probe row matched more
+            # inner rows than the compiled F (or a chain overran)
+            if bool(np.asarray(out.get("join_ovf", False))):
+                if not self._grow_fanout():
+                    break                             # -> host replay
+                pm.bump("fanout_retries")
+                out = redispatch()
+                continue
+            st2: dict = {}
+            dp2: dict = {}
+            failed: str | None = None
+            for so in out["slices"]:
+                if int(so["err"]) != 0:
+                    failed = "replay"
+                    break
+                if bound_groups and "mxu_sums" in so:
+                    if bool(np.asarray(so.get("dense_fail", False))):
+                        pm.bump("dense_fallbacks")
+                        cur = (cur[0], cur[1], "mxu")
+                        failed = "redispatch"
+                        break
+                    collided, overflow = mxu_absorb(
+                        so, bound_groups, bound_aggs, key_metas, st2, dp2,
+                        merge_partials, extract_partials, canon_group_key,
+                        dense_key=cur[2] == "mxu_dense")
+                    if overflow:
+                        failed = "replay"
+                        break
+                    if collided:
+                        failed = "ladder"
+                        break
+                else:
+                    collided = (bool(so.get("collision", False))
+                                if bound_groups else False)
+                    if collided:
+                        failed = "ladder"
+                        break
+                    absorb_preagg_out(so, bound_groups, bound_aggs,
+                                      key_metas, st2, dp2, pm)
+            if failed is None:
+                for ck, parts in st2.items():
+                    if ck not in states:
+                        states[ck] = parts
+                        displays[ck] = dp2[ck]
+                    else:
+                        states[ck] = [
+                            merge_partials(inst, a, b) for inst, a, b
+                            in zip(bound_aggs, states[ck], parts)]
+                pm.bump("device_chunks")
+                return
+            if failed == "replay":
                 break
-            cur = ladder[attempt]
-            pm.bump("sort_fallbacks" if cur[2] == "sort" else "salt_retries")
+            if failed == "ladder":
+                if attempt >= len(ladder):
+                    break
+                cur = ladder[attempt]
+                pm.bump("sort_fallbacks" if cur[2] == "sort"
+                        else "salt_retries")
+                attempt += 1
             out = redispatch()
-            attempt += 1
         pm.bump("recheck_chunks")
         with pm.timer("cpu_fallback"):
             self._host_chunk_agg(cc, states, displays, jnames, jlayout,

@@ -275,6 +275,69 @@ def _keys_match(probe_keys: list[DVal], ht_key_planes: tuple,
     return ok
 
 
+def build_probe_multi_fn(schema: Sequence[ColMeta],
+                         key_exprs: Sequence[Expr], key_types: tuple,
+                         max_chain: int, fanout: int,
+                         pred: Optional[Expr] = None) -> Callable:
+    """ROW-ALIGNED bounded-fanout probe: f(ht, cols, nrows) ->
+       (brs int32[fanout, n], counts int32[n], ovf bool, err).
+
+    brs[f, i] = build row of probe row i's f-th match (first-seen order);
+    counts[i] = total matches (capped at observation); ovf = some row had
+    more than `fanout` matches OR a bucket chain exceeded max_chain — the
+    caller raises the fanout/chain ladder or falls back to the pairwise
+    compacting probe.  Handles arbitrary equi-keys (multi-key, non-unique
+    build sides) via the same sorted-bucket walk as build_probe_fn, but
+    with NO compaction: the output stays aligned with the probe chunk, so
+    a fused join chain can AND per-match masks and keep everything
+    device-resident (the kern_gpuhashjoin_main depth-loop analog,
+    opencl_hashjoin.h:284-416, without materializing pairs).
+    """
+    key_exprs = list(key_exprs)
+
+    def f(ht: dict, cols: tuple, nrows):
+        n = cols[0][0].shape[0] if cols else 0
+        live = jnp.arange(n, dtype=jnp.int32) < nrows
+        lw = Lowerer(schema, cols, live)
+        mask = live
+        if pred is not None:
+            pv = lw.lower(pred, live)
+            mask = live & pv.valid & pv.data.astype(jnp.bool_)
+        keys = [lw.lower(k, mask) for k in key_exprs]
+        allvalid = mask
+        for k in keys:
+            allvalid = allvalid & k.valid
+        nbuckets = ht["bucket_start"].shape[0] - 1
+        hs = [hash_column32(k.t, k.data, k.valid,
+                            k.exp if k.t is T.NUMERIC else None,
+                            getattr(k, "bits", None)) for k in keys]
+        h = combine_hashes32(hs)
+        bucket = (h & jnp.uint32(nbuckets - 1)).astype(jnp.int32)
+        bucket = jnp.where(allvalid, bucket, jnp.int32(nbuckets - 1))
+        start = ht["bucket_start"][bucket]
+        end = ht["bucket_start"][bucket + 1]
+        blen = jnp.where(allvalid, end - start, 0)
+        too_long = jnp.any(blen > max_chain)
+        err = jnp.max(jnp.where(live, lw.err, jnp.uint8(0))) if n \
+            else jnp.uint8(0)
+        bs_max = ht["order"].shape[0]
+
+        brs = [jnp.full(n, bs_max, jnp.int32) for _ in range(fanout)]
+        cnt = jnp.zeros(n, dtype=jnp.int32)
+        for k in range(max_chain):
+            j = jnp.clip(start + k, 0, max(bs_max - 1, 0))
+            in_b = allvalid & (k < blen)
+            m = in_b & _keys_match(keys, ht["key_planes"], key_types, j)
+            row = ht["order"][j]
+            for fx in range(fanout):
+                brs[fx] = jnp.where(m & (cnt == fx), row, brs[fx])
+            cnt = cnt + m.astype(jnp.int32)
+        ovf = too_long | jnp.any(cnt > fanout)
+        return jnp.stack(brs), cnt, ovf, err
+
+    return f
+
+
 def build_probe_fn(schema: Sequence[ColMeta], key_exprs: Sequence[Expr],
                    key_types: tuple, nbuckets: int, max_chain: int,
                    out_cap: int, pred: Optional[Expr] = None) -> Callable:

@@ -461,10 +461,15 @@ def _kpred(e: Expr, rd_col, key_schema) -> tuple:
         if v is not None:
             valid = v if valid is None else (valid & v)
     if is_float:
-        xn, yn = jnp.isnan(xd + jnp.float32(0.0)), jnp.isnan(
-            yd + jnp.float32(0.0))
-        lt = jnp.where(xn | yn, (~xn) & yn, xd < yd)
-        eq = jnp.where(xn | yn, xn & yn, xd == yd)
+        # PG float order: NaN == NaN, NaN > everything.  Pure boolean
+        # algebra, NOT jnp.where on i1 operands — Mosaic lowers a boolean
+        # select as an i8 select + an i8->i1 trunci it cannot legalize
+        # (isolated via the server loc trace; the round-3 kernel's one
+        # compile blocker)
+        xn, yn = jnp.isnan(xd), jnp.isnan(yd)
+        n = xn | yn
+        lt = (n & (~xn) & yn) | (~n & (xd < yd))
+        eq = (n & xn & yn) | (~n & (xd == yd))
         d = {"eq": eq, "ne": ~eq, "lt": lt, "le": lt | eq,
              "gt": ~(lt | eq), "ge": ~lt}[tag]
     else:
@@ -525,11 +530,7 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
             fail_acc[0, 0] = jnp.int32(0)
 
         def rd(i):
-            # bool planes arrive bitcast to int8 (loading an i1-typed ref
-            # makes Mosaic emit an i8->i1 vector trunci it cannot lower on
-            # this service); compare back to i1 here
-            v = in_refs[i][:]
-            return (v != jnp.int8(0)) if v.dtype == jnp.int8 else v
+            return in_refs[i][:]
 
         nrows = si_ref[0, 0]
         kmin = si_ref[0, 1]
@@ -727,10 +728,6 @@ def build_fused2_fn(schema, group_exprs, aggs, pred, G: int, sig: V2Sig):
                 p = cols[idx][1]
             else:
                 p = scal["split"][idx][0 if which == "lo" else 1]
-            if p.dtype == jnp.bool_:
-                # i1 loads are not Mosaic-lowerable on this service; ship
-                # the same bits as int8 (bitwise view)
-                p = p.view(jnp.int8)
             return p
 
         kin = tuple(plane(i, w).reshape(-1, T4) for i, w in sig.inputs)

@@ -1,25 +1,39 @@
-"""N-way fused star join -> grouped partial aggregation in one program.
+"""N-way fused device join chain -> grouped partial aggregation.
 
 The multi-relation device join chain (reference: gpuhashjoin merges
 consecutive joins into one multi-rel kernel — path merge gpuhashjoin.c:789-835,
 probe recursion opencl_hashjoin.h kern_gpuhashjoin_main depths /
 gpuhashjoin.c:1184-1318 — and passes device-resident bulkslots between GPU
-nodes, pg_strom.h:317-329).  TPU-native form: each dimension is a
-direct-address (dense) build table probed with ONE lookup per dim — no
-chain recursion, no pair materialization; the joined row set stays
-ROW-ALIGNED with the fact chunk (match mask = AND over dims), and the
-grouped partial aggregation runs over the same program's lanes.  Star
-queries with any number of dimensions make a single device round trip per
-fact chunk, never materializing an intermediate host Table.
+nodes, pg_strom.h:317-329).  TPU-native form: every inner relation is probed
+ROW-ALIGNED with the fact chunk, so the joined row set never materializes —
+no chain recursion on device, no intermediate host Table:
 
-Applicability: every dimension build side must be unique on a single
-int-lane key (ht['dense_ok'] — the dimension-table shape); non-unique or
-multi-key dims fall back to the pairwise HashJoin chain (exec/join_exec.py)
-which handles arbitrary fan-out.
+  * unique single-int-key inners ("dense"): ONE direct-address / identity /
+    MXU-lookup probe per inner — match mask + one build-row lane.
+  * non-unique or multi-key inners ("multi", round 3): the bounded-fanout
+    probe (ops/hashjoin.build_probe_multi_fn) returns up to F build rows
+    PER PROBE ROW, still row-aligned.  The fused program then enumerates
+    the (small) cartesian product of fanout indices across multi inners as
+    SLICES: slice s fixes one match choice per multi inner, its mask is
+    the AND of all inner matches, and the grouped partial aggregation runs
+    once per slice over the same fact lanes.  Summing partial states over
+    slices is exactly the fan-out join semantics (each composite match
+    combination contributes once) — the static-shape TPU replacement for
+    the reference's dynamic count->reserve->write expansion
+    (opencl_hashjoin.h:339-412).
+
+  A fanout overflow (some probe row matched more than F rows of an inner,
+  or a bucket chain exceeded the bounded walk) raises `join_ovf`; the
+  executor doubles F (recompile — the standard host-driven retry shape)
+  and ultimately falls back to the host-exact tier.
+
+Applicability: group/agg exprs and join keys must be device-supported;
+text join keys (per-table dictionaries) fall back to the pairwise chain.
 """
 
 from __future__ import annotations
 
+import itertools
 from typing import Callable, Optional, Sequence
 
 import jax.numpy as jnp
@@ -27,7 +41,7 @@ import jax.numpy as jnp
 from ..sqltypes import T
 from ..expr.ir import Expr, ColumnRef
 from ..expr.lower_jax import ColMeta
-from .hashjoin import build_probe_dense_fn
+from .hashjoin import build_probe_dense_fn, build_probe_multi_fn
 from .preagg import AggInstance, build_preagg_fn
 
 
@@ -40,46 +54,79 @@ def build_star_join_preagg_fn(pschema: Sequence[ColMeta],
                               group_exprs: Sequence[Expr],
                               aggs: Sequence[AggInstance],
                               G: int, strategy: str = "scatter") -> Callable:
-    """f(hts tuple, pcols, bcols_list tuple, nrows, salt) -> preagg pytree.
+    """f(hts tuple, pcols, bcols_list tuple, nrows, salt) -> out pytree.
 
-    dim_specs[i]: {"probe_keys": [Expr], "dense_cap": int, "use_mxu": bool,
-    "row_bits": int} — one dense probe per dimension.  jschema slots fill
-    from the probe chunk (probe_slots[j] >= 0) or from dimension d's column
-    b (build_slot_map[j] = (d, b)) gathered at that dim's matched row.
-    The AND of all dim match masks rides as a synthetic bool filter lane."""
+    dim_specs[i] (dense): {"mode": "dense", "probe_keys": [Expr],
+      "dense_cap": int, "use_mxu": bool, "use_ident": bool, "row_bits": int}
+    dim_specs[i] (multi): {"mode": "multi", "probe_keys": [Expr...],
+      "key_types": tuple, "max_chain": int, "fanout": int}
+
+    jschema slots fill from the probe chunk (probe_slots[j] >= 0) or from
+    dimension d's column b (build_slot_map[j] = (d, b)) gathered at that
+    dim's matched row for the current slice.  Output: {"slices": tuple of
+    per-slice preagg pytrees, "join_ovf": bool} — the executor absorbs
+    each slice like a chunk and merges partial states.
+    """
     probe_slots = list(probe_slots)
-    dprobe_fns = [
-        build_probe_dense_fn(pschema, list(d["probe_keys"]), d["dense_cap"],
-                             probe_pred if i == 0 else None,
-                             use_mxu=d["use_mxu"], row_bits=d["row_bits"])
-        for i, d in enumerate(dim_specs)]
+    dfns = []
+    for i, d in enumerate(dim_specs):
+        pred_i = probe_pred if i == 0 else None
+        if d.get("mode", "dense") == "multi":
+            dfns.append(("multi", build_probe_multi_fn(
+                pschema, list(d["probe_keys"]), tuple(d["key_types"]),
+                d["max_chain"], d["fanout"], pred_i)))
+        else:
+            dfns.append(("dense", build_probe_dense_fn(
+                pschema, list(d["probe_keys"]), d["dense_cap"], pred_i,
+                use_mxu=d["use_mxu"], row_bits=d["row_bits"],
+                use_ident=d.get("use_ident", False))))
     jschema_eff = list(jschema) + [ColMeta("__match__", T.BOOL)]
     match_pred = ColumnRef(type=T.BOOL, name="__match__", index=len(jschema))
     pre_fn = build_preagg_fn(jschema_eff, list(group_exprs), list(aggs),
                              match_pred, G, strategy)
+    fan_ranges = [range(d["fanout"]) if d.get("mode") == "multi" else (0,)
+                  for d in dim_specs]
 
     def f(hts: tuple, pcols: tuple, bcols_list: tuple, nrows, salt):
-        matched = None
-        brs = []
         jerr = jnp.uint8(0)
-        for dfn, ht in zip(dprobe_fns, hts):
-            m, br, _, e = dfn(ht, pcols, nrows)
-            matched = m if matched is None else (matched & m)
-            brs.append(br)
-            jerr = jnp.maximum(jerr, e)
-        jcols = []
-        for jslot in range(len(jschema)):
-            if probe_slots[jslot] >= 0:
-                g = list(pcols[probe_slots[jslot]])
+        ovf = jnp.bool_(False)
+        dim_res = []
+        for (mode, dfn), ht in zip(dfns, hts):
+            if mode == "dense":
+                m, br, _, e = dfn(ht, pcols, nrows)
+                dim_res.append(("dense", m, br))
             else:
-                di, bci = build_slot_map[jslot]
-                g = [p[brs[di]] for p in bcols_list[di][bci]]
-            g[1] = g[1] & matched
-            jcols.append(tuple(g))
-        jcols.append((matched, jnp.ones_like(matched)))   # __match__ lane
-        out = pre_fn(tuple(jcols), nrows, salt)
-        out["err"] = jnp.maximum(out["err"], jerr)
-        out["nout"] = jnp.int32(0)        # row-aligned: no output capacity
-        return out
+                brs, cnt, o, e = dfn(ht, pcols, nrows)
+                dim_res.append(("multi", brs, cnt))
+                ovf = ovf | o
+            jerr = jnp.maximum(jerr, e)
+
+        outs = []
+        for combo in itertools.product(*fan_ranges):
+            matched = None
+            brs_eff = []
+            for res, fx in zip(dim_res, combo):
+                if res[0] == "dense":
+                    m, br = res[1], res[2]
+                else:
+                    m = res[2] > jnp.int32(fx)
+                    br = res[1][fx]
+                matched = m if matched is None else (matched & m)
+                brs_eff.append(br)
+            jcols = []
+            for jslot in range(len(jschema)):
+                if probe_slots[jslot] >= 0:
+                    g = list(pcols[probe_slots[jslot]])
+                else:
+                    di, bci = build_slot_map[jslot]
+                    g = [p[brs_eff[di]] for p in bcols_list[di][bci]]
+                g[1] = g[1] & matched
+                jcols.append(tuple(g))
+            jcols.append((matched, jnp.ones_like(matched)))  # __match__
+            out = pre_fn(tuple(jcols), nrows, salt)
+            out["err"] = jnp.maximum(out["err"], jerr)
+            out["nout"] = jnp.int32(0)       # row-aligned: no output cap
+            outs.append(out)
+        return {"slices": tuple(outs), "join_ovf": ovf}
 
     return f

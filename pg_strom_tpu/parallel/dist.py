@@ -180,11 +180,52 @@ def build_dist_join_agg_step(mesh: Mesh, sig: DistPlanSig,
     likewise.  `probe_valid`/`build_valid` mark live rows (padding dead);
     per-lane valids carry SQL NULLs.
     """
-    ndev = mesh.shape[axis]
+    axes = tuple(mesh.axis_names)
+    if len(axes) == 1:
+        axis = axes[0]
+        ndev = mesh.shape[axis]
+        H = C = 0
+    else:
+        # 2D hosts x chips: hierarchical two-stage exchange (ICI then DCN)
+        H, C = mesh.shape[axes[0]], mesh.shape[axes[1]]
+        ndev = H * C
     pspecs = [sp for sp in sig.gkeys if sp.side == "probe"] + \
              [sp for ag in sig.aggs for sp in ag[0] if sp.side == "probe"]
     bspecs = [sp for sp in sig.gkeys if sp.side == "build"] + \
              [sp for ag in sig.aggs for sp in ag[0] if sp.side == "build"]
+
+    def _a2a(x, ax):
+        return jax.lax.all_to_all(x, ax, 0, 0, tiled=False).reshape(-1)
+
+    def _exchange(lanes, njk, valid):
+        """Route every row to the device owning hash(keys) % ndev.
+
+        1D mesh: one all_to_all.  2D mesh: stage 1 sends each row to its
+        TARGET CHIP within the source host (all_to_all over "chips" — pure
+        ICI); stage 2 sends to the target host along the now-aligned chip
+        column (all_to_all over "hosts" — the only DCN traffic).  Device
+        (h, c) ends up with exactly the rows whose part id is h*C + c, so
+        the local join/group phases are identical to the flat mesh."""
+        h64 = _combine_hash(lanes[:njk]).astype(jnp.uint64)
+        part = (h64 % jnp.uint64(ndev)).astype(jnp.int32)
+        if len(axes) == 1:
+            lb, vb, _, ovf = _partition_lanes(lanes, lanes[0], valid,
+                                              ndev, bucket_cap, part=part)
+            return ([_a2a(x, axis) for x in lb], _a2a(vb, axis), ovf)
+        cap1 = bucket_cap * H
+        lb, vb, _, ovf1 = _partition_lanes(lanes, lanes[0], valid, C, cap1,
+                                           part=part % jnp.int32(C))
+        mid = [_a2a(x, axes[1]) for x in lb]
+        vmid = _a2a(vb, axes[1])
+        # target host recomputed from the key lanes that rode stage 1
+        h2 = _combine_hash(mid[:njk]).astype(jnp.uint64)
+        part2 = ((h2 % jnp.uint64(ndev))
+                 // jnp.uint64(C)).astype(jnp.int32)
+        cap2 = max(2 * C * cap1 // max(H, 1), 64)
+        lb2, vb2, _, ovf2 = _partition_lanes(tuple(mid), mid[0], vmid, H,
+                                             cap2, part=part2)
+        return ([_a2a(x, axes[0]) for x in lb2], _a2a(vb2, axes[0]),
+                ovf1 | ovf2)
 
     def step(*flat):
         it = iter(flat)
@@ -201,25 +242,13 @@ def build_dist_join_agg_step(mesh: Mesh, sig: DistPlanSig,
         blv = take(len(bspecs))
         blvv = take(len(bspecs))
 
-        # ---- 1+2: partition by hash(join keys), exchange over ICI --------
-        ppart = (_combine_hash(pjk).astype(jnp.uint64)
-                 % jnp.uint64(ndev)).astype(jnp.int32)
-        bpart = (_combine_hash(bjk).astype(jnp.uint64)
-                 % jnp.uint64(ndev)).astype(jnp.int32)
-        pb_, pva_b, _, povf = _partition_lanes(
-            tuple(pjk) + tuple(plv) + tuple(plvv), pjk[0], pvalid, ndev,
-            bucket_cap, part=ppart)
-        bb_, bva_b, _, bovf = _partition_lanes(
-            tuple(bjk) + tuple(blv) + tuple(blvv), bjk[0], bvalid, ndev,
-            bucket_cap, part=bpart)
-
-        def xchg(x):
-            return jax.lax.all_to_all(x, axis, 0, 0, tiled=False).reshape(-1)
-
-        p_all = [xchg(x) for x in pb_]
-        pva = xchg(pva_b)
-        b_all = [xchg(x) for x in bb_]
-        bva = xchg(bva_b)
+        # ---- 1+2: partition by hash(join keys), exchange (ICI / ICI+DCN)
+        p_all, pva, povf = _exchange(
+            tuple(pjk) + tuple(plv) + tuple(plvv), sig.n_probe_jkeys,
+            pvalid)
+        b_all, bva, bovf = _exchange(
+            tuple(bjk) + tuple(blv) + tuple(blvv), sig.n_build_jkeys,
+            bvalid)
         pjk_l = p_all[:sig.n_probe_jkeys]
         plv_l = p_all[sig.n_probe_jkeys:]
         bjk_l = b_all[:sig.n_build_jkeys]
@@ -274,8 +303,8 @@ def build_dist_join_agg_step(mesh: Mesh, sig: DistPlanSig,
 
     nin = (sig.n_probe_jkeys + 1 + 2 * len(pspecs)
            + sig.n_build_jkeys + 1 + 2 * len(bspecs))
-    f = shard_map(step, mesh=mesh, in_specs=(P(axis),) * nin,
-                  out_specs=P(axis))
+    spec = P(axes if len(axes) > 1 else axes[0])
+    f = shard_map(step, mesh=mesh, in_specs=(spec,) * nin, out_specs=spec)
     return jax.jit(f)
 
 def _partials_phase(sig: DistPlanSig, glanes, gvalids, arg_lanes, live,
@@ -391,6 +420,7 @@ def build_dist_preagg_step(mesh: Mesh, sig: DistPlanSig, axis: str = "dp",
                 govf.reshape(1))
 
     nin = 1 + 2 * len(specs)
-    f = shard_map(step, mesh=mesh, in_specs=(P(axis),) * nin,
-                  out_specs=P(axis))
+    axes2 = tuple(mesh.axis_names)
+    spec = P(axes2 if len(axes2) > 1 else axes2[0])
+    f = shard_map(step, mesh=mesh, in_specs=(spec,) * nin, out_specs=spec)
     return jax.jit(f)

@@ -2,15 +2,17 @@
 
 The multi-device scheduling analog (reference round-robin device pick,
 opencl_serv.c:100-106) — except on TPU the mesh is declarative: shardings
-place data, XLA inserts the collectives.  Axis naming convention:
+place data, XLA inserts the collectives.  Axis naming conventions:
 
-  dp — data/shuffle parallelism across all chips (the only axis the query
-       engine needs: rows are hash-partitioned over it)
+  dp              — flat data/shuffle parallelism across all chips
+  hosts x chips   — 2D hierarchical mesh (round 3): the shuffle exchange
+                    runs in two stages, all_to_all over "chips" (ICI
+                    within a host) then over "hosts" (DCN), so only the
+                    host-mismatched fraction of rows crosses the slow
+                    inter-host fabric (SURVEY §5 ICI/DCN design note).
 
-A 2D ("hosts", "chips") mesh for hierarchical DCN/ICI shuffles is a planned
-refinement; the shuffle layer is written against a named axis so it carries
-over unchanged.
-"""
+`pg_strom.dist_mesh_hosts` > 1 selects the 2D shape; the virtual-device
+test rig exercises it as (2, 4) over 8 CPU devices."""
 
 from __future__ import annotations
 
@@ -19,13 +21,48 @@ import jax
 from jax.sharding import Mesh
 
 
-def get_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+def _devices(n: int | None):
     devs = jax.devices()
-    if n_devices is not None:
-        if len(devs) < n_devices:
+    if n is not None:
+        if len(devs) < n:
             raise RuntimeError(
-                f"need {n_devices} devices, have {len(devs)} "
+                f"need {n} devices, have {len(devs)} "
                 f"(set XLA_FLAGS=--xla_force_host_platform_device_count=N "
                 f"with JAX platform cpu for virtual-device testing)")
-        devs = devs[:n_devices]
-    return Mesh(np.array(devs), (axis,))
+        devs = devs[:n]
+    return devs
+
+
+def get_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    """Flat 1D mesh over all (or the first n) devices."""
+    return Mesh(np.array(_devices(n_devices)), (axis,))
+
+
+def get_mesh2(n_hosts: int, n_chips: int | None = None) -> Mesh:
+    """2D ("hosts", "chips") mesh: n_hosts rows of n_chips devices each.
+
+    On real hardware, devices are enumerated host-major (jax.devices()
+    orders by process/host), so row h of the mesh holds host h's chips and
+    the "chips" axis collectives ride ICI while "hosts" crosses DCN."""
+    devs = _devices(None)
+    if n_chips is None:
+        if len(devs) % n_hosts:
+            raise RuntimeError(
+                f"{len(devs)} devices not divisible by {n_hosts} hosts")
+        n_chips = len(devs) // n_hosts
+    need = n_hosts * n_chips
+    if len(devs) < need:
+        raise RuntimeError(f"need {need} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_hosts, n_chips),
+                ("hosts", "chips"))
+
+
+def mesh_for_config(n_devices: int | None = None) -> Mesh:
+    """Mesh per the GUCs: dist_mesh_hosts > 1 -> 2D, else flat."""
+    from ..config import config
+    h = int(getattr(config, "dist_mesh_hosts", 1) or 1)
+    if h > 1:
+        devs = _devices(n_devices)
+        return Mesh(np.array(devs).reshape(h, len(devs) // h),
+                    ("hosts", "chips"))
+    return get_mesh(n_devices)
