@@ -37,6 +37,20 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _chunk_plane(n: int, dtype) -> np.ndarray:
+    """Zeroed plane for a padded query chunk, allocated from the tracked
+    native arena when available (the reference allocates every data store
+    from shmem — shmem.c/datastore.c; small planes ride the slab tier,
+    large ones the buddy tier, and the arena's magic/redzone guards verify
+    on release).  Falls back to plain numpy when the native library is
+    absent or the arena is full — capacity never blocks a query."""
+    try:
+        from .native import arena_ndarray
+        return arena_ndarray(n, dtype)
+    except Exception:
+        return np.zeros(n, dtype=dtype)
+
+
 _COL_UID = iter(range(1, 1 << 62))
 
 
@@ -342,8 +356,8 @@ class Chunk:
         out: dict[str, Column] = {}
         recheck = np.zeros(cap, dtype=np.bool_)
         for name, c in tbl.columns.items():
-            data = np.zeros(cap, dtype=c.data.dtype)
-            valid = np.zeros(cap, dtype=np.bool_)
+            data = _chunk_plane(cap, c.data.dtype)
+            valid = _chunk_plane(cap, np.bool_)
             data[:n] = c.data[start:stop]
             valid[:n] = c.valid[start:stop]
             cc = Column(type=c.type, data=data, valid=valid,

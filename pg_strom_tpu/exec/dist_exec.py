@@ -55,6 +55,25 @@ def _next_pow2(n: int, lo: int = 256) -> int:
     return p
 
 
+def _args_for_specs(inst, specs) -> list:
+    """Repeat each arg once per wire lane (numeric args span 3 specs)."""
+    out = []
+    for a in inst.args:
+        out.extend([a] * len(_arg_specs("probe", a.type)))
+    assert len(out) == len(specs)
+    return out
+
+
+def _arg_specs(side: str, t: T) -> list:
+    """Wire LaneSpecs for one agg argument: one lane, except NUMERIC which
+    ships (mantissa, exponent, dscale) — see parallel/dist.DIST_SLOT_KINDS."""
+    if t is T.NUMERIC:
+        return [LaneSpec(side=side, t=t, role="arg"),
+                LaneSpec(side=side, t=t, role="arg_exp"),
+                LaneSpec(side=side, t=t, role="arg_dscale")]
+    return [LaneSpec(side=side, t=t, role="arg")]
+
+
 def _f64_orderkey_np(a: np.ndarray) -> np.ndarray:
     """Exact int64 order key of float64 values (PG float8_cmp order:
     NaN greatest and equal to NaN; -0 == +0)."""
@@ -103,6 +122,17 @@ class DistJoinAggExecutor:
             return "build"
         return None
 
+    def _expr_side(self, e: Expr) -> Optional[str]:
+        """Side of an expression: the side every referenced column lives
+        on (None for mixed-side or unresolvable expressions)."""
+        if isinstance(e, ColumnRef):
+            return self._side_of(e.name)
+        from ..expr.ir import referenced_columns
+        sides = {self._side_of(nm) for nm in referenced_columns(e)}
+        if len(sides) == 1 and None not in sides:
+            return sides.pop()
+        return None
+
     def eligible(self) -> bool:
         if not (config.enabled and config.distributed):
             return False
@@ -113,21 +143,38 @@ class DistJoinAggExecutor:
         for k in self.probe_keys + self.build_keys:
             if not isinstance(k, ColumnRef) or k.type not in JOIN_KEY_OK:
                 return False
+        from ..expr.catalog import device_expression_supported
         for g in self.group_exprs:
-            if not isinstance(g, ColumnRef) or g.type not in GROUP_KEY_OK:
+            if g.type not in GROUP_KEY_OK or self._expr_side(g) is None:
                 return False
-            if self._side_of(g.name) is None:
-                return False
+            if not isinstance(g, ColumnRef):
+                # computed keys pre-project (round-3 item 9) — except text
+                # (per-column dictionaries) and numeric (dscale semantics)
+                if (g.type in (T.TEXT, T.BPCHAR, T.NUMERIC)
+                        or not device_expression_supported(g)):
+                    return False
         for inst in self.aggs:
             if inst.distinct:
                 return False
             if any(kind not in DIST_SLOT_KINDS for kind in inst.slots):
                 return False
             for a in inst.args:
-                if not isinstance(a, ColumnRef) or a.type not in AGG_ARG_OK:
+                if a.type not in AGG_ARG_OK:
                     return False
-                if self._side_of(a.name) is None:
+                side = self._expr_side(a)
+                if side is None:
                     return False
+                if not isinstance(a, ColumnRef):
+                    if (a.type is T.NUMERIC
+                            or not device_expression_supported(a)):
+                        return False
+                elif a.type is T.NUMERIC:
+                    # values outside the device mantissa/exp window carry
+                    # exact host-side Decimals the wire can't ship
+                    tbl = self.probe if side == "probe" else self.build
+                    c = tbl.columns[a.name]
+                    if c.recheck is not None and c.recheck.any():
+                        return False
         return True
 
     # -- lane building -------------------------------------------------------
@@ -162,6 +209,14 @@ class DistJoinAggExecutor:
                         break
         key = ("dist_args", type(self).__name__,
                tuple(sorted({c.uid for c in cols})),
+               # the full expr set, not just the referenced columns: two
+               # queries can reference the same columns in different lane
+               # roles (sum(a),count(b) vs sum(b),count(a)) with identical
+               # type signatures
+               tuple(repr(k) for k in getattr(self, "probe_keys", [])),
+               tuple(repr(k) for k in getattr(self, "build_keys", [])),
+               tuple(repr(g) for g in self.group_exprs),
+               tuple(repr(a) for i_ in self.aggs for a in i_.args),
                repr(getattr(self, "probe_pred", None)),
                repr(getattr(self, "build_pred", None)),
                repr(getattr(self, "pred", None)), sig, ndev,
@@ -199,10 +254,58 @@ class DistJoinAggExecutor:
             enc = c.data[ii].astype(np.int64)
         return np.where(valid, enc, np.int64(0)), valid
 
+    def _expr_lane(self, table: Table, sp: LaneSpec, e: Expr,
+                   ii: np.ndarray):
+        """Wire lane for a group/arg EXPRESSION (round-3 item 9): plain
+        ColumnRefs read the column planes; computed expressions pre-project
+        once per column version through the single-device lowering (cached
+        in the tcache aux space) and the projected lane ships like a
+        column."""
+        if isinstance(e, ColumnRef):
+            return self._value_lane(table, sp, e.name, ii)
+        from .devcache import TCACHE
+        key = ("dist_expr_lane",
+               tuple(c.uid for c in table.columns.values()), repr(e))
+        proj = TCACHE.get_aux(key, self.perfmon)
+        if proj is None:
+            import jax
+            from ..expr.ir import bind_columns
+            from ..expr.lower_jax import (build_project_fn,
+                                          schema_from_chunk_columns,
+                                          planes_of_column)
+            names = table.column_names
+            cols = [table.columns[n] for n in names]
+            schema = schema_from_chunk_columns(names, cols)
+            be = bind_columns(e, {n: i for i, n in enumerate(names)})
+            fn = jax.jit(build_project_fn([be], schema))
+            planes = tuple(planes_of_column(c) for c in cols)
+            outs, _mask, err = jax.device_get(
+                fn(planes, np.int32(table.nrows)))
+            if int(np.max(np.asarray(err))) != 0:
+                raise DistFallback("expr lane needs host recheck")
+            proj = (np.asarray(outs[0][0]), np.asarray(outs[0][1]))
+            TCACHE.put_aux(key, proj, table.name, cols)
+        data_full, valid_full = proj
+        valid = valid_full[ii].astype(bool)
+        if sp.role == "gkey" and sp.t in (T.FLOAT4, T.FLOAT8):
+            data = _f64_orderkey_np(data_full[ii].astype(np.float64))
+        elif sp.t is T.FLOAT4 and sp.role != "gkey":
+            data = data_full[ii].astype(np.float32)
+        elif sp.t is T.FLOAT8 and sp.role != "gkey":
+            data = np.ascontiguousarray(
+                data_full[ii].astype(np.float64)).view(np.int64)
+        else:
+            data = data_full[ii].astype(np.int64)
+        return np.where(valid, data, data.dtype.type(0)), valid
+
     def _value_lane(self, table: Table, sp: LaneSpec, name: str,
                     ii: np.ndarray):
         c = table.columns[name]
         valid = c.valid[ii].astype(bool)
+        if sp.role == "arg_exp":
+            return c.num_exp[ii].astype(np.int64), valid
+        if sp.role == "arg_dscale":
+            return c.num_dscale[ii].astype(np.int64), valid
         if sp.role == "gkey":
             if sp.t in (T.FLOAT4, T.FLOAT8):
                 data = _f64_orderkey_np(c.data[ii].astype(np.float64))
@@ -230,14 +333,17 @@ class DistJoinAggExecutor:
         gspecs = []
         gmeta = []                       # (type, dictionary|None) per gkey
         for g in self.group_exprs:
-            side = self._side_of(g.name)
+            side = self._expr_side(g)
             tbl = self.probe if side == "probe" else self.build
             gspecs.append(LaneSpec(side=side, t=g.type, role="gkey"))
-            gmeta.append((g.type, tbl.columns[g.name].dictionary))
+            gmeta.append((g.type,
+                          tbl.columns[g.name].dictionary
+                          if isinstance(g, ColumnRef) else None))
         agg_sigs = []
         for inst in self.aggs:
-            specs = tuple(LaneSpec(side=self._side_of(a.name), t=a.type,
-                                   role="arg") for a in inst.args)
+            specs = tuple(
+                sp for a in inst.args
+                for sp in _arg_specs(self._expr_side(a), a.type))
             agg_sigs.append((specs, tuple(inst.slots)))
         sig = DistPlanSig(n_probe_jkeys=len(self.probe_keys),
                           n_build_jkeys=len(self.build_keys),
@@ -268,14 +374,14 @@ class DistJoinAggExecutor:
                 sp = gspecs[gi]
                 tbl, ii = ((self.probe, pii) if sp.side == "probe"
                            else (self.build, bii))
-                d, v = self._value_lane(tbl, sp, g.name, ii)
+                d, v = self._expr_lane(tbl, sp, g, ii)
                 (plv if sp.side == "probe" else blv).append(d)
                 (plvv if sp.side == "probe" else blvv).append(v)
             for inst, (specs, _k) in zip(self.aggs, agg_sigs):
-                for a, sp in zip(inst.args, specs):
+                for a, sp in zip(_args_for_specs(inst, specs), specs):
                     tbl, ii = ((self.probe, pii) if sp.side == "probe"
                                else (self.build, bii))
-                    d, v = self._value_lane(tbl, sp, a.name, ii)
+                    d, v = self._expr_lane(tbl, sp, a, ii)
                     (plv if sp.side == "probe" else blv).append(d)
                     (plvv if sp.side == "probe" else blvv).append(v)
 
@@ -409,8 +515,13 @@ class DistPreAggExecutor:
             return False
         if len(jax.devices()) < 2 or self.table.nrows == 0:
             return False
+        from ..expr.catalog import device_expression_supported
         for g in self.group_exprs:
-            if not isinstance(g, ColumnRef) or g.type not in GROUP_KEY_OK:
+            if g.type not in GROUP_KEY_OK:
+                return False
+            if not isinstance(g, ColumnRef) and (
+                    g.type in (T.TEXT, T.BPCHAR, T.NUMERIC)
+                    or not device_expression_supported(g)):
                 return False
         for inst in self.aggs:
             if inst.distinct:
@@ -418,8 +529,17 @@ class DistPreAggExecutor:
             if any(kind not in DIST_SLOT_KINDS for kind in inst.slots):
                 return False
             for a in inst.args:
-                if not isinstance(a, ColumnRef) or a.type not in AGG_ARG_OK:
+                if a.type not in AGG_ARG_OK:
                     return False
+                if not isinstance(a, ColumnRef):
+                    if (a.type is T.NUMERIC
+                            or not device_expression_supported(a)):
+                        return False
+                elif a.type is T.NUMERIC:
+                    c = self.table.columns.get(a.name)
+                    if (c is None or c.recheck is not None
+                            and c.recheck.any()):
+                        return False
         return True
 
     def run(self) -> list[tuple]:
@@ -435,9 +555,12 @@ class DistPreAggExecutor:
         gspecs, gmeta = [], []
         for g in self.group_exprs:
             gspecs.append(LaneSpec(side="probe", t=g.type, role="gkey"))
-            gmeta.append((g.type, self.table.columns[g.name].dictionary))
-        agg_sigs = [(tuple(LaneSpec(side="probe", t=a.type, role="arg")
-                           for a in inst.args), tuple(inst.slots))
+            gmeta.append((g.type,
+                          self.table.columns[g.name].dictionary
+                          if isinstance(g, ColumnRef) else None))
+        agg_sigs = [(tuple(sp for a in inst.args
+                           for sp in _arg_specs("probe", a.type)),
+                     tuple(inst.slots))
                     for inst in self.aggs]
         sig = DistPlanSig(n_probe_jkeys=0, n_build_jkeys=0,
                           gkeys=tuple(gspecs), aggs=tuple(agg_sigs),
@@ -452,12 +575,12 @@ class DistPreAggExecutor:
             valid = np.ones(ii.size, bool)
             lanes, lvalids = [], []
             for gi, g in enumerate(self.group_exprs):
-                d, v = helper._value_lane(self.table, gspecs[gi], g.name, ii)
+                d, v = helper._expr_lane(self.table, gspecs[gi], g, ii)
                 lanes.append(d)
                 lvalids.append(v)
             for inst, (specs, _k) in zip(self.aggs, agg_sigs):
-                for a, sp in zip(inst.args, specs):
-                    d, v = helper._value_lane(self.table, sp, a.name, ii)
+                for a, sp in zip(_args_for_specs(inst, specs), specs):
+                    d, v = helper._expr_lane(self.table, sp, a, ii)
                     lanes.append(d)
                     lvalids.append(v)
 

@@ -49,6 +49,14 @@ def lib() -> ctypes.CDLL:
         L.arena_release_owner.restype = ctypes.c_uint64
         L.arena_release_owner.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         L.arena_stats.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)]
+        # slab tier (shmem.c:94-100, 359-410 analog)
+        L.slab_alloc.restype = ctypes.c_void_p
+        L.slab_alloc.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                 ctypes.c_uint64]
+        L.slab_free.restype = ctypes.c_int
+        L.slab_free.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        L.slab_stats.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_uint64)]
         # mqueue
         L.mq_create.restype = ctypes.c_void_p
         L.mq_destroy.argtypes = [ctypes.c_void_p]
@@ -124,6 +132,29 @@ class Arena:
         self._l.arena_stats(self._h, buf)
         return {"n_alloc": buf[0], "n_free": buf[1],
                 "bytes_live": buf[2], "size": buf[3]}
+
+    # -- slab tier (small-object classes carved from buddy blocks;
+    #    reference shmem.c:94-100, 359-410) ------------------------------
+
+    def slab_alloc(self, size: int, owner: int = 0) -> int:
+        p = self._l.slab_alloc(self._h, size, owner)
+        if not p:
+            raise MemoryError(f"slab out of memory ({size} bytes)")
+        return p
+
+    def slab_free(self, ptr: int) -> None:
+        rc = self._l.slab_free(self._h, ptr)
+        if rc:
+            raise RuntimeError(
+                {1: "bad slab magic", 2: "redzone overwritten",
+                 3: "double free"}[rc])
+
+    def slab_stats(self) -> list[dict]:
+        buf = (ctypes.c_uint64 * 20)()
+        self._l.slab_stats(self._h, buf)
+        return [{"size": buf[c * 4], "n_alloc": buf[c * 4 + 1],
+                 "n_free": buf[c * 4 + 2], "n_objects": buf[c * 4 + 3]}
+                for c in range(5)]
 
     def __del__(self):
         try:
@@ -244,8 +275,10 @@ def arena_ndarray(n: int, dtype, owner: int = 0) -> np.ndarray:
     import weakref
     a = data_arena()
     size = int(n) * np.dtype(dtype).itemsize
+    use_slab = size <= 2520                  # largest slab class
     try:
-        ptr = a.alloc(max(size, 1), owner)
+        ptr = (a.slab_alloc(max(size, 1), owner) if use_slab
+               else a.alloc(max(size, 1), owner))
     except MemoryError:
         return np.zeros(n, dtype=dtype)
     buf = (ctypes.c_char * max(size, 1)).from_address(ptr)
@@ -256,9 +289,9 @@ def arena_ndarray(n: int, dtype, owner: int = 0) -> np.ndarray:
         pass
     arr[:] = 0
 
-    def _free(aa=a, pp=ptr):
+    def _free(aa=a, pp=ptr, slab=use_slab):
         try:
-            aa.free(pp)
+            (aa.slab_free(pp) if slab else aa.free(pp))
         except Exception:
             pass
     # ndarrays aren't weakref-able; the ctypes buffer (kept alive as the

@@ -89,8 +89,12 @@ void* arena_create(uint64_t size) {
   return a;
 }
 
+void slab_state_drop(void* ap);   // defined with the slab tier below
+
 void arena_destroy(void* ap) {
   auto* a = (Arena*)ap;
+  slab_state_drop(ap);   // a new arena may mmap at the same address —
+                         // stale slab freelists would point into it
   if (a->base) munmap(a->base, a->size);
   delete a;
 }
@@ -208,6 +212,131 @@ void arena_stats(void* ap, uint64_t* out4) {
   out4[1] = a->n_free.load();
   out4[2] = a->bytes_live.load();
   out4[3] = a->size;
+}
+
+// ===========================================================================
+// slab tier over buddy blocks — the reference's small-object classes
+// (shmem.c:94-100 slab sizes, 359-410 carve/free): fixed-size object
+// classes carved from 64KB buddy blocks, each object guarded by a magic +
+// class byte header and a trailing redzone word, with per-class counters
+// surfaced to pgstrom_slab_info.
+// ===========================================================================
+
+static constexpr int N_SLAB_CLASSES = 5;
+static constexpr uint64_t SLAB_SIZES[N_SLAB_CLASSES] =
+    {96, 240, 512, 1184, 2520};
+static constexpr uint32_t SLAB_MAGIC = 0x51abca11;
+static constexpr uint64_t SLAB_CHUNK = 1ull << 16;   // carved per refill
+
+struct SlabHeader {
+  uint32_t magic;
+  uint8_t cls;
+  uint8_t in_use;
+  uint16_t _pad;
+  SlabHeader* next_free;   // freelist link while free
+};
+
+struct SlabState {
+  std::mutex lock;
+  SlabHeader* freelists[N_SLAB_CLASSES] = {nullptr};
+  uint64_t n_alloc[N_SLAB_CLASSES] = {0};
+  uint64_t n_free[N_SLAB_CLASSES] = {0};
+  uint64_t n_objects[N_SLAB_CLASSES] = {0};   // carved capacity
+};
+
+static std::unordered_map<void*, SlabState*> g_slabs;
+static std::mutex g_slabs_lock;
+
+void slab_state_drop(void* ap) {
+  std::lock_guard<std::mutex> g(g_slabs_lock);
+  auto it = g_slabs.find(ap);
+  if (it != g_slabs.end()) {
+    delete it->second;
+    g_slabs.erase(it);
+  }
+}
+
+static SlabState* slab_state_for(void* ap) {
+  std::lock_guard<std::mutex> g(g_slabs_lock);
+  auto it = g_slabs.find(ap);
+  if (it != g_slabs.end()) return it->second;
+  auto* s = new SlabState();
+  g_slabs.emplace(ap, s);
+  return s;
+}
+
+static int slab_class_for(uint64_t size) {
+  for (int c = 0; c < N_SLAB_CLASSES; c++)
+    if (size <= SLAB_SIZES[c]) return c;
+  return -1;
+}
+
+// allocate from the slab tier; sizes beyond the largest class defer to the
+// buddy allocator (caller should use arena_alloc directly; we do it here so
+// one entry point serves both, like pgstrom_shmem_alloc)
+void* slab_alloc(void* ap, uint64_t size, uint64_t owner) {
+  int cls = slab_class_for(size);
+  if (cls < 0) return arena_alloc(ap, size, owner);
+  auto* s = slab_state_for(ap);
+  std::lock_guard<std::mutex> g(s->lock);
+  if (!s->freelists[cls]) {
+    // refill: carve one buddy chunk into objects of this class
+    uint64_t obj = sizeof(SlabHeader) + SLAB_SIZES[cls] + sizeof(uint32_t);
+    uint8_t* blk = (uint8_t*)arena_alloc(ap, SLAB_CHUNK - 64, 0);
+    if (!blk) return nullptr;
+    uint64_t count = (SLAB_CHUNK - 64) / obj;
+    for (uint64_t i = 0; i < count; i++) {
+      auto* h = (SlabHeader*)(blk + i * obj);
+      h->magic = SLAB_MAGIC;
+      h->cls = (uint8_t)cls;
+      h->in_use = 0;
+      h->next_free = s->freelists[cls];
+      s->freelists[cls] = h;
+    }
+    s->n_objects[cls] += count;
+  }
+  SlabHeader* h = s->freelists[cls];
+  s->freelists[cls] = h->next_free;
+  h->in_use = 1;
+  uint8_t* payload = (uint8_t*)h + sizeof(SlabHeader);
+  *(uint32_t*)(payload + SLAB_SIZES[cls]) = REDZONE_MAGIC;
+  s->n_alloc[cls]++;
+  return payload;
+}
+
+// returns: 0 ok; 1 bad magic; 2 redzone overwritten; 3 double free;
+// frees only when 0.  Objects from the buddy spillover path go through
+// arena_free (their header magic distinguishes them).
+int slab_free(void* ap, void* p) {
+  auto* h = (SlabHeader*)((uint8_t*)p - sizeof(SlabHeader));
+  {
+    // buddy spillover block? (size > largest class at alloc time)
+    auto* bh = (BlockHeader*)((uint8_t*)p - sizeof(BlockHeader));
+    if (bh->magic == BLOCK_MAGIC) return arena_free(ap, p);
+  }
+  if (h->magic != SLAB_MAGIC || h->cls >= N_SLAB_CLASSES) return 1;
+  auto* s = slab_state_for(ap);
+  std::lock_guard<std::mutex> g(s->lock);
+  if (!h->in_use) return 3;
+  uint8_t* payload = (uint8_t*)p;
+  if (*(uint32_t*)(payload + SLAB_SIZES[h->cls]) != REDZONE_MAGIC) return 2;
+  h->in_use = 0;
+  h->next_free = s->freelists[h->cls];
+  s->freelists[h->cls] = h;
+  s->n_free[h->cls]++;
+  return 0;
+}
+
+// out: N_SLAB_CLASSES rows of (size, n_alloc, n_free, n_objects)
+void slab_stats(void* ap, uint64_t* out) {
+  auto* s = slab_state_for(ap);
+  std::lock_guard<std::mutex> g(s->lock);
+  for (int c = 0; c < N_SLAB_CLASSES; c++) {
+    out[c * 4 + 0] = SLAB_SIZES[c];
+    out[c * 4 + 1] = s->n_alloc[c];
+    out[c * 4 + 2] = s->n_free[c];
+    out[c * 4 + 3] = s->n_objects[c];
+  }
 }
 
 // ===========================================================================

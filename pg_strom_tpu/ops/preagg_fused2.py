@@ -89,6 +89,9 @@ class V2Sig:
     shadow_map: tuple            # (recipe_shadow_col, phys_col)
     rng: int                     # dense key range; G buckets >= rng + 2
     has_pred: bool
+    # input positions delivered as 2-D bool blocks (pallas converts i1
+    # memrefs to i32 — cheaper than in-kernel i8 widen+reshape chains)
+    bool_inputs: tuple = ()
 
 
 @dataclasses.dataclass
@@ -253,6 +256,13 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
             inputs.append(k)
         return in_ix[k]
 
+    def get_valid(idx: int) -> int:
+        # statistics-driven elision: a column with zero NULLs never ships
+        # its validity plane — the kernel treats -1 as constant-true
+        if column_stats(columns[idx]).null_count == 0:
+            return -1
+        return get_in(idx, "valid")
+
     def emit(op, width) -> int:
         nonlocal col
         ops.append(op)
@@ -263,14 +273,14 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
     # register key + predicate column planes as kernel inputs (the ops walk
     # below only registers agg-arg planes)
     get_in(key.index, "data")
-    get_in(key.index, "valid")
+    key_vin = get_valid(key.index)
     for node in ([pred] if pred is not None else []):
         stack = [node]
         while stack:
             x = stack.pop()
             if isinstance(x, ColumnRef):
                 get_in(x.index, "data")
-                get_in(x.index, "valid")
+                get_valid(x.index)
             for ch in getattr(x, "children", lambda: ())():
                 stack.append(ch)
 
@@ -292,7 +302,7 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
         def cnt_phys() -> int:
             nonlocal cnt_col
             if cnt_col is None:
-                vin = get_in(a.index, "valid")
+                vin = get_valid(a.index)
                 cnt_col = emit(("cnt", vin), 1)
             return cnt_col
 
@@ -314,7 +324,7 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
                     din = get_in(a.index, "data")
                     si = len(scal_i)
                     scal_i.append(_wrap_i32(amin))
-                    c = emit(("sum_i4", din, get_in(a.index, "valid"),
+                    c = emit(("sum_i4", din, get_valid(a.index),
                               nl, si), nl)
                 else:                      # INT8 via u32 pair planes
                     lin = get_in(a.index, "lo")
@@ -326,7 +336,7 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
                     scal_u += [np.uint32(um & 0xFFFFFFFF),
                                np.uint32(um >> 32)]
                     c = emit(("sum_i8", lin, hin,
-                              get_in(a.index, "valid"), nl, su), nl)
+                              get_valid(a.index), nl, su), nl)
                 r = _SlotRecipe(kind, list(range(S, S + nl)),
                                 okcnt=-2, bias_value=amin)
                 # okcnt rides the shared count column (recipe position)
@@ -343,7 +353,7 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
                 din = get_in(a.index, "data")
                 if maxabs < (1 << 16):
                     nl = max(-(-(2 * _bits(maxabs)) // 8), 1)
-                    c = emit(("sumsq4", din, get_in(a.index, "valid"), nl),
+                    c = emit(("sumsq4", din, get_valid(a.index), nl),
                              nl)
                     r = _SlotRecipe(kind, list(range(S, S + nl)))
                     S += nl
@@ -352,7 +362,7 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
                 else:
                     # |v| = a*2^16 + b: v^2 = a^2*2^32 + ab*2^17 + b^2
                     c = emit(("sumsq4_big", din,
-                              get_in(a.index, "valid")), 12)
+                              get_valid(a.index)), 12)
                     r = _SlotRecipe(kind, list(range(S, S + 8)))
                     S += 8
                     for j in range(4):
@@ -364,7 +374,7 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
                 d[kind] = r
             else:                          # sum_f on FLOAT4
                 din = get_in(a.index, "data")
-                vin = get_in(a.index, "valid")
+                vin = get_valid(a.index)
                 nf = len(f4sc)
                 mx = float(ast.max_val) if ast.min_val is not None else 0.0
                 mx = max(mx, abs(float(ast.min_val or 0.0)))
@@ -389,11 +399,15 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
     if col > LANES:
         return None
     shadow_map.sort(key=lambda p: p[0])
+    bool_in = tuple(
+        i for i, (idx, which) in enumerate(inputs)
+        if which == "valid" or (which == "data"
+                                and columns[idx].data.dtype == np.bool_))
     sig = V2Sig(ops=tuple(ops), inputs=tuple(inputs),
                 ni=len(scal_i) + 1,       # +1: nrows prepended per call
                 nu=max(len(scal_u), 1), nf4=len(f4sc), ncols=col, S=S,
                 int_map=tuple(int_map), shadow_map=tuple(shadow_map),
-                rng=rng, has_pred=pred is not None)
+                rng=rng, has_pred=pred is not None, bool_inputs=bool_in)
     G = max(_pow2(rng + 2), 8)
     return V2Plan(
         sig=sig, G=G, kmin=kmin, recipes=recipes,
@@ -430,11 +444,15 @@ def _kpred(e: Expr, rd_col, key_schema) -> tuple:
             v = nv
         return d, v
     if isinstance(e, NullTest):
-        _, cv = rd_col(e.arg)
+        cd, cv = rd_col(e.arg)
+        if cv is None:                 # validity elided: never NULL
+            cv = jnp.full(cd.shape, True)
         r = ~cv if e.isnull else cv
         return r, jnp.ones_like(r)
     if isinstance(e, ColumnRef):               # bare bool column
         cd, cv = rd_col(e)
+        if cv is None:
+            cv = jnp.full(cd.shape, True)
         return cd.astype(jnp.bool_), cv
     assert isinstance(e, FuncExpr)
     tag = _CMP_TAGS[e.fname.split("::", 1)[0]]
@@ -530,8 +548,24 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
             fail_acc[0, 0] = jnp.int32(0)
 
         def rd(i):
-            return in_refs[i][:]
+            # non-bool lanes arrive as FLAT (TILE,) blocks and reshape to
+            # (P, T4) in VMEM — measured free on v5e, where the XLA-side
+            # 1-D -> (N/T4, T4) retile of every input plane cost ~2.5ms
+            # per 2^26-row chunk.  Bool lanes arrive 2-D (pallas converts
+            # i1 memrefs to i32; in-kernel i8 widen+reshape chains measured
+            # ~1.5ms/lane slower).  i == -1: statistics proved the column
+            # NULL-free and the validity plane was elided — constant true.
+            if i < 0:
+                return None
+            v = in_refs[i][:]
+            return v if i in bool_set else v.reshape(P, T4)
 
+        def rd_ok(i, base):
+            """validity lane & base mask (elided lane -> base)."""
+            v = rd(i)
+            return base if v is None else (v & base)
+
+        bool_set = frozenset(sig.bool_inputs)
         nrows = si_ref[0, 0]
         kmin = si_ref[0, 1]
         rng = jnp.int32(sig.rng)
@@ -542,7 +576,10 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
 
         def rd_col(cref: ColumnRef):
             di = _in_index(sig, cref.index, "data")
-            vi = _in_index(sig, cref.index, "valid")
+            try:
+                vi = _in_index(sig, cref.index, "valid")
+            except ValueError:
+                vi = -1                # validity elided (NULL-free column)
             return rd(di), rd(vi)
 
         if pred_key is not None:
@@ -551,8 +588,7 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
         else:
             mask = live
         kd = rd(key_in_d)
-        kv = rd(key_in_v)
-        okk = kv & mask
+        okk = rd_ok(key_in_v, mask)
         segk = kd - kmin
         bad = okk & ((segk < jnp.int32(0)) | (segk > rng))
         seg = jnp.where(mask,
@@ -568,10 +604,10 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
             if tag == "mask":
                 rows.append(mask.astype(jnp.bfloat16))
             elif tag == "cnt":
-                rows.append((rd(op[1]) & mask).astype(jnp.bfloat16))
+                rows.append(rd_ok(op[1], mask).astype(jnp.bfloat16))
             elif tag == "sum_i4":
                 _, din, vin, nl, si = op
-                ok = rd(vin) & mask
+                ok = rd_ok(vin, mask)
                 # scal layout [nrows, kmin=scal_i[0], ...]: user index si
                 # lands at kernel offset si + 1
                 u = jax.lax.bitcast_convert_type(rd(din) - si_ref[0, si + 1],
@@ -580,7 +616,7 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
                 rows.append(u_limbs(u, nl))
             elif tag == "sum_i8":
                 _, lin, hin, vin, nl, su = op
-                ok = rd(vin) & mask
+                ok = rd_ok(vin, mask)
                 mlo = su_ref[0, su]
                 lo = rd(lin) - mlo
                 if nl <= 4:
@@ -595,7 +631,7 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
                         [u_limbs(lo, 4), u_limbs(hi, nl - 4)], axis=0))
             elif tag in ("sumsq4", "sumsq4_big"):
                 din, vin = op[1], op[2]
-                ok = rd(vin) & mask
+                ok = rd_ok(vin, mask)
                 d = rd(din)
                 ub = jax.lax.bitcast_convert_type(d, jnp.uint32)
                 u = jnp.where(d < jnp.int32(0), jnp.uint32(0) - ub, ub)
@@ -609,7 +645,7 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
                         rows.append(u_limbs(sq, 4))
             elif tag == "f4s":
                 din, vin, nf = op[1], op[2], op[3]
-                ok = rd(vin) & mask
+                ok = rd_ok(vin, mask)
                 x = jnp.where(ok, rd(din), jnp.float32(0.0))
                 zero = jnp.float32(0.0)
                 pos = jnp.where(x > zero, x, zero)
@@ -633,7 +669,7 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
                             .astype(jnp.bfloat16))
             elif tag == "fabs":
                 din, vin = op[1], op[2]
-                ok = rd(vin) & mask
+                ok = rd_ok(vin, mask)
                 x = jnp.where(ok, rd(din), jnp.float32(0.0))
                 rows.append(jnp.abs(x).astype(jnp.bfloat16))
             else:                          # pragma: no cover
@@ -642,6 +678,9 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
             rows.append(jnp.zeros((SKL - K * P, T4), jnp.bfloat16))
         Vt = jnp.concatenate(rows, axis=0)
 
+        # one-hot via i32 compare + bf16 cast (bf16 compares are not
+        # supported by this target's Mosaic — "Target does not support
+        # this comparison")
         oht = (rep(seg, G) == limb_iota(G)).astype(jnp.bfloat16)
         for sg in range(-(-GP // LANES)):
             g0 = sg * LANES
@@ -671,8 +710,12 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
             sh_ref[:] = sh_acc[:]
             fail_ref[0, 0] = fail_acc[0, 0]
 
-    lane = pl.BlockSpec((P, T4), lambda i: (i, i * 0),
-                        memory_space=pltpu.VMEM)
+    lane1 = pl.BlockSpec((TILE,), lambda i: (i,),
+                         memory_space=pltpu.VMEM)
+    lane2 = pl.BlockSpec((P, T4), lambda i: (i, i * 0),
+                         memory_space=pltpu.VMEM)
+    lane_specs = [lane2 if i in sig.bool_inputs else lane1
+                  for i in range(n_in)]
     out_spec = pl.BlockSpec((GP, SKL), lambda i: (i * 0, i * 0),
                             memory_space=pltpu.VMEM)
 
@@ -682,8 +725,8 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
 
     return pl.pallas_call(
         kernel, grid=(nsteps,), interpret=interpret,
-        in_specs=[lane] * n_in + [srow(1, sig.ni), srow(1, sig.nu),
-                                  srow(2, max(sig.nf4, 1))],
+        in_specs=lane_specs + [srow(1, sig.ni), srow(1, sig.nu),
+                               srow(2, max(sig.nf4, 1))],
         out_specs=(out_spec, out_spec, out_spec,
                    pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0),
                                 memory_space=pltpu.SMEM)),
@@ -730,24 +773,36 @@ def build_fused2_fn(schema, group_exprs, aggs, pred, G: int, sig: V2Sig):
                 p = scal["split"][idx][0 if which == "lo" else 1]
             return p
 
-        kin = tuple(plane(i, w).reshape(-1, T4) for i, w in sig.inputs)
+        kin = tuple(
+            plane(i, w).reshape(-1, T4) if pos in sig.bool_inputs
+            else plane(i, w)
+            for pos, (i, w) in enumerate(sig.inputs))
         # i32 scalar row: [nrows, kmin, user...] — scal["i"] = [kmin, user...]
         si = jnp.concatenate(
             [jnp.asarray(nrows, jnp.int32).reshape(1, 1),
              jnp.asarray(scal["i"], jnp.int32)], axis=1)
+        try:
+            kvi = _in_index(sig, key.index, "valid")
+        except ValueError:
+            kvi = -1                   # key column proven NULL-free
         kfn = _build_kernel(sig, _in_index(sig, key.index, "data"),
-                            _in_index(sig, key.index, "valid"),
-                            pred, n, G, TILE, interpret)
+                            kvi, pred, n, G, TILE, interpret)
         hi, lo, sh, fail = kfn(*kin, si,
                                jnp.asarray(scal["u"], jnp.uint32),
                                jnp.asarray(scal["f4sc"], jnp.float32))
-        full = (hi.astype(jnp.int64) << 12) + lo.astype(jnp.int64)
-        SKL = full.shape[1]
-        a4 = full.reshape(G, P, SKL // P, P)
-        ints = jnp.sum(jnp.diagonal(a4, axis1=1, axis2=3), axis=-1)
+        # strided-diagonal reduce in NARROW dtypes first (i64/f64 are
+        # software-emulated on TPU): hi/lo stay int32 through the (G, P,
+        # K, P) diagonal sum — per-cell hi <= sum_flushes(acc>>12) <
+        # 2^26/4096 * 2^12 and the P-way sum adds 3 bits, well inside
+        # int32 — then widen only the (G, K) result
+        SKL = hi.shape[1]
+        hd = jnp.diagonal(hi.reshape(G, P, SKL // P, P), axis1=1, axis2=3)
+        ld = jnp.diagonal(lo.reshape(G, P, SKL // P, P), axis1=1, axis2=3)
+        ints = (jnp.sum(hd, axis=-1).astype(jnp.int64) << 12) \
+            + jnp.sum(ld, axis=-1).astype(jnp.int64)
         s4 = sh.reshape(G, P, SKL // P, P)
-        sh_g = jnp.sum(jnp.diagonal(s4, axis1=1, axis2=3)
-                       .astype(jnp.float64), axis=-1)
+        sh_g = jnp.sum(jnp.diagonal(s4, axis1=1, axis2=3),
+                       axis=-1).astype(jnp.float64)
 
         sums = jnp.zeros((G, sig.S), jnp.int64)
         by_mult: dict = {}

@@ -57,11 +57,16 @@ from .mesh import get_mesh  # noqa: F401
 _INT_LANE = {T.BOOL, T.INT2, T.INT4, T.INT8, T.DATE, T.TIME, T.TIMESTAMP}
 JOIN_KEY_OK = _INT_LANE | {T.FLOAT4, T.FLOAT8}
 GROUP_KEY_OK = JOIN_KEY_OK | {T.TEXT, T.BPCHAR}
-AGG_ARG_OK = _INT_LANE | {T.FLOAT4, T.FLOAT8}
-# slot kinds _slot_compute handles without the numeric (Decimal) machinery
+AGG_ARG_OK = _INT_LANE | {T.FLOAT4, T.FLOAT8, T.NUMERIC}
+# slot kinds _slot_compute handles over the mesh.  Round 3: the numeric
+# (Decimal) family distributes too — a NUMERIC arg ships as THREE int64
+# lanes (mantissa, exponent, display scale) and the per-device
+# _slot_num_sum computes (mant-sum @ group-min-exponent) partials with the
+# same CpuReCheck window guards as the local path (a tripped guard raises
+# the device err lane -> DistFallback -> single-device replay).
 DIST_SLOT_KINDS = {"nrows", "count", "sum_i", "sumsq_i", "sum_f", "sumsq_f",
                    "sum_x", "sum_y", "sum_xy", "sumsq_x", "sumsq_y",
-                   "min", "max"}
+                   "min", "max", "sum_num", "sumsq_num", "maxdscale"}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -356,11 +361,29 @@ def _partials_phase(sig: DistPlanSig, glanes, gvalids, arg_lanes, live,
     slot_out = []
     for (argspecs, kinds), lanes in zip(sig.aggs, arg_lanes):
         dvals = []
-        for sp, (d, v) in zip(argspecs, lanes):
+        li = 0
+        while li < len(argspecs):
+            sp = argspecs[li]
+            d, v = lanes[li]
             if order2 is not None:
                 d = d[order2]
                 v = v[order2]
-            dvals.append(_arg_dval(sp, d, v))
+            if sp.t is T.NUMERIC and sp.role == "arg":
+                # numeric arg = 3 wire lanes: mantissa, exponent, dscale
+                from ..expr.lower_jax import DVal
+                de, _ = lanes[li + 1]
+                dd, _ = lanes[li + 2]
+                if order2 is not None:
+                    de = de[order2]
+                    dd = dd[order2]
+                dv = DVal(t=T.NUMERIC, data=d, valid=v)
+                dv.exp = de.astype(jnp.int32)
+                dv.dscale_lane = dd.astype(jnp.int32)
+                dvals.append(dv)
+                li += 3
+            else:
+                dvals.append(_arg_dval(sp, d, v))
+                li += 1
         d_out = {}
         for kind in kinds:
             d_out.update(_slot_compute(kind, dvals, jv_sorted, seg, G,

@@ -1062,6 +1062,97 @@ def _column_values_at(c: Column, ii) -> list:
     return vals
 
 
+def _topk_rows_dist(cur: Table, names, schema, specs, bpred, k: int,
+                    bitems, perfmon) -> Optional[list[tuple]]:
+    """Distributed ORDER BY + LIMIT: shard rows over the mesh (pure data
+    parallelism — no shuffle), run the packed top-k per device inside one
+    shard_map, merge the ndev*k candidates on the host exactly like the
+    chunked single-device flow.  Returns None to fall back (device error,
+    prefix-tie overflow, recheck rows)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+    from ..parallel.mesh import mesh_for_config
+    from ..exec.scan_exec import _JIT_CACHE as _SCAN_JIT
+    from ..expr.lower_jax import planes_of_column
+    from ..ops.sort import build_sort_topk_fn
+
+    cols = [cur.columns[n] for n in names]
+    for c in cols:
+        if c.recheck is not None and c.recheck.any():
+            return None
+    ndev = len(jax.devices())
+    mesh = mesh_for_config(ndev)
+    axes = tuple(mesh.axis_names)
+    pspec = P(axes if len(axes) > 1 else axes[0])
+    n = cur.nrows
+    shard_n = max(-(-n // ndev), 1024)
+    Npad = shard_n * ndev
+    kk = min(k, shard_n)
+
+    key = ("topk_dist", tuple((m.name, m.type, m.dict_id) for m in schema),
+           specs, bpred, kk, shard_n, ndev, axes)
+    plane_counts = [len(planes_of_column(c)) for c in cols]
+    step = _SCAN_JIT.get(key)
+    if step is None:
+        base = build_sort_topk_fn(schema, list(specs), bpred, kk)
+
+        def per_device(nrows_d, *flat):
+            it = iter(flat)
+            planes = tuple(tuple(next(it) for _ in range(npl))
+                           for npl in plane_counts)
+            top, tops, nqual, err, ovf = base(planes, nrows_d[0])
+            return ((top,) + tuple(tops)
+                    + (nqual.reshape(1), err.reshape(1), ovf.reshape(1)))
+
+        nflat = sum(plane_counts)
+        step = jax.jit(shard_map(
+            per_device, mesh=mesh, in_specs=(pspec,) * (1 + nflat),
+            out_specs=pspec))
+        _SCAN_JIT[key] = step
+
+    def padp(p):
+        m = Npad - p.shape[0]
+        if m == 0:
+            return p
+        return np.concatenate(
+            [p, np.zeros((m,) + p.shape[1:], p.dtype)], axis=0)
+
+    flat_planes = [padp(np.asarray(p)) for c in cols
+                   for p in planes_of_column(c)]
+    nrows_d = np.clip(n - shard_n * np.arange(ndev, dtype=np.int64),
+                      0, shard_n).astype(np.int32)
+    with perfmon.timer("dispatch"):
+        out = step(nrows_d, *flat_planes)
+    with perfmon.timer("device_wait"):
+        out = jax.device_get(out)
+    nlanes = len(out) - 4
+    top_all = np.asarray(out[0]).reshape(ndev, kk)
+    lanes_dev = [np.asarray(a).reshape(ndev, kk) for a in out[1:1 + nlanes]]
+    nqual_d = np.asarray(out[-3]).reshape(ndev)
+    err_d = np.asarray(out[-2]).reshape(ndev)
+    ovf_d = np.asarray(out[-1]).reshape(ndev)
+    if err_d.max() != 0 or ovf_d.any():
+        return None                    # single-device flow handles retries
+    nqual_total = int(nqual_d.sum())
+    take = min(k, nqual_total)
+    if take == 0:
+        return []
+    gids = (top_all + shard_n * np.arange(ndev)[:, None]).reshape(-1)
+    lanes = np.stack([a.reshape(-1) for a in lanes_dev])
+    order = np.lexsort(tuple([gids]
+                             + [lanes[i] for i in range(nlanes - 1, -1, -1)]))
+    sel = gids[order[:take]]
+    out_rows = []
+    for gid in sel:
+        i = int(gid)
+        row = lambda s: cols[s].get(i)  # noqa: E731
+        out_rows.append(tuple(eval_expr_cpu(e, row) for e in bitems))
+    return out_rows
+
+
 def _topk_rows(cur: Table, bpred, bitems, borders, k: int,
                perfmon) -> Optional[list[tuple]]:
     """Device ORDER BY + LIMIT: per-chunk packed sort -> k candidates with
@@ -1087,6 +1178,16 @@ def _topk_rows(cur: Table, bpred, bitems, borders, k: int,
     schema = schema_from_chunk_columns(names, [cur.columns[n] for n in names])
     cap = chunk_capacity(cur.nrows)
     specs = tuple(SortSpec(oe, d, nf) for oe, d, nf in borders)
+
+    if config.distributed and len(jax.devices()) >= 2:
+        # distributed top-k (round-3 item 9): rows shard over the mesh,
+        # each device computes its local top-k, the host merges ndev*k
+        # candidates — same merge the chunked flow uses.  None => fall
+        # through to the single-device path (overflow / recheck / error).
+        rows = _topk_rows_dist(cur, names, schema, specs, bpred, k,
+                               bitems, perfmon)
+        if rows is not None:
+            return rows
     key = ("topk", tuple((m.name, m.type, m.dict_id) for m in schema),
            specs, bpred, k, cap)
     fn = _SCAN_JIT.get(key)

@@ -66,6 +66,27 @@ def virtual_table(name: str) -> Optional[Table]:
             "n_alloc": column_from_values(T.INT8, [s["n_alloc"] for s in stats]),
             "n_free": column_from_values(T.INT8, [s["n_free"] for s in stats]),
         })
+    if name == "pgstrom_slab_info":
+        # small-object slab classes over the buddy arena (the
+        # pgstrom_shmem_slab_info SRF analog, reference shmem.c:1178-1252)
+        rows = []
+        for zone, a in enumerate(_ARENAS):
+            try:
+                for r in a.slab_stats():
+                    rows.append((zone, r))
+            except Exception:
+                continue
+        return Table.from_columns(name, {
+            "zone": column_from_values(T.INT4, [z for z, _ in rows]),
+            "size": column_from_values(T.INT8, [r["size"] for _, r in rows]),
+            "n_alloc": column_from_values(T.INT8,
+                                          [r["n_alloc"] for _, r in rows]),
+            "n_free": column_from_values(T.INT8,
+                                         [r["n_free"] for _, r in rows]),
+            "n_objects": column_from_values(T.INT8,
+                                            [r["n_objects"]
+                                             for _, r in rows]),
+        })
     if name == "pgstrom_mqueue_info":
         # the pgstrom_mqueue_info SRF analog (reference mqueue.c:592)
         return Table.from_columns(name, {

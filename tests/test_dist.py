@@ -169,23 +169,51 @@ class TestDistributedSQL:
             dist = execute(q, db2).rows
         assert _rows_equal(host, dist)
 
-    def test_fallback_on_numeric_agg(self, db):
-        # numeric (Decimal) family is outside DIST_SLOT_KINDS: the planner
-        # silently falls back to the single-device path — results still exact
+    def test_numeric_agg_distributes(self, db):
+        # round 3 (VERDICT item 9): the numeric (Decimal) family rides the
+        # mesh — mantissa/exp/dscale ship as int64 lanes, per-device
+        # partials use the same _slot_num_sum windows as the local path
         db3 = Database()
         from decimal import Decimal
+        rng = np.random.default_rng(13)
+        n = 600
+        vals = [None if i % 17 == 0
+                else Decimal(int(rng.integers(-10**9, 10**9)))
+                / Decimal(100)
+                for i in range(n)]
         db3.create(Table.from_columns("fn", {
-            "k": column_from_values(T.INT4, [1, 1, 2, 2, 3]),
-            "n": column_from_values(T.NUMERIC,
-                                    [Decimal("1.5"), Decimal("2.25"),
-                                     Decimal("-3"), None, Decimal("7")]),
+            "k": column_from_values(T.INT4,
+                                    [int(v) for v in
+                                     rng.integers(1, 9, n)]),
+            "n": column_from_values(T.NUMERIC, vals),
         }))
         db3.create(Table.from_columns("dn", {
-            "dk": column_from_values(T.INT4, [1, 2, 3]),
+            "dk": column_from_values(T.INT4, list(range(1, 9))),
         }))
-        q = ("select fn.k, sum(fn.n) from fn, dn where fn.k = dn.dk "
+        q = ("select fn.k, sum(fn.n), avg(fn.n), count(fn.n), min(fn.n), "
+             "max(fn.n) from fn, dn where fn.k = dn.dk "
              "group by fn.k order by fn.k")
         host, dist = _both(db3, q)
+        assert host == dist, (host[:2], dist[:2])
+        assert _dist_engaged(db3, q), "numeric agg did not distribute"
+
+    def test_numeric_recheck_rows_fall_back(self, db):
+        # values outside the device numeric window carry exact host-side
+        # Decimals the wire cannot ship: silently fall back, still exact
+        db4 = Database()
+        from decimal import Decimal
+        db4.create(Table.from_columns("fr", {
+            "k": column_from_values(T.INT4, [1, 1, 2]),
+            "n": column_from_values(T.NUMERIC,
+                                    [Decimal("1E+49"), Decimal("2"),
+                                     Decimal("3")]),
+        }))
+        db4.create(Table.from_columns("dr", {
+            "dk": column_from_values(T.INT4, [1, 2]),
+        }))
+        q = ("select fr.k, sum(fr.n) from fr, dr where fr.k = dr.dk "
+             "group by fr.k order by fr.k")
+        host, dist = _both(db4, q)
         assert host == dist
 
     def test_distributed_guc_surface(self, db):
@@ -432,3 +460,67 @@ class TestHierarchicalMesh:
                       dist_mesh_hosts=2):
             d2 = execute(q, db).rows
         assert _rows_equal(host, d2)
+
+
+@pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")
+def test_expression_keys_and_args_distribute():
+    """Round-3 item 9: computed group keys and agg args pre-project into
+    wire lanes — the mesh no longer sits idle for expression shapes."""
+    rng = np.random.default_rng(31)
+    nf = 3000
+    db = Database()
+    db.create(Table.from_columns("ef", {
+        "k": column_from_values(T.INT4,
+                                [int(v) for v in rng.integers(0, 60, nf)]),
+        "a": column_from_values(T.INT4,
+                                [int(v) for v in rng.integers(0, 50, nf)]),
+        "x": column_from_values(T.FLOAT8,
+                                [float(v) for v in rng.random(nf)]),
+    }))
+    db.create(Table.from_columns("ed", {
+        "dk": column_from_values(T.INT4, list(range(60))),
+    }))
+    q = ("select ef.k % 7, count(*), sum(ef.a + 1), sum(ef.x * 2) "
+         "from ef, ed where ef.k = ed.dk group by ef.k % 7 "
+         "order by ef.k % 7")
+    host, dist = _both(db, q)
+    assert _rows_equal(host, dist), (host[:3], dist[:3])
+    assert _dist_engaged(db, q), "expression shapes did not distribute"
+
+
+@pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")
+def test_distributed_topk():
+    """Round-3 item 9: ORDER BY + LIMIT shards over the mesh (local top-k
+    per device, host candidate merge) and matches the host tier exactly,
+    including ties resolved by row order."""
+    rng = np.random.default_rng(41)
+    n = 9000
+    db = Database()
+    db.create(Table.from_columns("tk", {
+        "a": column_from_values(T.INT4,
+                                [int(v) for v in rng.integers(0, 500, n)]),
+        "x": column_from_values(T.FLOAT8,
+                                [None if i % 31 == 0 else float(v)
+                                 for i, v in enumerate(rng.random(n))]),
+        "id": column_from_values(T.INT8, list(range(n))),
+    }))
+    q = ("select tk.a, tk.x, tk.id from tk where tk.a < 400 "
+         "order by tk.a desc, tk.x limit 25")
+    host = execute(q, db).rows
+    from pg_strom_tpu.plan import planner as pl
+    ran = {}
+    orig = pl._topk_rows_dist
+
+    def spy(*a, **kw):
+        r = orig(*a, **kw)
+        ran["engaged"] = r is not None
+        return r
+
+    pl._topk_rows_dist = spy
+    try:
+        with override(distributed=True, debug_force_offload=True):
+            dist = execute(q, db).rows
+    finally:
+        pl._topk_rows_dist = orig
+    assert ran.get("engaged"), "distributed top-k did not engage"
+    assert host == dist, (host[:5], dist[:5])

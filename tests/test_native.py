@@ -160,3 +160,63 @@ class TestCsvLoader:
         cols = load_csv(text, ["i", "x", "f"])
         assert cols[1] == (None, None)
         assert cols[0][0][0] == 1 and cols[2][0][0] == 2.5
+
+
+class TestSlabTier:
+    """Slab classes over buddy blocks (shmem.c:94-100, 359-410 analog)."""
+
+    def test_alloc_free_and_stats(self):
+        from pg_strom_tpu.native import Arena
+        a = Arena(1 << 22)
+        ptrs = [a.slab_alloc(sz) for sz in (10, 96, 200, 500, 1000, 2500)]
+        assert len(set(ptrs)) == len(ptrs)
+        st = a.slab_stats()
+        assert [r["size"] for r in st] == [96, 240, 512, 1184, 2520]
+        assert sum(r["n_alloc"] for r in st) == 6
+        for p in ptrs:
+            a.slab_free(p)
+        st = a.slab_stats()
+        assert sum(r["n_free"] for r in st) == 6
+
+    def test_double_free_detected(self):
+        from pg_strom_tpu.native import Arena
+        a = Arena(1 << 22)
+        p = a.slab_alloc(64)
+        a.slab_free(p)
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="double free"):
+            a.slab_free(p)
+
+    def test_redzone_overwrite_detected(self):
+        import ctypes
+        from pg_strom_tpu.native import Arena
+        a = Arena(1 << 22)
+        p = a.slab_alloc(96)
+        # scribble past the 96-byte class payload
+        ctypes.memset(p, 0xAB, 100)
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="redzone"):
+            a.slab_free(p)
+
+    def test_oversize_spills_to_buddy(self):
+        from pg_strom_tpu.native import Arena
+        a = Arena(1 << 22)
+        p = a.slab_alloc(10_000)        # beyond the largest class
+        a.slab_free(p)                  # routed back through the buddy tier
+
+    def test_chunk_planes_ride_arena(self):
+        # query-time data path: padded chunk planes allocate from the
+        # tracked arena (visible in pgstrom_arena_info / slab stats)
+        from pg_strom_tpu.native import data_arena
+        from pg_strom_tpu.datastore import Table, Chunk, column_from_values
+        from pg_strom_tpu import T
+        a = data_arena()
+        before = a.stats()["n_alloc"] + sum(r["n_alloc"]
+                                            for r in a.slab_stats())
+        t = Table.from_columns("t", {
+            "x": column_from_values(T.INT4, list(range(100)))})
+        ch = Chunk.from_table(t, 0, 100, 128)
+        after = a.stats()["n_alloc"] + sum(r["n_alloc"]
+                                           for r in a.slab_stats())
+        assert after > before
+        assert int(ch.columns["x"].data[:100].sum()) == sum(range(100))
