@@ -164,6 +164,20 @@ def main() -> None:
           f"{bytes_per_row} B/row", file=sys.stderr)
 
     print(f"# device={dev} N={N} dt={dt*1e3:.2f}ms", file=sys.stderr)
+
+    # per-operator SoL fractions travel with the flagship record (measured
+    # by benchmarks/bench_ops.py in fresh processes — the poisoned-compile
+    # hazard forbids running them inline here; see BENCH_OPS.json)
+    import os
+    opsf = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "BENCH_OPS.json")
+    if os.path.exists(opsf):
+        with open(opsf) as f:
+            for r in json.load(f).get("results", []):
+                print(f"# op {r.get('op')}: {r.get('grows_per_s')} Grows/s, "
+                      f"vs_baseline={r.get('vs_baseline')} "
+                      f"({r.get('bytes_per_row')} B/row)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "preagg_filter_group_rows_per_s_per_chip",
         "value": round(rows_per_s),

@@ -56,7 +56,9 @@ def run_filter():
     from pg_strom_tpu.expr.lower_jax import ColMeta
     from pg_strom_tpu.ops.filter import build_filter_mask_fn
 
-    N = 1 << 24
+    # 2^26: the ~3.8ms fixed dispatch floor makes smaller launches lie
+    # (BASELINE truth #0)
+    N = 1 << 26
     schema = [ColMeta("x", T.FLOAT4), ColMeta("y", T.INT4)]
     x = ColumnRef(type=T.FLOAT4, name="x", index=0)
     y = ColumnRef(type=T.INT4, name="y", index=1)

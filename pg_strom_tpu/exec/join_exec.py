@@ -249,6 +249,39 @@ class HashJoinExecutor:
         pl = self.probe.column_names
         pcap = chunk_capacity(self.probe.nrows)
         pschema = schema_from_chunk_columns(pl, [self.probe.columns[n] for n in pl])
+        # async program build (utils/devprog.py): probe a cold big-chunk
+        # program in the background and run this query at the small tier
+        # meanwhile.  The dense probe fn is the common big-cap program;
+        # its AOT shapes come from the materialized ht pytree.
+        if pcap > config.chunk_rows_cold and bool(ht.get("dense_ok", False)):
+            from ..utils.devprog import tiered_capacity
+            import jax as _jax
+            from ..datastore import Chunk as _Chunk
+            from ..expr.lower_jax import planes_of_column as _poc
+            use_ident0 = bool(ht.get("dense_ident", False))
+            use_mxu0 = (not use_ident0 and config.join_mxu_lookup
+                        and bool(ht.get("dense_m_ok", False)))
+            dcap0 = mxu_dense_window(bcap) if use_mxu0 else dense_cap_for(bcap)
+            probe_key = ("probe_dense",
+                         tuple((m.name, m.type, m.dict_id) for m in pschema),
+                         tuple(self.probe_keys), self.probe_pred,
+                         dcap0, use_mxu0, use_ident0, row_bits)
+            fn0 = _cached_jit(
+                probe_key + (pcap,),
+                lambda: _split_dense(build_probe_dense_fn(
+                    pschema, self.probe_keys, dcap0, self.probe_pred,
+                    use_mxu=use_mxu0, row_bits=row_bits,
+                    use_ident=use_ident0)))
+            probe8 = _Chunk.from_table(self.probe, 0,
+                                       min(self.probe.nrows, 8), 8)
+            ht_shapes = _jax.tree_util.tree_map(
+                lambda a: _jax.ShapeDtypeStruct(a.shape, a.dtype), ht)
+            shapes = (ht_shapes,
+                      tuple(tuple(_jax.ShapeDtypeStruct((pcap,), p.dtype)
+                                  for p in _poc(probe8.columns[nm]))
+                            for nm in pl),
+                      _jax.ShapeDtypeStruct((), np.int32))
+            pcap = tiered_capacity(pcap, probe_key, fn0, shapes, pm)
         probe_fns: dict[int, Any] = {}
         out_cap = max(2 * pcap, 1024)
         max_chain = config.join_max_bucket_probe

@@ -72,6 +72,21 @@ class ScanExecutor:
             # recovers row ids with unpackbits + flatnonzero
             fn = jax.jit(build_filter_mask_fn(self.pred, schema))
             _JIT_CACHE[key] = fn
+        # async program build (opencl_devprog.c analog, utils/devprog.py):
+        # run at the small tier while a cold big-chunk program compiles
+        from ..utils.devprog import tiered_capacity
+        from ..datastore import Chunk as _Chunk
+        from ..expr.lower_jax import planes_of_column as _poc
+
+        def _shapes(c):
+            probe = _Chunk.from_table(t, 0, min(t.nrows, 8), 8)
+            return (tuple(tuple(jax.ShapeDtypeStruct((c,), p.dtype)
+                                for p in _poc(probe.columns[nm]))
+                          for nm in names),
+                    jax.ShapeDtypeStruct((), np.int32))
+        cap2 = tiered_capacity(cap, key[:-1], fn, _shapes(cap), pm)
+        if cap2 != cap:
+            cap = cap2
         # dispatch all chunks, read results back in batched transfers (one
         # device->host read per drain, not 3 per chunk — round trips on a
         # tunneled TPU cost ~50ms each); streamed chunks drain every

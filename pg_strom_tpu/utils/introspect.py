@@ -53,6 +53,12 @@ def virtual_table(name: str) -> Optional[Table]:
                             (scan_exec._JIT_CACHE, "scan")):
             for key in cache:
                 rows.append((kind, repr(key)[:120]))
+        # asynchronous big-chunk builds (the reference lists build state in
+        # its program_info SRF too — opencl_devprog.c:770)
+        from .devprog import DEVPROG
+        for r in DEVPROG.info_rows():
+            rows.append((f"async:{r['state']}",
+                         f"{r['key']} ({r['build_s']}s)"))
         return Table.from_columns(name, {
             "kind": column_from_values(T.TEXT, [r[0] for r in rows]),
             "plan_key": column_from_values(T.TEXT, [r[1] for r in rows]),
