@@ -45,6 +45,20 @@ from .preagg_exec import absorb_preagg_out, finalize_agg_states
 from ..utils.perfmon import Perfmon
 
 
+
+def _canon_spec_val(v):
+    """Hashable canonical form of a dim-spec value (ColMeta lists etc.)."""
+    if isinstance(v, ColMeta):
+        return ("__colmeta__", v.name, v.type, v.dict_id)
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_spec_val(x) for x in v)
+    return v
+
+
+def _spec_sig(specs) -> tuple:
+    return tuple(tuple(sorted((k, _canon_spec_val(v))
+                              for k, v in s.items())) for s in specs)
+
 class StarFallback(Exception):
     """Signal: run the pairwise join chain instead."""
 
@@ -52,9 +66,12 @@ class StarFallback(Exception):
 @dataclasses.dataclass
 class DimSpec:
     table: Table
-    probe_keys: list          # exprs over the fact (probe) table
+    probe_keys: list          # exprs over the SOURCE rel (fact or parent dim)
     build_keys: list          # exprs over this dimension table
     build_pred: Optional[Expr]
+    # snowflake chains (round 3): None = keyed by the fact; an int = keyed
+    # by the columns of dims[src] (a parent dimension resolved earlier)
+    src: Optional[int] = None
 
 
 class StarJoinAggExecutor:
@@ -148,8 +165,8 @@ class StarJoinAggExecutor:
                         args=tuple(bind_columns(a, jlayout) for a in i_.args))
             for i_ in self.aggs]
 
-        # ---- per-dimension device hash tables (dense required) ----------
-        hts, bccs, dim_specs = [], [], []
+        # ---- per-dimension device hash tables -----------------------------
+        hts, bccs, dim_specs, bschemas = [], [], [], []
         for d in self.dims:
             bnames = list(d.table.column_names)
             bcols_all = [d.table.columns[n] for n in bnames]
@@ -167,8 +184,8 @@ class StarJoinAggExecutor:
                 bcc = c
             if bcc is None or bcc.recheck_any:
                 raise StarFallback("build side needs host recheck")
+            bschema = schema_from_chunk_columns(bnames, bcols_all)
             if ht is None:
-                bschema = schema_from_chunk_columns(bnames, bcols_all)
                 build_fn = _cached_jit(
                     ("build",
                      tuple((m.name, m.type, m.dict_id) for m in bschema),
@@ -181,9 +198,28 @@ class StarJoinAggExecutor:
                 if int(ht["err"]) != 0:
                     raise StarFallback("build-side device error")
                 TCACHE.put_aux(ht_key, ht, d.table.name, bcols_all)
-            pkeys = [bind_columns(k, playout) for k in d.probe_keys]
+            # snowflake chains: this inner's keys reference a PARENT
+            # dimension's columns (d.src); bind them over the parent's
+            # layout and probe against lanes gathered at the parent's
+            # matched rows (ops/starjoin.py).  The parent must resolve
+            # dense (unique) so its match is slice-independent.
+            if d.src is None:
+                pkeys = [bind_columns(k, playout) for k in d.probe_keys]
+                src = "probe"
+                src_schema = None
+            else:
+                if (d.src >= len(dim_specs)
+                        or dim_specs[d.src].get("mode") != "dense"):
+                    raise StarFallback(
+                        "snowflake parent not unique-dense")
+                pt = self.dims[d.src].table
+                slay = {n: i for i, n in enumerate(pt.column_names)}
+                pkeys = [bind_columns(k, slay) for k in d.probe_keys]
+                src = d.src
+                src_schema = bschemas[d.src]
             hts.append(ht)
             bccs.append(bcc)
+            bschemas.append(bschema)
             if (bool(ht["dense_ok"]) and len(d.build_keys) == 1
                     and d.build_keys[0].type not in (T.NUMERIC, T.FLOAT4,
                                                      T.FLOAT8)):
@@ -195,7 +231,9 @@ class StarJoinAggExecutor:
                 dim_specs.append({"mode": "dense", "probe_keys": pkeys,
                                   "dense_cap": dcap, "use_mxu": use_mxu,
                                   "use_ident": use_ident,
-                                  "row_bits": row_bits})
+                                  "row_bits": row_bits,
+                                  "key_source": src,
+                                  "src_schema": src_schema})
             else:
                 # non-unique / multi-key / float inner: bounded-fanout
                 # row-aligned probe; start F at the exact duplicate maximum
@@ -205,7 +243,9 @@ class StarJoinAggExecutor:
                                   "key_types": tuple(k.type
                                                      for k in d.build_keys),
                                   "max_chain": 0,   # filled by _spec_tune
-                                  "fanout": self._initial_fanout(d)})
+                                  "fanout": self._initial_fanout(d),
+                                  "key_source": src,
+                                  "src_schema": src_schema})
 
         ppred = bind_columns(self.probe_pred, playout) \
             if self.probe_pred is not None else None
@@ -226,10 +266,7 @@ class StarJoinAggExecutor:
             strategy = strategy or self._strategy
             G = G if G is not None else self._G
             specs = [dict(s) for s in self._dim_specs]
-            spec_sig = tuple(
-                tuple(sorted((k, (tuple(v) if isinstance(v, (list, tuple))
-                                  else v)) for k, v in s.items()))
-                for s in specs)
+            spec_sig = _spec_sig(specs)
             return _cached_jit(
                 ("starjoinagg",
                  tuple((m.name, m.type, m.dict_id) for m in pschema),
@@ -245,6 +282,24 @@ class StarJoinAggExecutor:
 
         bplanes = tuple(bcc.planes for bcc in bccs)
         hts_t = tuple(hts)
+
+        # 3+-relation star over the device mesh (round 3, the last named
+        # distributed coverage gap): the fact shards data-parallel across
+        # devices, every dimension table + hash table REPLICATES (dims are
+        # small by the star shape), each device runs the same fused
+        # star-join+agg program over its shard, the host merges partials
+        # like chunks.  Any per-device anomaly falls back to the
+        # single-device chunked flow below.
+        if (config.distributed and len(jax.devices()) >= 2
+                and all(s.get("mode", "dense") == "dense"
+                        for s in self._dim_specs)):
+            rows = self._run_distributed(
+                pnames, pschema, ppred, jschema, probe_slots,
+                build_slot_map, bound_groups, bound_aggs, hts_t, bplanes,
+                states, displays, key_metas)
+            if rows is not None:
+                return rows
+
         consume_args = (states, displays, key_metas, jnames, jlayout,
                         bound_groups, bound_aggs, hts_t, bplanes, fused)
         pending: list = []
@@ -276,6 +331,114 @@ class StarJoinAggExecutor:
         for (cc, _), oh in zip(pending, outs_host):
             self._consume(cc, oh, *consume_args)
         pending.clear()
+
+    _DIST_STEP_CACHE: dict = {}
+
+    def _run_distributed(self, pnames, pschema, ppred, jschema, probe_slots,
+                         build_slot_map, bound_groups, bound_aggs, hts_t,
+                         bplanes, states, displays, key_metas):
+        """Mesh-distributed star: shard_map over fact shards with
+        replicated dims; returns finalized rows, or None to fall back."""
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import mesh_for_config
+        from ..expr.lower_jax import planes_of_column
+        from ..datastore import Chunk
+
+        pm = self.perfmon
+        ndev = len(jax.devices())
+        mesh = mesh_for_config(ndev)
+        axes = tuple(mesh.axis_names)
+        pspec = P(axes if len(axes) > 1 else axes[0])
+        n = self.probe.nrows
+        shard_n = _next_pow2(max(-(-n // ndev), 1024))
+        Npad = shard_n * ndev
+        if Npad * len(pnames) > (1 << 28):
+            return None                  # keep virtual-mesh memory sane
+
+        specs = [dict(s) for s in self._dim_specs]
+        spec_sig = _spec_sig(specs)
+        key = ("dist_star",
+               tuple((m.name, m.type, m.dict_id) for m in pschema),
+               spec_sig, ppred,
+               tuple((m.name, m.type, m.dict_id) for m in jschema),
+               tuple(probe_slots), tuple(sorted(build_slot_map.items())),
+               tuple(bound_groups), tuple(bound_aggs),
+               self._G, self._strategy, shard_n, ndev, axes)
+        plane_counts = None
+        step = self._DIST_STEP_CACHE.get(key)
+        # host-side padded fact planes (one pass; resident caching would
+        # mirror _resident_args — left to the chunk cache for now)
+        hc = Chunk.from_table(self.probe, 0, n, Npad)
+        flat_planes = []
+        plane_counts = []
+        for nm in pnames:
+            ps = planes_of_column(hc.columns[nm])
+            plane_counts.append(len(ps))
+            flat_planes.extend(np.asarray(p) for p in ps)
+        if step is None:
+            base = build_star_join_preagg_fn(
+                pschema, specs, ppred, jschema, probe_slots,
+                build_slot_map, bound_groups, bound_aggs, self._G,
+                self._strategy)
+            pc = tuple(plane_counts)
+
+            def per_device(nrows_d, hts_r, bplanes_r, *flat):
+                it = iter(flat)
+                pcols = tuple(tuple(next(it) for _ in range(k)) for k in pc)
+                out = base(hts_r, pcols, bplanes_r, nrows_d[0],
+                           np.uint64(0))
+                return jax.tree_util.tree_map(lambda a: a[None], out)
+
+            nflat = sum(pc)
+            step = jax.jit(shard_map(
+                per_device, mesh=mesh,
+                in_specs=(pspec, P(), P()) + (pspec,) * nflat,
+                out_specs=pspec))
+            self._DIST_STEP_CACHE[key] = step
+
+        nrows_d = np.clip(n - shard_n * np.arange(ndev, dtype=np.int64),
+                          0, shard_n).astype(np.int32)
+        with pm.timer("dispatch"):
+            out = step(nrows_d, hts_t, bplanes, *flat_planes)
+        with pm.timer("device_wait"):
+            out = jax.device_get(out)
+        if bool(np.asarray(out["join_ovf"]).any()):
+            return None
+        st2: dict = {}
+        dp2: dict = {}
+        for d in range(ndev):
+            if nrows_d[d] == 0:
+                continue
+            out_d = jax.tree_util.tree_map(lambda a: a[d], out)
+            for so in out_d["slices"]:
+                if int(so["err"]) != 0:
+                    return None
+                if bound_groups and "mxu_sums" in so:
+                    if bool(np.asarray(so.get("dense_fail", False))):
+                        return None
+                    collided, overflow = mxu_absorb(
+                        so, bound_groups, bound_aggs, key_metas, st2, dp2,
+                        merge_partials, extract_partials, canon_group_key,
+                        dense_key=self._strategy == "mxu_dense")
+                    if collided or overflow:
+                        return None
+                else:
+                    if bound_groups and bool(so.get("collision", False)):
+                        return None
+                    absorb_preagg_out(so, bound_groups, bound_aggs,
+                                      key_metas, st2, dp2, pm)
+        for ck, parts in st2.items():
+            if ck not in states:
+                states[ck] = parts
+                displays[ck] = dp2[ck]
+            else:
+                states[ck] = [merge_partials(inst, a, b) for inst, a, b
+                              in zip(bound_aggs, states[ck], parts)]
+        pm.bump("dist_star_steps")
+        return finalize_agg_states(bound_groups, bound_aggs, states,
+                                   displays)
 
     def _initial_fanout(self, d: "DimSpec") -> int:
         """Starting F for a multi-mode inner: the exact duplicate maximum

@@ -70,14 +70,16 @@ def build_star_join_preagg_fn(pschema: Sequence[ColMeta],
     probe_slots = list(probe_slots)
     dfns = []
     for i, d in enumerate(dim_specs):
-        pred_i = probe_pred if i == 0 else None
+        src = d.get("key_source", "probe")
+        schema_i = pschema if src == "probe" else d["src_schema"]
+        pred_i = probe_pred if (i == 0 and src == "probe") else None
         if d.get("mode", "dense") == "multi":
-            dfns.append(("multi", build_probe_multi_fn(
-                pschema, list(d["probe_keys"]), tuple(d["key_types"]),
+            dfns.append(("multi", src, build_probe_multi_fn(
+                schema_i, list(d["probe_keys"]), tuple(d["key_types"]),
                 d["max_chain"], d["fanout"], pred_i)))
         else:
-            dfns.append(("dense", build_probe_dense_fn(
-                pschema, list(d["probe_keys"]), d["dense_cap"], pred_i,
+            dfns.append(("dense", src, build_probe_dense_fn(
+                schema_i, list(d["probe_keys"]), d["dense_cap"], pred_i,
                 use_mxu=d["use_mxu"], row_bits=d["row_bits"],
                 use_ident=d.get("use_ident", False))))
     jschema_eff = list(jschema) + [ColMeta("__match__", T.BOOL)]
@@ -91,12 +93,27 @@ def build_star_join_preagg_fn(pschema: Sequence[ColMeta],
         jerr = jnp.uint8(0)
         ovf = jnp.bool_(False)
         dim_res = []
-        for (mode, dfn), ht in zip(dfns, hts):
+        for di, ((mode, src, dfn), ht) in enumerate(zip(dfns, hts)):
+            if src == "probe":
+                cols_in = pcols
+            else:
+                # snowflake: probe with the PARENT dimension's columns
+                # gathered at its matched rows (row-aligned with the fact;
+                # spurious values on parent-unmatched rows are killed by
+                # the AND over all dims' masks below).  The parent is
+                # dense, so its match is slice-independent.
+                _, _pm, pbr = dim_res[src]
+                cols_in = tuple(tuple(pl[pbr] for pl in colp)
+                                for colp in bcols_list[src])
             if mode == "dense":
-                m, br, _, e = dfn(ht, pcols, nrows)
+                m, br, _, e = dfn(ht, cols_in, nrows)
+                if src != "probe":
+                    m = m & dim_res[src][1]
                 dim_res.append(("dense", m, br))
             else:
-                brs, cnt, o, e = dfn(ht, pcols, nrows)
+                brs, cnt, o, e = dfn(ht, cols_in, nrows)
+                if src != "probe":
+                    cnt = jnp.where(dim_res[src][1], cnt, jnp.int32(0))
                 dim_res.append(("multi", brs, cnt))
                 ovf = ovf | o
             jerr = jnp.maximum(jerr, e)

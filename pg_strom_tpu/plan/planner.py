@@ -773,20 +773,33 @@ def _try_star_join_agg(tables, rels, per_rel, join_equis, group_exprs,
     HashJoin chain (non-star equi pattern, non-dense dimension, device
     recheck)."""
     a0 = rels[0][0]
-    dim_keys: dict[str, tuple[list, list]] = {a: ([], []) for a, _ in rels[1:]}
+    order = [a for a, _ in rels]
+    pos = {a: i for i, a in enumerate(order)}
+    # per inner relation: (probe_key exprs over its SOURCE rel, build keys,
+    # source alias).  Source = the fact (classic star) or an EARLIER inner
+    # (snowflake chain, round 3) — each inner's clauses must all pair it
+    # with ONE source that appears before it in FROM order.
+    dim_keys: dict[str, tuple[list, list, set]] = \
+        {a: ([], [], set()) for a, _ in rels[1:]}
     for cj in join_equis:
         s0 = cj.args[0].name.split(".", 1)[0]
         s1 = cj.args[1].name.split(".", 1)[0]
-        if s0 == a0 and s1 in dim_keys:
-            dim_keys[s1][0].append(cj.args[0])
-            dim_keys[s1][1].append(cj.args[1])
-        elif s1 == a0 and s0 in dim_keys:
-            dim_keys[s0][0].append(cj.args[1])
-            dim_keys[s0][1].append(cj.args[0])
-        else:
-            return None          # dim-to-dim join: not a star
-    if any(not pk for pk, _ in dim_keys.values()):
-        return None              # a dim without a fact equi: cross join
+        if s0 == s1 or s0 not in pos or s1 not in pos:
+            return None
+        # the LATER rel in FROM order is the inner being keyed
+        inner, outer = (s0, s1) if pos[s0] > pos[s1] else (s1, s0)
+        if inner == a0:
+            return None
+        src_expr, in_expr = ((cj.args[1], cj.args[0]) if inner == s0
+                             else (cj.args[0], cj.args[1]))
+        dim_keys[inner][0].append(src_expr)
+        dim_keys[inner][1].append(in_expr)
+        dim_keys[inner][2].add(outer)
+    for a, (pk, _bk, srcs) in dim_keys.items():
+        if not pk:
+            return None          # an inner without an equi: cross join
+        if len(srcs) > 1:
+            return None          # keys from two different rels: not a chain
     aggrefs = _collect_aggrefs(items, having)
     insts = []
     for ag in aggrefs:
@@ -801,7 +814,10 @@ def _try_star_join_agg(tables, rels, per_rel, join_equis, group_exprs,
                     probe_keys=dim_keys[alias][0],
                     build_keys=dim_keys[alias][1],
                     build_pred=(and_all(per_rel[alias])
-                                if per_rel[alias] else None))
+                                if per_rel[alias] else None),
+                    src=(None if next(iter(dim_keys[alias][2])) == a0
+                         else order.index(next(iter(dim_keys[alias][2])))
+                         - 1))
             for alias, _ in rels[1:]]
     ex = StarJoinAggExecutor(
         tables[a0], dims, group_exprs, insts,
@@ -1453,23 +1469,38 @@ def _plan_table_less(stmt, db, perfmon) -> PlannedQuery:
 
 
 def _star_shape(rels, join_equis) -> bool:
-    """True when every equi clause pairs relation 0 (the fact) with exactly
-    one dimension and every dimension has at least one such clause — the
-    fused N-way star shape (exec/starjoin_exec.py)."""
+    """True when every equi clause keys a later-listed relation by exactly
+    one earlier relation (classic star AND snowflake chains, round 3) —
+    the fused N-way device chain shape (exec/starjoin_exec.py)."""
     if len(rels) < 3 or not join_equis:
         return False
-    a0 = rels[0][0]
-    seen = {a: False for a, _ in rels[1:]}
+    order = [a for a, _ in rels]
+    pos = {a: i for i, a in enumerate(order)}
+    srcs: dict[str, set] = {a: set() for a in order[1:]}
     for cj in join_equis:
         s0 = cj.args[0].name.split(".", 1)[0]
         s1 = cj.args[1].name.split(".", 1)[0]
-        if s0 == a0 and s1 in seen:
-            seen[s1] = True
-        elif s1 == a0 and s0 in seen:
-            seen[s0] = True
-        else:
+        if s0 == s1 or s0 not in pos or s1 not in pos:
             return False
-    return all(seen.values())
+        inner, outer = (s0, s1) if pos[s0] > pos[s1] else (s1, s0)
+        if inner == order[0]:
+            return False
+        srcs[inner].add(outer)
+    return all(len(s) == 1 for s in srcs.values())
+
+
+def _annotate_distributed(d: dict) -> None:
+    """Mark plan nodes whose executor may route over the device mesh
+    (pg_strom.distributed; runtime eligibility can still fall back)."""
+    import jax as _jax
+    if not config.distributed:
+        return
+    ndev = len(_jax.devices())
+    if ndev < 2:
+        return
+    h = int(getattr(config, "dist_mesh_hosts", 1) or 1)
+    shape = f"{h}x{ndev // h} hosts x chips" if h > 1 else f"{ndev} devices"
+    d["Distributed"] = f"mesh ({shape})"
 
 
 def _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
@@ -1513,6 +1544,8 @@ def _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
         if group_exprs:
             d["Group Key"] = ", ".join(fmt_expr(g) for g in group_exprs)
         d["output"] = ", ".join(fmt_expr(e) for _, e in items)
+        if len(rels) == 2:
+            _annotate_distributed(d)
         node = PlanNode("TpuStarJoinAgg", d,
                         [scan_node(a, o) for a, o in rels],
                         cost=node_costs["agg"])
@@ -1543,6 +1576,8 @@ def _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
             d["Group Key"] = ", ".join(fmt_expr(g) for g in group_exprs)
         d["output"] = ", ".join(fmt_expr(e) for _, e in items)
         kind = "TpuPreAgg" if dec["agg"] else "HashAggregate"
+        if kind == "TpuPreAgg":
+            _annotate_distributed(d)
         node = PlanNode(kind, d, [node], cost=node_costs["agg"])
     else:
         node = PlanNode("Result",

@@ -220,3 +220,96 @@ class TestStarJoinQueryShapes:
              "where t0.aid = t1.aid and t0.cid = t3.cid")
         host, dev = _run_both(db, q)
         _match(host, dev)
+
+
+class TestDistributedStar:
+    def test_star_distributes_and_matches(self, db):
+        """Round-3: 3+-relation star queries ride the mesh (fact sharded,
+        dims replicated) and match host/single-device exactly."""
+        import jax
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        q = ("select t1.atext, count(*), sum(t0.x), sum(t2.bval) "
+             "from t0, t1, t2, t3 "
+             "where t0.aid = t1.aid and t0.bid = t2.bid "
+             "and t0.cid = t3.cid group by t1.atext order by t1.atext")
+        with override(enabled=False):
+            host = execute(q, db).rows
+        from pg_strom_tpu.exec import starjoin_exec as se
+        ran = {}
+        orig = se.StarJoinAggExecutor._run_distributed
+
+        def spy(self, *a, **kw):
+            r = orig(self, *a, **kw)
+            ran["engaged"] = r is not None
+            return r
+
+        se.StarJoinAggExecutor._run_distributed = spy
+        try:
+            with override(distributed=True, debug_force_offload=True):
+                dist = execute(q, db).rows
+        finally:
+            se.StarJoinAggExecutor._run_distributed = orig
+        assert ran.get("engaged"), "distributed star did not engage"
+        _match(host, dist)
+
+
+class TestSnowflake:
+    """Snowflake chains (round 3): a sub-dimension keyed by a PARENT
+    dimension's column runs inside the same fused device node — no host
+    materialization per hop (the gpuhashjoin depth-chain shape)."""
+
+    @pytest.fixture(scope="class")
+    def sdb(self):
+        rng = np.random.default_rng(9)
+        nf = 4000
+        db = Database()
+        db.create(Table.from_columns("sf", {
+            "did": column_from_values(T.INT4,
+                                      [int(v) for v in
+                                       rng.integers(0, 40, nf)]),
+            "x": column_from_values(T.FLOAT8,
+                                    [float(v) for v in rng.random(nf)]),
+        }))
+        # dim keyed by fact, carrying a foreign key into subdim
+        db.create(Table.from_columns("sd", {
+            "did": column_from_values(T.INT4, list(range(40))),
+            "regid": column_from_values(T.INT4,
+                                        [i % 6 for i in range(40)]),
+            "w": column_from_values(T.INT8, [i * 3 for i in range(40)]),
+        }))
+        db.create(Table.from_columns("sr", {
+            "regid": column_from_values(T.INT4, list(range(6))),
+            "rw": column_from_values(T.INT8, [100 * i for i in range(6)]),
+        }))
+        # non-unique subdim variant
+        db.create(Table.from_columns("sr2", {
+            "regid": column_from_values(T.INT4,
+                                        [i % 6 for i in range(12)]),
+            "rw": column_from_values(T.INT8, list(range(12))),
+        }))
+        return db
+
+    def test_snowflake_chain_on_device(self, sdb):
+        q = ("select sr.regid, count(*), sum(sf.x), sum(sd.w), sum(sr.rw) "
+             "from sf, sd, sr "
+             "where sf.did = sd.did and sd.regid = sr.regid "
+             "group by sr.regid order by sr.regid")
+        host, dev = _run_both(sdb, q, expect_star=True)
+        _match(host, dev)
+        with override(debug_force_offload=True):
+            txt = explain(q, sdb)
+        assert "TpuStarJoinAgg" in txt
+
+    def test_snowflake_with_non_unique_subdim(self, sdb):
+        q = ("select count(*), sum(sr2.rw), sum(sf.x) from sf, sd, sr2 "
+             "where sf.did = sd.did and sd.regid = sr2.regid")
+        host, dev = _run_both(sdb, q, expect_star=True)
+        _match(host, dev)
+
+    def test_snowflake_group_by_subdim_attr(self, sdb):
+        q = ("select sr.rw, count(*) from sf, sd, sr "
+             "where sf.did = sd.did and sd.regid = sr.regid "
+             "group by sr.rw order by sr.rw")
+        host, dev = _run_both(sdb, q, expect_star=True)
+        _match(host, dev)
