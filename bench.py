@@ -54,6 +54,11 @@ def main() -> None:
     import pg_strom_tpu  # noqa: F401
     import jax
 
+    # what the engine does at Database init (utils/warmup.py): overlap the
+    # ~90-180s axon service bring-up with data generation + stats below
+    from pg_strom_tpu.utils.warmup import ensure_warmup
+    ensure_warmup()
+
     from pg_strom_tpu import T
     from pg_strom_tpu.expr.ir import ColumnRef, Const, resolve_function
     from pg_strom_tpu.expr.lower_jax import schema_from_chunk_columns

@@ -76,6 +76,16 @@ class _Config:
     # raw storage planes and derives mask/buckets/limbs in VMEM — measured
     # 2.4x v1 on the flagship shape; falls back to v1 outside its envelope
     use_fused_preagg2: bool = True
+    # int8 MXU variant of the v2 kernel: V digits and the one-hot ride as
+    # int8 with an i32 accumulator (integer limbs biased by -128, float4
+    # digits 7-bit signed).  Measured ~1.18x on the one-hot contraction
+    # plus flush elision (tools/probe_r4_kernel.py); engages only when no
+    # |v| shadow column is needed (stats-proven all-finite float sums)
+    use_preagg_int8: bool = True
+    # kick a trivial background device fetch at engine (Database) init so
+    # the tunneled runtime's ~90-180s service initialization overlaps
+    # table loading instead of serializing with the first query
+    warmup_async: bool = True
     # run the fused kernel in Pallas interpret mode on the CPU backend
     # (tests); off by default — interpret mode is slow
     force_fused_preagg_cpu: bool = False
@@ -138,6 +148,10 @@ class _Config:
     shuffle_partitions_per_device: int = 1
     skew_sample_rows: int = 4096          # rows sampled for heavy-hitter detection
     skew_heavy_threshold: float = 0.10    # key freq above this => broadcast side
+    # engine-path skew routing (exec/dist_exec.py): spread heavy probe
+    # rows + broadcast matching build rows instead of hash-funneling a hot
+    # key onto one device
+    dist_skew_routing: bool = True
 
 
 def _enabled_get(self) -> bool:

