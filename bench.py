@@ -170,24 +170,39 @@ def main() -> None:
 
     print(f"# device={dev} N={N} dt={dt*1e3:.2f}ms", file=sys.stderr)
 
-    # per-operator SoL fractions travel with the flagship record (measured
-    # by benchmarks/bench_ops.py in fresh processes — the poisoned-compile
-    # hazard forbids running them inline here; see BENCH_OPS.json)
+    # per-operator + e2e SoL records travel with the flagship record in
+    # ONE artifact (round-4 verdict item 10) — measured by
+    # benchmarks/bench_ops.py / bench_e2e.py in fresh processes (the
+    # poisoned-compile hazard forbids running them inline here)
     import os
-    opsf = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "benchmarks", "BENCH_OPS.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail = {
+        "first_result_split_s": {
+            "small_tier_first_result": round(t_first, 1),
+            "big_tier_upload": round(t_up, 1),
+            "big_tier_compile_first_fetch": round(t_big, 1),
+        },
+    }
+    opsf = os.path.join(here, "benchmarks", "BENCH_OPS.json")
     if os.path.exists(opsf):
         with open(opsf) as f:
-            for r in json.load(f).get("results", []):
-                print(f"# op {r.get('op')}: {r.get('grows_per_s')} Grows/s, "
-                      f"vs_baseline={r.get('vs_baseline')} "
-                      f"({r.get('bytes_per_row')} B/row)", file=sys.stderr)
+            ops = json.load(f).get("results", [])
+        detail["per_op"] = ops
+        for r in ops:
+            print(f"# op {r.get('op')}: {r.get('grows_per_s')} Grows/s, "
+                  f"vs_baseline={r.get('vs_baseline')} "
+                  f"({r.get('bytes_per_row')} B/row)", file=sys.stderr)
+    e2ef = os.path.join(here, "benchmarks", "BENCH_E2E.json")
+    if os.path.exists(e2ef):
+        with open(e2ef) as f:
+            detail["e2e"] = json.load(f).get("results", [])
 
     print(json.dumps({
         "metric": "preagg_filter_group_rows_per_s_per_chip",
         "value": round(rows_per_s),
         "unit": "rows/s",
         "vs_baseline": round(vs, 4),
+        "detail": detail,
     }))
 
 

@@ -66,6 +66,7 @@ def main() -> None:
         print(json.dumps(run_one(sys.argv[1])))
         return
     env = dict(os.environ)
+    results = []
     for q in QUERIES:
         p = subprocess.run([sys.executable, os.path.abspath(__file__), q],
                            capture_output=True, text=True, env=env,
@@ -75,9 +76,15 @@ def main() -> None:
             print(f"# {q}: FAILED\n{p.stderr[-2000:]}", file=sys.stderr)
             continue
         r = json.loads(line)
+        results.append(r)
         print(f"e2e {q:10s} warm {r['warm_rows_per_s']/1e9:7.2f} Grows/s  "
               f"(cold {r['cold_s']:.2f}s, warm {r['warm_s']*1e3:.1f}ms, "
               f"fact {r['fact_rows']})")
+    # artifact consumed by bench.py's consolidated record (round-4 verdict
+    # item 10: per-op + e2e + first-result split in ONE artifact)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_E2E.json"), "w") as f:
+        json.dump({"results": results}, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -98,9 +98,12 @@ def parse_expected(path: str):
 
 
 def run_parity(names: list[str], max_diffs: int = 10,
-               use_reference_fixture: bool = True):
+               use_reference_fixture: bool = True, tpu: bool = False):
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if not tpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        print("running on:", jax.devices()[0], flush=True)
     from pg_strom_tpu.datastore import Database
     from pg_strom_tpu.models.pg_fixture import (
         regen_preagg_test, regen_preagg_overflow, regen_preagg_mix)
@@ -194,5 +197,8 @@ if __name__ == "__main__":
                     default=["nogrp_agg", "zero_agg", "where_agg",
                              "group_agg", "overflow_agg", "recheck_agg"])
     ap.add_argument("--max-diffs", type=int, default=10)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the default (live TPU) backend instead "
+                         "of forcing CPU")
     args = ap.parse_args()
-    run_parity(args.suites or None, args.max_diffs)
+    run_parity(args.suites or None, args.max_diffs, tpu=args.tpu)
