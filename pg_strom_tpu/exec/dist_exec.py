@@ -153,9 +153,21 @@ class DistJoinAggExecutor:
                 if (g.type in (T.TEXT, T.BPCHAR, T.NUMERIC)
                         or not device_expression_supported(g)):
                     return False
+        if sum(1 for i_ in self.aggs if i_.distinct) > 1:
+            return False                   # one dedup exchange per step
         for inst in self.aggs:
             if inst.distinct:
-                return False
+                # joined-row agg(DISTINCT x): same dedup-exchange envelope
+                # as the single-table path (additive kinds, integer-family
+                # args — see DistPreAggExecutor.eligible)
+                if any(k not in ("count", "sum_i", "sumsq_i")
+                       for k in inst.slots):
+                    return False
+                if not inst.args or any(
+                        a.type not in (T.INT2, T.INT4, T.INT8, T.DATE,
+                                       T.BOOL, T.TEXT, T.BPCHAR)
+                        for a in inst.args):
+                    return False
             if any(kind not in DIST_SLOT_KINDS for kind in inst.slots):
                 return False
             for a in inst.args:
@@ -437,6 +449,9 @@ class DistJoinAggExecutor:
         nbuckets = _next_pow2(max(ndev * bcap, 64))
         mchain = 8
         G = _next_pow2(config.dist_group_slots, lo=64)
+        distinct_idx = next((i for i, i_ in enumerate(self.aggs)
+                             if i_.distinct), None)
+        dcap = _next_pow2(max(2 * (n_p + n_b) // max(ndev, 1), 64))
         for attempt in range(4):
             # mesh axes in the key: a 1D flat mesh and a 2D hosts x
             # chips mesh compile DIFFERENT collectives for the same
@@ -444,19 +459,24 @@ class DistJoinAggExecutor:
             # pg_strom.dist_mesh_hosts silently reused the old step)
             key = (sig, ndev, tuple(mesh.axis_names),
                    tuple(mesh.devices.shape), bcap, nbuckets, mchain, G,
-                   k_heavy, heavy_cap)
+                   k_heavy, heavy_cap, distinct_idx, dcap)
             step = self._STEP_CACHE.get(key)
             if step is None:
                 step = build_dist_join_agg_step(
                     mesh, sig, bucket_cap=bcap, nbuckets=nbuckets,
                     max_chain=mchain, G=G, k_heavy=k_heavy,
-                    heavy_cap=heavy_cap)
+                    heavy_cap=heavy_cap, distinct_idx=distinct_idx,
+                    dedup_cap=dcap)
                 self._STEP_CACHE[key] = step
             with pm.timer("dispatch"):
                 out = step(*args, heavy_np) if k_heavy else step(*args)
             with pm.timer("device_wait"):
                 out = jax.device_get(out)
-            gk_out, gkv_out, gvalid, slots, err, ovf = out
+            if distinct_idx is None:
+                gk_out, gkv_out, gvalid, slots, err, ovf = out
+            else:
+                (gk_out, gkv_out, gvalid, slots, err, ovf,
+                 gkB, gkvB, gvB, slotB) = out
             if np.any(np.asarray(err)):
                 pm.bump("dist_recheck")
                 raise DistFallback("device err lane (CpuReCheck)")
@@ -467,6 +487,7 @@ class DistJoinAggExecutor:
             nbuckets *= 2
             mchain *= 2
             G *= 2
+            dcap *= 2
         else:
             raise DistFallback("capacity ladder exhausted")
         pm.bump("dist_steps")
@@ -475,7 +496,15 @@ class DistJoinAggExecutor:
         with pm.timer("materialize"):
             states, displays = _merge_device_partials(
                 gk_out, gkv_out, gvalid, slots, gmeta, self.group_exprs,
-                self.aggs)
+                self.aggs, skip_idx=distinct_idx)
+            if distinct_idx is not None:
+                pm.bump("dist_distinct_steps")
+                slotsB = [slotB[0] if i == distinct_idx else {}
+                          for i in range(len(self.aggs))]
+                _merge_device_partials(
+                    gkB, gkvB, gvB, slotsB, gmeta, self.group_exprs,
+                    self.aggs, states=states, displays=displays,
+                    only_idx=distinct_idx)
         from .preagg_exec import finalize_agg_states
         return finalize_agg_states(self.group_exprs, self.aggs, states,
                                    displays)

@@ -603,10 +603,20 @@ def _kpred(e: Expr, rd_col, key_schema) -> tuple:
 # the kernel
 # ---------------------------------------------------------------------------
 
+# one-hot construction strategy (probe-tunable; tools/probe_r4_attrib
+# measured the alternatives on v5e): "rep" (default) materializes the
+# (G*P, T4) repeated-seg block and compares against a bucket iota;
+# "blocks" compares the (P, T4) seg block against each bucket scalar and
+# concatenates G results — measured 25% SLOWER at G=32 (12.3 vs 9.8 ms
+# count-only flagship): Mosaic pipelines the big rep+compare better than
+# 32 small concats, so the rep path stays.
+ONEHOT_MODE = "rep"
+
+
 @functools.lru_cache(maxsize=128)
 def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
                   pred_key: Any, N: int, G: int, TILE: int,
-                  interpret: bool):
+                  interpret: bool, onehot_mode: str = "blocks"):
     """sig.ops drive the V-matrix build; pred_key is the predicate expr
     (hashable IR) lowered in-kernel, or None."""
     T4 = TILE // P
@@ -831,7 +841,14 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
         # one-hot via i32 compare + cast (bf16/i8 compares are not
         # supported by this target's Mosaic — "Target does not support
         # this comparison")
-        oht = bool_to_v(rep(seg, G) == limb_iota(G))
+        if onehot_mode == "blocks":
+            # per-bucket scalar compares on the (P, T4) seg block: no
+            # (G*P, T4) i32 rep or iota ever materializes
+            oht = jnp.concatenate(
+                [bool_to_v(seg == jnp.int32(g)) for g in range(G)],
+                axis=0)
+        else:
+            oht = bool_to_v(rep(seg, G) == limb_iota(G))
         for sg in range(-(-GP // LANES)):
             g0 = sg * LANES
             h = min(LANES, GP - g0)
@@ -937,7 +954,8 @@ def build_fused2_fn(schema, group_exprs, aggs, pred, G: int, sig: V2Sig):
         except ValueError:
             kvi = -1                   # key column proven NULL-free
         kfn = _build_kernel(sig, _in_index(sig, key.index, "data"),
-                            kvi, pred, n, G, TILE, interpret)
+                            kvi, pred, n, G, TILE, interpret,
+                            ONEHOT_MODE)
         hi, lo, sh, fail = kfn(*kin, si,
                                jnp.asarray(scal["u"], jnp.uint32),
                                jnp.asarray(scal["f4sc"], jnp.float32))

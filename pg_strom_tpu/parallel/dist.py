@@ -249,7 +249,9 @@ def build_dist_join_agg_step(mesh: Mesh, sig: DistPlanSig,
                              max_chain: int = 8,
                              G: int = 1024,
                              k_heavy: int = 0,
-                             heavy_cap: int = 64):
+                             heavy_cap: int = 64,
+                             distinct_idx: int | None = None,
+                             dedup_cap: int = 4096):
     """Jitted distributed step over `mesh`.
 
     f(probe_jkeys..., probe_valid, probe_lanes..., probe_lane_valids...,
@@ -401,7 +403,18 @@ def build_dist_join_agg_step(mesh: Mesh, sig: DistPlanSig,
             sig, glanes, gvalids, arg_lanes, jvalid, G)
 
         ovf = (povf | bovf | jovf | govf).reshape(1)
-        return (gk_out, gkv_out, gvalid, slot_out, err_l.reshape(1), ovf)
+        if distinct_idx is None:
+            return (gk_out, gkv_out, gvalid, slot_out, err_l.reshape(1),
+                    ovf)
+        # distinct agg over JOINED rows: the same dedup exchange, fed by
+        # the join output lanes
+        gkB, gkvB, gvB, slotB, ovfB, errB = _distinct_phase(
+            sig, distinct_idx, glanes, gvalids, arg_lanes, jvalid, G,
+            axes, axis if len(axes) == 1 else axes[0], ndev, H, C,
+            dedup_cap)
+        return (gk_out, gkv_out, gvalid, slot_out,
+                (err_l | errB).reshape(1), ovf | ovfB.reshape(1),
+                gkB, gkvB, gvB, slotB)
 
     nin = (sig.n_probe_jkeys + 1 + 2 * len(pspecs)
            + sig.n_build_jkeys + 1 + 2 * len(bspecs))
@@ -507,6 +520,61 @@ def _partials_phase(sig: DistPlanSig, glanes, gvalids, arg_lanes, live,
     return gk_out, gkv_out, gvalid, tuple(slot_out), govf, shim.err
 
 
+def _distinct_phase(sig: DistPlanSig, di: int, glanes, gvalids,
+                    arg_lanes, live, G: int, axes, axis, ndev, H, C,
+                    dedup_cap: int):
+    """agg(DISTINCT x) partials (round-4 verdict item 9): exchange the
+    (group, arg) pairs by their combined hash so every distinct pair lands
+    on exactly ONE device, dedup there via a LEXICOGRAPHIC sort + adjacent
+    equality (hash-only sorts can interleave colliding pairs — lex order
+    makes equal rows provably adjacent), and run the normal partial phase
+    over the unique rows.  Per-device partials of the same group then
+    merge on the host with no double count.
+
+    Returns (gkB, gkvB, gvB, slotB, ovfB, errB)."""
+    dargs = arg_lanes[di]
+    live_d = live
+    for _ad, av in dargs:
+        live_d = live_d & av               # strict agg: NULL args drop
+    ng = len(glanes)
+    enc_g = [jnp.where(gv, gl, jnp.int64(0))
+             for gl, gv in zip(glanes, gvalids)]
+    enc_a = [jnp.where(av, ad, jnp.int64(0)) for ad, av in dargs]
+    vbits = sum((gv.astype(jnp.int64) << k)
+                for k, gv in enumerate(gvalids)) \
+        if gvalids else jnp.zeros_like(live, dtype=jnp.int64)
+    h = _combine_hash(enc_g + enc_a + [vbits]).astype(jnp.uint64)
+    part = (h % jnp.uint64(ndev)).astype(jnp.int32)
+    exch = _make_exchange(axes, axis, ndev, H, C, dedup_cap)
+    ship = tuple(enc_g) + tuple(gvalids) + tuple(enc_a)
+    lx, vx, dovf = exch(ship, 1, live_d, part=part)
+    gl_x = lx[:ng]
+    gv_x = [l.astype(jnp.bool_) for l in lx[ng:2 * ng]]
+    ad_x = lx[2 * ng:]
+    vb_x = sum((gv.astype(jnp.int64) << k)
+               for k, gv in enumerate(gv_x)) \
+        if gv_x else jnp.zeros_like(vx, dtype=jnp.int64)
+    keys = tuple(ad_x) + (vb_x,) + tuple(gl_x) + ((~vx),)
+    order = jnp.lexsort(keys)
+    vx_s = vx[order]
+    gl_s = [l[order] for l in gl_x]
+    gv_s = [v[order] for v in gv_x]
+    ad_s = [a[order] for a in ad_x]
+    prev_eq = jnp.concatenate([jnp.zeros(1, jnp.bool_),
+                               vx_s[1:] & vx_s[:-1]])
+    for l in list(gl_s) + list(ad_s) + [vb_x[order]]:
+        prev_eq = prev_eq & jnp.concatenate(
+            [jnp.zeros(1, jnp.bool_), l[1:] == l[:-1]])
+    unique = vx_s & ~prev_eq
+    sigB = DistPlanSig(n_probe_jkeys=0, n_build_jkeys=0,
+                       gkeys=sig.gkeys, aggs=(sig.aggs[di],),
+                       ungrouped=sig.ungrouped)
+    argB = [[(a, jnp.ones_like(unique)) for a in ad_s]]
+    gkB, gkvB, gvB, slotB, govfB, errB = _partials_phase(
+        sigB, gl_s, gv_s, argB, unique, G)
+    return gkB, gkvB, gvB, slotB, (dovf | govfB), errB
+
+
 def build_dist_preagg_step(mesh: Mesh, sig: DistPlanSig, axis: str = "dp",
                            G: int = 1024, distinct_idx: int | None = None,
                            dedup_cap: int = 4096):
@@ -554,54 +622,12 @@ def build_dist_preagg_step(mesh: Mesh, sig: DistPlanSig, axis: str = "dp",
             return (gk_out, gkv_out, gvalid, slot_out, err.reshape(1),
                     govf.reshape(1))
 
-        # ---- phase B: global dedup of (group, arg) pairs ----------------
-        di = distinct_idx
-        dargs = arg_lanes[di]
-        live_d = valid
-        for _ad, av in dargs:
-            live_d = live_d & av           # strict agg: NULL args drop
-        ng = len(glanes)
-        enc_g = [jnp.where(gv, gl, jnp.int64(0))
-                 for gl, gv in zip(glanes, gvalids)]
-        enc_a = [jnp.where(av, ad, jnp.int64(0)) for ad, av in dargs]
-        vbits = sum((gv.astype(jnp.int64) << k)
-                    for k, gv in enumerate(gvalids)) \
-            if gvalids else jnp.zeros_like(valid, dtype=jnp.int64)
-        h = _combine_hash(enc_g + enc_a + [vbits]).astype(jnp.uint64)
-        part = (h % jnp.uint64(ndev)).astype(jnp.int32)
-        exch = _make_exchange(axes2, axis2, ndev, H, C, dedup_cap)
-        ship = tuple(enc_g) + tuple(gvalids) + tuple(enc_a)
-        lx, vx, dovf = exch(ship, 1, live_d, part=part)
-        gl_x = lx[:ng]
-        gv_x = [l.astype(jnp.bool_) for l in lx[ng:2 * ng]]
-        ad_x = lx[2 * ng:]
-        vb_x = sum((gv.astype(jnp.int64) << k)
-                   for k, gv in enumerate(gv_x)) \
-            if gv_x else jnp.zeros_like(vx, dtype=jnp.int64)
-        # lexicographic sort puts equal (group, arg) pairs adjacent —
-        # EXACT dedup (hash-only sorts can interleave colliding pairs);
-        # dead rows sort last via the primary liveness key
-        keys = tuple(ad_x) + (vb_x,) + tuple(gl_x) + ((~vx),)
-        order = jnp.lexsort(keys)
-        vx_s = vx[order]
-        gl_s = [l[order] for l in gl_x]
-        gv_s = [v[order] for v in gv_x]
-        ad_s = [a[order] for a in ad_x]
-        prev_eq = jnp.concatenate([jnp.zeros(1, jnp.bool_),
-                                   vx_s[1:] & vx_s[:-1]])
-        for l in list(gl_s) + list(ad_s) + [vb_x[order]]:
-            prev_eq = prev_eq & jnp.concatenate(
-                [jnp.zeros(1, jnp.bool_), l[1:] == l[:-1]])
-        unique = vx_s & ~prev_eq
-        sigB = DistPlanSig(n_probe_jkeys=0, n_build_jkeys=0,
-                           gkeys=sig.gkeys, aggs=(sig.aggs[di],),
-                           ungrouped=sig.ungrouped)
-        argB = [[(a, jnp.ones_like(unique)) for a in ad_s]]
-        gkB, gkvB, gvB, slotB, govfB, errB = _partials_phase(
-            sigB, gl_s, gv_s, argB, unique, G)
+        gkB, gkvB, gvB, slotB, ovfB, errB = _distinct_phase(
+            sig, distinct_idx, glanes, gvalids, arg_lanes, valid, G,
+            axes2, axis2, ndev, H, C, dedup_cap)
         return (gk_out, gkv_out, gvalid, slot_out,
                 (err | errB).reshape(1),
-                (govf | dovf | govfB).reshape(1),
+                (govf | ovfB).reshape(1),
                 gkB, gkvB, gvB, slotB)
 
     nin = 1 + 2 * len(specs)

@@ -92,10 +92,12 @@ def main():
               flush=True)
         return dt
 
-    one("count_x_only ", [("count", x)])
-    one("cnt+sum_y    ", [("count", x), ("sum", y)])
-    one("cnt+sum_x    ", [("count", x), ("sum", x)])
-    one("flagship     ", [("sum", x), ("count", x), ("sum", y)])
+    import pg_strom_tpu.ops.preagg_fused2 as pf2
+    for mode in ("blocks", "rep"):
+        pf2.ONEHOT_MODE = mode
+        print(f"# === onehot={mode} ===", flush=True)
+        one(f"count_x_only ", [("count", x)])
+        one(f"flagship     ", [("sum", x), ("count", x), ("sum", y)])
 
 
 if __name__ == "__main__":
