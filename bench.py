@@ -147,9 +147,11 @@ def main() -> None:
     # the executor pipelines chunks exactly this way (min/max_async_chunks),
     # so per-launch tunnel sync overhead (~20ms) overlaps across chunks.
     # min over rounds rides out tunnel/pool contention noise.
+    # min over 5 windows: tunnel/compile-pool contention spikes are real
+    # (BASELINE truth #15) and a single slow window misreports the engine
     window = 8 if on_tpu else 2
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         outs = [fn(cols_b, np.int32(N), np.uint64(0), scal_b)
                 for _ in range(window)]

@@ -611,12 +611,21 @@ def _kpred(e: Expr, rd_col, key_schema) -> tuple:
 # count-only flagship): Mosaic pipelines the big rep+compare better than
 # 32 small concats, so the rep path stays.
 ONEHOT_MODE = "rep"
+# bool -> V-dtype cast strategy for mask/cnt/one-hot rows (probe-tunable):
+# "via_i32" (default) casts i1 -> i32 -> i8; "direct" casts i1 -> i8 in
+# one step; "select" lowers as a where() over i8 constants.  Measured on
+# HW (tools/probe_cast_ab.py, interleaved windows): via_i32 == direct to
+# within 0.01 ms (Mosaic fuses both); "select" CRASHES the remote compile
+# helper (the round-3 bool-select trunci hazard again).  The known-legal
+# chain stays.
+CAST_MODE = "via_i32"
 
 
 @functools.lru_cache(maxsize=128)
 def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
                   pred_key: Any, N: int, G: int, TILE: int,
-                  interpret: bool, onehot_mode: str = "blocks"):
+                  interpret: bool, onehot_mode: str = "rep",
+                  cast_mode: str = "via_i32"):
     """sig.ops drive the V-matrix build; pred_key is the predicate expr
     (hashable IR) lowered in-kernel, or None."""
     T4 = TILE // P
@@ -655,6 +664,10 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
 
     def bool_to_v(b):
         if I8:
+            if cast_mode == "direct":
+                return b.astype(jnp.int8)
+            if cast_mode == "select":
+                return jnp.where(b, jnp.int8(1), jnp.int8(0))
             return b.astype(jnp.int32).astype(jnp.int8)
         return b.astype(jnp.bfloat16)
 
@@ -955,7 +968,7 @@ def build_fused2_fn(schema, group_exprs, aggs, pred, G: int, sig: V2Sig):
             kvi = -1                   # key column proven NULL-free
         kfn = _build_kernel(sig, _in_index(sig, key.index, "data"),
                             kvi, pred, n, G, TILE, interpret,
-                            ONEHOT_MODE)
+                            ONEHOT_MODE, CAST_MODE)
         hi, lo, sh, fail = kfn(*kin, si,
                                jnp.asarray(scal["u"], jnp.uint32),
                                jnp.asarray(scal["f4sc"], jnp.float32))

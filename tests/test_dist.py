@@ -389,6 +389,41 @@ def test_skew_routing_keeps_hot_key_distributed():
 
 
 @pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")
+def test_skew_routing_2d_mesh_exact():
+    """Skew routing on the hosts x chips mesh: the heavy-build broadcast
+    all_gathers over BOTH axes and the spread part lane must survive the
+    two-stage exchange."""
+    if len(jax.devices()) % 4 or len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices for a 2x4 mesh")
+    rng = np.random.default_rng(48)
+    nf = 8000
+    keys = np.where(rng.random(nf) < 0.9, 11,
+                    rng.integers(0, 30, nf)).astype(int)
+    db = Database()
+    db.create(Table.from_columns("sf3", {
+        "k": column_from_values(T.INT4, [int(v) for v in keys]),
+        "x": column_from_values(T.FLOAT8,
+                                [float(v) for v in rng.random(nf)]),
+    }))
+    db.create(Table.from_columns("sd3", {
+        "dk": column_from_values(T.INT4, list(range(30))),
+    }))
+    q = ("select sf3.k, count(*), sum(sf3.x) from sf3, sd3 "
+         "where sf3.k = sd3.dk group by sf3.k order by sf3.k")
+    host = execute(q, db).rows
+    from pg_strom_tpu.sql.parser import parse
+    from pg_strom_tpu.plan.planner import plan_query
+    with override(distributed=True, debug_force_offload=True,
+                  dist_mesh_hosts=2, perfmon=True):
+        pq = plan_query(parse(q), db)
+        dist = pq.execute()
+    assert _rows_equal(host, dist)
+    counts = dict(pq.perfmon.counts)
+    assert counts.get("dist_skew_routed", 0) >= 1, counts
+    assert counts.get("dist_repartitions", 0) == 0, counts
+
+
+@pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")
 def test_skew_routing_off_still_exact():
     """Same hot-key shape with routing disabled: results stay exact
     (the ladder may fire — that is the de-distribution the router

@@ -275,6 +275,20 @@ def test_v2_f4_denormal_window_clamps():
     _run(t, None, [c["k"]], [_agg("sum", c["x"])])
 
 
+def test_v2_int8_mode_off_matches():
+    """pg_strom.preagg_int8=off: the bf16 pipeline answers identically
+    (engages the 8-bit digit widths and the f32 accumulator)."""
+    t = _mk_table(seed=8)
+    c = _cols(t)
+    aggs = [_agg("sum", c["x"]), _agg("count", c["x"]), _agg("sum", c["y"])]
+    plan_on = _derive(t, None, [c["k"]], aggs)
+    with override(use_preagg_int8=False):
+        plan_off = _derive(t, None, [c["k"]], aggs)
+        _run(t, None, [c["k"]], aggs)
+    assert plan_on.sig.i8 and not plan_off.sig.i8
+    assert not plan_off.sig.biased_cols
+
+
 def test_v2_text_dict_key():
     t = Table.from_columns("tx", {
         "s": column_from_values(T.TEXT, ["b", "a", "b", None, "c"] * 40),

@@ -93,11 +93,15 @@ def main():
         return dt
 
     import pg_strom_tpu.ops.preagg_fused2 as pf2
-    for mode in ("blocks", "rep"):
-        pf2.ONEHOT_MODE = mode
-        print(f"# === onehot={mode} ===", flush=True)
-        one(f"count_x_only ", [("count", x)])
-        one(f"flagship     ", [("sum", x), ("count", x), ("sum", y)])
+    for cm in ("via_i32", "direct", "select"):
+        pf2.CAST_MODE = cm
+        print(f"# === cast={cm} ===", flush=True)
+        try:
+            one(f"count_x_only ", [("count", x)])
+            one(f"flagship     ", [("sum", x), ("count", x), ("sum", y)])
+        except Exception as e:  # noqa: BLE001
+            print(f"# cast={cm} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:400]}", flush=True)
 
 
 if __name__ == "__main__":
