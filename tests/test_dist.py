@@ -651,6 +651,18 @@ class TestHierarchicalMesh:
             d2 = execute(q, db).rows
         assert _rows_equal(host, d2)
 
+    def test_2d_distinct_aggregate(self):
+        """agg(DISTINCT x) over the hosts x chips mesh: the dedup exchange
+        rides the two-stage ICI/DCN path."""
+        db = self._db()
+        q = ("select hf.k, count(distinct hf.q), count(*) from hf "
+             "group by hf.k order by hf.k")
+        host = execute(q, db).rows
+        with override(distributed=True, debug_force_offload=True,
+                      dist_mesh_hosts=2):
+            d2 = execute(q, db).rows
+        assert _rows_equal(host, d2)
+
     def test_mesh_toggle_switches_programs(self):
         """Toggling pg_strom.dist_mesh_hosts mid-process must BUILD a step
         for the new topology, not silently serve the cached one (round-3
