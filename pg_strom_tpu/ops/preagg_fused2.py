@@ -860,6 +860,10 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
             oht = jnp.concatenate(
                 [bool_to_v(seg == jnp.int32(g)) for g in range(G)],
                 axis=0)
+        elif onehot_mode == "const":
+            # FLOOR PROBE ONLY (wrong results): a seg-independent one-hot
+            # isolates the seg-compare/rep construction cost
+            oht = bool_to_v(limb_iota(G) == (step % jnp.int32(G)))
         else:
             oht = bool_to_v(rep(seg, G) == limb_iota(G))
         for sg in range(-(-GP // LANES)):

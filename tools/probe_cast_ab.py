@@ -60,14 +60,22 @@ def main():
     args = (cols, np.int32(N), np.uint64(0), scal)
 
     fns = {}
-    for cm in ("via_i32", "direct"):
-        pf2.CAST_MODE = cm
-        fns[cm] = jax.jit(build_preagg_fn(schema, [key], insts, pred,
-                                          plan.G, strategy="mxu_dense",
-                                          v2sig=plan.sig))
-        out = fns[cm](*args)
-        jax.device_get(out["err"])
-        print(f"# {cm} compiled+warm", flush=True)
+    for label, oh, tile in (("rep64k", "rep", 65536),
+                            ("const64k", "const", 65536),
+                            ("rep128k", "rep", 131072)):
+        pf2.ONEHOT_MODE = oh
+        pf2.MAX_TILE = tile
+        try:
+            fns[label] = jax.jit(build_preagg_fn(
+                schema, [key], insts, pred, plan.G,
+                strategy="mxu_dense", v2sig=plan.sig))
+            out = fns[label](*args)
+            jax.device_get(out["err"])
+            print(f"# {label} compiled+warm", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"# {label} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+            fns.pop(label, None)
 
     best = {cm: float("inf") for cm in fns}
     for r in range(6):
