@@ -104,7 +104,9 @@ def _run_join_impl(identity: bool):
         build_hash_table, build_probe_dense_fn, dense_cap_for,
         mxu_dense_window)
 
-    NB, NP_ = 1 << 16, 1 << 24
+    # 2^26 probes: the ~3.8ms fixed dispatch floor hides kernels below
+    # ~30M rows/launch (BASELINE truth #0) — 2^24 undersold the probe
+    NB, NP_ = 1 << 16, 1 << 26
     bschema = [ColMeta("k", T.INT4)]
     pschema = [ColMeta("k", T.INT4)]
     bk = ColumnRef(type=T.INT4, name="k", index=0)

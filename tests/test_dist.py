@@ -423,6 +423,40 @@ def test_skew_routing_2d_mesh_exact():
     assert counts.get("dist_repartitions", 0) == 0, counts
 
 
+def test_skew_routing_balance_property():
+    """SURVEY §7 hard-part 5 (scaling efficiency under skew): the router's
+    device-load balance is a pure function of the hash + spread logic, so
+    it is PROVABLE host-side without multi-chip hardware.  With 90% of
+    rows on one key, plain hash partitioning overloads one device ~7x the
+    mean; the heavy-key spread keeps every device within 15% of the mean."""
+    from pg_strom_tpu.parallel.dist import host_combine_hash
+    from pg_strom_tpu.parallel.shuffle import detect_heavy_keys, \
+        _HEAVY_SENTINEL
+    rng = np.random.default_rng(50)
+    n, ndev = 200_000, 8
+    keys = np.where(rng.random(n) < 0.9, 7,
+                    rng.integers(0, 1000, n)).astype(np.int64)
+    h = host_combine_hash([keys])
+    part_plain = (h.astype(np.uint64) % np.uint64(ndev)).astype(int)
+    loads = np.bincount(part_plain, minlength=ndev)
+    assert loads.max() > 3.0 * loads.mean(), loads   # the problem is real
+    heavy = detect_heavy_keys(h, np.ones(n, bool), k_heavy=8)
+    nh = int((heavy != _HEAVY_SENTINEL).sum())
+    assert nh >= 1
+    is_heavy = np.isin(h, heavy[:nh])
+    part = np.where(is_heavy, np.arange(n) % ndev, part_plain)
+    loads2 = np.bincount(part, minlength=ndev)
+    assert loads2.max() <= 1.15 * loads2.mean(), loads2
+    # uniform workloads must stay balanced and unrouted
+    uk = rng.integers(0, 1 << 40, n).astype(np.int64)
+    hu = host_combine_hash([uk])
+    hv = detect_heavy_keys(hu, np.ones(n, bool), k_heavy=8)
+    assert int((hv != _HEAVY_SENTINEL).sum()) == 0
+    lu = np.bincount((hu.astype(np.uint64) % np.uint64(ndev)).astype(int),
+                     minlength=ndev)
+    assert lu.max() <= 1.1 * lu.mean(), lu
+
+
 @pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")
 def test_skew_routing_off_still_exact():
     """Same hot-key shape with routing disabled: results stay exact
