@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = ("filter", "agg_nogrp", "agg_group", "join_agg", "star_group",
-           "sort")
+           "star4way", "sort")
 
 
 def run_one(name: str) -> dict:

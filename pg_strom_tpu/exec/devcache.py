@@ -122,6 +122,12 @@ def _pytree_nbytes(tree: Any) -> int:
 class DeviceChunkCache:
     def __init__(self) -> None:
         self._lru: "OrderedDict[tuple, _Entry]" = OrderedDict()
+        # concurrent SELECTs are a legitimate serving shape (the reference
+        # is a multi-backend DBMS); every LRU mutation holds this lock —
+        # chunk UPLOADS intentionally happen outside it (a generator must
+        # not hold a lock across yields)
+        import threading
+        self._mu = threading.RLock()
         self.hits = 0
         self.misses = 0
         self.evictions = 0
@@ -136,7 +142,8 @@ class DeviceChunkCache:
         return sum(e.nbytes for e in self._lru.values())
 
     def clear(self) -> None:
-        self._lru.clear()
+        with self._mu:
+            self._lru.clear()
 
     def _sweep(self) -> None:
         dead = [k for k, e in self._lru.items() if not e.alive()]
@@ -166,12 +173,14 @@ class DeviceChunkCache:
             return
 
         key = ("chunks", tuple(c.uid for c in cols), cap)
-        self._sweep()
-        ent = self._lru.get(key)
+        with self._mu:
+            self._sweep()
+            ent = self._lru.get(key)
+            if ent is not None:
+                self._lru.move_to_end(key)
+                ent.hits += 1
+                self.hits += 1
         if ent is not None:
-            self._lru.move_to_end(key)
-            ent.hits += 1
-            self.hits += 1
             if pm is not None:
                 pm.bump("tcache_hits")
             yield from ent.chunks
@@ -209,10 +218,12 @@ class DeviceChunkCache:
                                  False, dev_planes)
             chunks.append(cc)
             yield cc
-        self._evict_to_fit(nbytes)
-        self._lru[key] = _Entry(key=key, table_name=table.name, kind="chunks",
-                                chunks=chunks, aux=None, nbytes=nbytes,
-                                col_refs=[weakref.ref(c) for c in cols])
+        with self._mu:
+            self._evict_to_fit(nbytes)
+            self._lru[key] = _Entry(key=key, table_name=table.name,
+                                    kind="chunks", chunks=chunks, aux=None,
+                                    nbytes=nbytes,
+                                    col_refs=[weakref.ref(c) for c in cols])
 
     def _stream(self, table: Table, n: int, cap: int,
                 pm=None) -> Iterator[CachedChunk]:
@@ -234,13 +245,14 @@ class DeviceChunkCache:
     # -- auxiliary device pytrees (join hash tables) ---------------------------
 
     def get_aux(self, key: tuple, pm=None) -> Any:
-        self._sweep()
-        ent = self._lru.get(("aux",) + key)
-        if ent is None:
-            return None
-        self._lru.move_to_end(("aux",) + key)
-        ent.hits += 1
-        self.hits += 1
+        with self._mu:
+            self._sweep()
+            ent = self._lru.get(("aux",) + key)
+            if ent is None:
+                return None
+            self._lru.move_to_end(("aux",) + key)
+            ent.hits += 1
+            self.hits += 1
         if pm is not None:
             pm.bump("tcache_hits")
         return ent.aux
@@ -252,19 +264,22 @@ class DeviceChunkCache:
         nbytes = _pytree_nbytes(value)
         if nbytes > self.budget_bytes():
             return
-        self.misses += 1
-        self._evict_to_fit(nbytes)
-        self._lru[("aux",) + key] = _Entry(
-            key=("aux",) + key, table_name=table_name, kind="aux",
-            chunks=None, aux=value, nbytes=nbytes,
-            col_refs=[weakref.ref(c) for c in cols])
+        with self._mu:
+            self.misses += 1
+            self._evict_to_fit(nbytes)
+            self._lru[("aux",) + key] = _Entry(
+                key=("aux",) + key, table_name=table_name, kind="aux",
+                chunks=None, aux=value, nbytes=nbytes,
+                col_refs=[weakref.ref(c) for c in cols])
 
     # -- introspection ----------------------------------------------------------
 
     def info_rows(self) -> list[dict]:
-        self._sweep()
+        with self._mu:
+            self._sweep()
+            entries = list(self._lru.values())
         rows = []
-        for e in self._lru.values():
+        for e in entries:
             rows.append({"table_name": e.table_name, "kind": e.kind,
                          "nchunks": len(e.chunks) if e.chunks else 0,
                          "nbytes": e.nbytes, "hits": e.hits})

@@ -95,5 +95,11 @@ BENCH_QUERIES = {
     "star_group": "select t1.aid % 40, count(*), sum(t0.x) from t0 "
                   "join t1 on t0.aid = t1.aid group by t1.aid % 40 "
                   "order by t1.aid % 40",
+    # the reference's manual benchmark shape (testdb.sql:1-40: t0 joined
+    # to several serial-PK dims at once) — the fused N-way TpuStarJoinAgg
+    # chain, one device node per fact chunk
+    "star4way": "select count(*), sum(t0.x), sum(t0.y) from t0, t1, t2, t3 "
+                "where t0.aid = t1.aid and t0.bid = t2.bid "
+                "and t0.cid = t3.cid",
     "sort": "select id, x from t0 order by x desc limit 100",
 }

@@ -94,7 +94,11 @@ class Perfmon:
             out.append(f"{ch}: {b/1e6:.2f}MB"
                        + (f", {bw:.2f}GB/s" if bw else ""))
         for c in ("device_chunks", "recheck_chunks", "tcache_hits",
-                  "dist_steps", "dist_repartitions"):
+                  "dist_steps", "dist_repartitions", "dist_skew_routed",
+                  "dist_distinct_steps", "dist_resident_hits",
+                  "dist_star_steps", "devprog_tier_fallbacks",
+                  "fanout_retries", "salt_retries", "sort_fallbacks",
+                  "dense_fallbacks"):
             if self.counts.get(c):
                 out.append(f"{c}: {self.counts[c]}")
         return out

@@ -160,3 +160,57 @@ class TestCapacityHelper:
             assert chunk_capacity(40_000) == 65536
             assert chunk_capacity(5) == 1024
             assert chunk_capacity(3 << 20) == 1 << 20
+
+
+def test_concurrent_queries_thread_safe():
+    """Concurrent SELECTs are a legitimate serving shape (the reference is
+    a multi-backend DBMS): parallel threads over one Database must neither
+    crash the LRU (dict-changed-size races) nor return wrong rows."""
+    import threading
+    import numpy as np
+    from pg_strom_tpu import T
+    from pg_strom_tpu.config import override
+    from pg_strom_tpu.datastore import Database, Table, column_from_numpy
+    from pg_strom_tpu.sql.api import execute
+
+    rng = np.random.default_rng(60)
+    n = 20000
+    db = Database()
+    db.create(Table.from_columns("ct", {
+        "k": column_from_numpy(T.INT4, rng.integers(0, 9, n).astype(np.int32)),
+        "x": column_from_numpy(T.FLOAT8, rng.random(n)),
+        "y": column_from_numpy(T.INT8,
+                               rng.integers(-100, 100, n).astype(np.int64)),
+    }))
+    db.create(Table.from_columns("cd", {
+        "dk": column_from_numpy(T.INT4, np.arange(9, dtype=np.int32)),
+        "w": column_from_numpy(T.INT8, (np.arange(9) * 11).astype(np.int64)),
+    }))
+    queries = [
+        "select k, count(*), sum(x) from ct group by k order by k",
+        "select count(*), sum(ct.y), sum(cd.w) from ct, cd where ct.k = cd.dk",
+        "select sum(y) from ct where x > 0.5",
+        "select k, max(y), min(x) from ct group by k order by k",
+    ]
+    with override(debug_force_offload=True):
+        expected = {q: execute(q, db).rows for q in queries}
+    from pg_strom_tpu.exec.devcache import TCACHE
+    TCACHE.clear()
+    errors: list = []
+
+    def worker(i: int) -> None:
+        try:
+            with override(debug_force_offload=True, tcache_size_mb=4):
+                for r in range(6):
+                    q = queries[(i + r) % len(queries)]
+                    got = execute(q, db).rows
+                    assert got == expected[q], (q, got[:2])
+        except Exception as e:  # noqa: BLE001
+            errors.append((i, repr(e)))
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
