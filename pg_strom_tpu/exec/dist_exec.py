@@ -5,7 +5,10 @@ fused join->aggregate shape through this executor when
 pg_strom.distributed is on and >1 device is visible.  Owns:
 
   - eligibility (ColumnRef keys/args of mesh-shippable types, slot kinds
-    within DIST_SLOT_KINDS, no DISTINCT / numeric(Decimal) family)
+    within DIST_SLOT_KINDS; one agg(DISTINCT x) per query rides the dedup
+    exchange — _distinct_agg_distributable)
+  - skew routing: sampled heavy-hitter hashes spread hot probe keys over
+    all devices and broadcast the matching build rows (round 4)
   - side predicates: applied per side through the single-chip ScanExecutor
     before distribution (the scan tier keeps its own device/host verdict)
   - lane encoding (canonical int64 keys, dictionary codes, f32/f64-bit arg
@@ -89,6 +92,18 @@ def _unflip_orderkey(k: int) -> float:
     return unflip_f64_orderkey(k)
 
 
+def _distinct_agg_distributable(inst) -> bool:
+    """agg(DISTINCT x) rides the dedup exchange iff its slot kinds are
+    additive (min/max need no dedup and stay host-tier) and its args are
+    integer-family lanes — float bit-lanes would miscount -0.0/+0.0 and
+    NaN payloads under PG equality."""
+    if any(k not in ("count", "sum_i", "sumsq_i") for k in inst.slots):
+        return False
+    return bool(inst.args) and all(
+        a.type in (T.INT2, T.INT4, T.INT8, T.DATE, T.BOOL, T.TEXT,
+                   T.BPCHAR) for a in inst.args)
+
+
 class DistJoinAggExecutor:
     """SELECT <aggs> FROM probe JOIN build ON keys [WHERE ...] GROUP BY ...
     executed over the device mesh (hash-partition shuffle join + per-device
@@ -156,18 +171,8 @@ class DistJoinAggExecutor:
         if sum(1 for i_ in self.aggs if i_.distinct) > 1:
             return False                   # one dedup exchange per step
         for inst in self.aggs:
-            if inst.distinct:
-                # joined-row agg(DISTINCT x): same dedup-exchange envelope
-                # as the single-table path (additive kinds, integer-family
-                # args — see DistPreAggExecutor.eligible)
-                if any(k not in ("count", "sum_i", "sumsq_i")
-                       for k in inst.slots):
-                    return False
-                if not inst.args or any(
-                        a.type not in (T.INT2, T.INT4, T.INT8, T.DATE,
-                                       T.BOOL, T.TEXT, T.BPCHAR)
-                        for a in inst.args):
-                    return False
+            if inst.distinct and not _distinct_agg_distributable(inst):
+                return False
             if any(kind not in DIST_SLOT_KINDS for kind in inst.slots):
                 return False
             for a in inst.args:
@@ -600,19 +605,8 @@ class DistPreAggExecutor:
         if sum(1 for i_ in self.aggs if i_.distinct) > 1:
             return False               # one dedup exchange per step
         for inst in self.aggs:
-            if inst.distinct:
-                # agg(DISTINCT x) distributes via the dedup exchange
-                # (round-4 verdict item 9): additive slot kinds only, and
-                # integer-family args — float bit-lanes would miscount
-                # -0.0/+0.0 and NaN payloads under PG equality
-                if any(k not in ("count", "sum_i", "sumsq_i")
-                       for k in inst.slots):
-                    return False
-                if not inst.args or any(
-                        a.type not in (T.INT2, T.INT4, T.INT8, T.DATE,
-                                       T.BOOL, T.TEXT, T.BPCHAR)
-                        for a in inst.args):
-                    return False
+            if inst.distinct and not _distinct_agg_distributable(inst):
+                return False
             if any(kind not in DIST_SLOT_KINDS for kind in inst.slots):
                 return False
             for a in inst.args:
