@@ -152,6 +152,11 @@ class _Config:
     # rows + broadcast matching build rows instead of hash-funneling a hot
     # key onto one device
     dist_skew_routing: bool = True
+    # device-assisted agg(DISTINCT x) even WITHOUT pg_strom.distributed:
+    # route eligible distinct aggregations through the dedup-exchange step
+    # on the local device mesh instead of the host row loop (the reference
+    # always punts DISTINCT to the CPU aggregate — this exceeds it)
+    device_distinct: bool = True
 
 
 def _enabled_get(self) -> bool:

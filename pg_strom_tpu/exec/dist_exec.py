@@ -590,9 +590,18 @@ class DistPreAggExecutor:
         self.perfmon = perfmon or Perfmon()
 
     def eligible(self) -> bool:
-        if not (config.enabled and config.distributed):
+        if not config.enabled or self.table.nrows == 0:
             return False
-        if len(jax.devices()) < 2 or self.table.nrows == 0:
+        # device-assisted DISTINCT (round 4): a query carrying an eligible
+        # agg(DISTINCT x) routes through this step even WITHOUT
+        # pg_strom.distributed — the alternative is the host row loop, and
+        # the dedup-exchange runs fine on a 1+-device local mesh.  The
+        # reference always punts DISTINCT to the CPU aggregate.
+        has_distinct = any(i_.distinct for i_ in self.aggs)
+        if config.distributed and len(jax.devices()) >= 2:
+            pass
+        elif not (has_distinct and config.device_distinct
+                  and len(jax.devices()) >= 1):
             return False
         from ..expr.catalog import device_expression_supported
         for g in self.group_exprs:

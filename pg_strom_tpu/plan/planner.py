@@ -926,9 +926,14 @@ def _run_agg(cur: Table, pred, group_exprs, items, having, order_specs,
     bound_groups = [bind_columns(g, layout) for g in group_exprs]
     bpred = bind_columns(pred, layout) if pred is not None else None
     raw = None
-    if config.distributed and offload:
-        # single-table data-parallel aggregation over the mesh; ineligible
-        # shapes / device recheck fall back to the local executor
+    if offload and (config.distributed
+                    or (config.device_distinct
+                        and any(i_.distinct for i_ in insts))):
+        # single-table data-parallel aggregation over the mesh; ALSO the
+        # device-assisted DISTINCT tier (round 4): an eligible
+        # agg(DISTINCT x) runs through the dedup-exchange step on the
+        # local mesh instead of the host row loop.  Ineligible shapes /
+        # device recheck fall back to the local executor.
         from ..exec.dist_exec import DistPreAggExecutor, DistFallback
         dx = DistPreAggExecutor(cur, bound_groups, insts, pred=bpred,
                                 perfmon=perfmon)

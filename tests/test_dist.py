@@ -423,6 +423,42 @@ def test_skew_routing_2d_mesh_exact():
     assert counts.get("dist_repartitions", 0) == 0, counts
 
 
+def test_device_distinct_without_distributed():
+    """agg(DISTINCT x) engages the device dedup tier even with
+    pg_strom.distributed OFF (round 4: the host row loop is the only
+    alternative; the reference always punts DISTINCT to the CPU agg)."""
+    rng = np.random.default_rng(51)
+    n = 8000
+    db = Database()
+    db.create(Table.from_columns("lv", {
+        "g": column_from_values(T.INT4,
+                                [int(v) for v in rng.integers(0, 10, n)]),
+        "x": column_from_values(
+            T.INT4, [None if i % 19 == 0 else int(v)
+                     for i, v in enumerate(rng.integers(0, 50, n))]),
+    }))
+    q = ("select g, count(distinct x), count(*) from lv group by g "
+         "order by g")
+    with override(enabled=False):
+        host = execute(q, db).rows
+    from pg_strom_tpu.sql.parser import parse
+    from pg_strom_tpu.plan.planner import plan_query
+    with override(debug_force_offload=True, perfmon=True):
+        assert not config.distributed
+        pq = plan_query(parse(q), db)
+        got = pq.execute()
+    assert _rows_equal(host, got)
+    assert pq.perfmon.counts.get("dist_distinct_steps", 0) >= 1, \
+        dict(pq.perfmon.counts)
+    # kill switch: device_distinct=off reverts to the host tier
+    with override(debug_force_offload=True, device_distinct=False,
+                  perfmon=True):
+        pq2 = plan_query(parse(q), db)
+        got2 = pq2.execute()
+    assert _rows_equal(host, got2)
+    assert pq2.perfmon.counts.get("dist_distinct_steps", 0) == 0
+
+
 def test_skew_routing_balance_property():
     """SURVEY §7 hard-part 5 (scaling efficiency under skew): the router's
     device-load balance is a pure function of the hash + spread logic, so
