@@ -309,6 +309,26 @@ class TestDistributedStarRound4:
         assert pm2.bytes.get("h2d", 0) == 0, dict(pm2.bytes)
 
 
+def test_star_distinct_agg_device_assisted(db):
+    """A star query with agg(DISTINCT x): the fused node declines (its agg
+    stage has no dedup), the pairwise chain joins on device, and the final
+    aggregation rides the round-4 device-assisted DISTINCT tier instead of
+    the host row loop."""
+    from pg_strom_tpu.sql.parser import parse
+    from pg_strom_tpu.plan.planner import plan_query
+    q = ("select t1.atext, count(distinct t0.cid), count(*) "
+         "from t0, t1 where t0.aid = t1.aid "
+         "group by t1.atext order by t1.atext")
+    with override(enabled=False):
+        host = execute(q, db).rows
+    with override(debug_force_offload=True, perfmon=True):
+        pq = plan_query(parse(q), db)
+        dev = pq.execute()
+    _match(host, dev)
+    assert pq.perfmon.counts.get("dist_distinct_steps", 0) >= 1, \
+        dict(pq.perfmon.counts)
+
+
 class TestSnowflake:
     """Snowflake chains (round 3): a sub-dimension keyed by a PARENT
     dimension's column runs inside the same fused device node — no host
