@@ -94,14 +94,15 @@ def _unflip_orderkey(k: int) -> float:
 
 def _distinct_agg_distributable(inst) -> bool:
     """agg(DISTINCT x) rides the dedup exchange iff its slot kinds are
-    additive (min/max need no dedup and stay host-tier) and its args are
-    integer-family lanes — float bit-lanes would miscount -0.0/+0.0 and
-    NaN payloads under PG equality."""
-    if any(k not in ("count", "sum_i", "sumsq_i") for k in inst.slots):
+    additive (min/max need no dedup and stay host-tier).  Float args are
+    canonicalized to PG equality in the dedup phase (-0.0 == +0.0, one
+    NaN) — parallel/dist._distinct_phase `canon`/`bitproxy`."""
+    if any(k not in ("count", "sum_i", "sumsq_i", "sum_f", "sumsq_f")
+           for k in inst.slots):
         return False
     return bool(inst.args) and all(
         a.type in (T.INT2, T.INT4, T.INT8, T.DATE, T.BOOL, T.TEXT,
-                   T.BPCHAR) for a in inst.args)
+                   T.BPCHAR, T.FLOAT4, T.FLOAT8) for a in inst.args)
 
 
 class DistJoinAggExecutor:

@@ -539,11 +539,41 @@ def _distinct_phase(sig: DistPlanSig, di: int, glanes, gvalids,
     ng = len(glanes)
     enc_g = [jnp.where(gv, gl, jnp.int64(0))
              for gl, gv in zip(glanes, gvalids)]
-    enc_a = [jnp.where(av, ad, jnp.int64(0)) for ad, av in dargs]
+
+    def canon(ad, sp):
+        """PG-equality canonicalization of a distinct arg lane: -0.0 and
+        +0.0 are ONE value and every NaN payload is ONE value.  Float8
+        rides as IEEE-bit int64 (canonicalize the bits); float4 rides as
+        an f32 lane — canonicalize to +0 / one quiet NaN so the BIT view
+        below is a faithful equality proxy."""
+        if sp.t is T.FLOAT8:
+            zero = jnp.int64(-(1 << 63))              # -0.0 bits
+            ad = jnp.where(ad == zero, jnp.int64(0), ad)
+            expm = jnp.int64(0x7FF0000000000000)
+            man = jnp.int64(0x000FFFFFFFFFFFFF)
+            isnan = ((ad & expm) == expm) & ((ad & man) != 0)
+            return jnp.where(isnan, jnp.int64(0x7FF8000000000000), ad)
+        if sp.t is T.FLOAT4:
+            ad = jnp.where(ad == jnp.float32(0.0), jnp.float32(0.0), ad)
+            return jnp.where(jnp.isnan(ad), jnp.float32(jnp.nan), ad)
+        return ad
+
+    def bitproxy(ad, sp):
+        """Integer view used for hashing / sorting / equality: after
+        canonicalization, bit equality == PG value equality (IEEE f32 ==
+        would still make NaN rows never dedup)."""
+        if sp.t is T.FLOAT4:
+            return jax.lax.bitcast_convert_type(ad, jnp.int32)                 .astype(jnp.int64)
+        return ad
+
+    dspecs = sig.aggs[di][0]
+    enc_a = [jnp.where(av, canon(ad, sp), jnp.zeros_like(ad))
+             for (ad, av), sp in zip(dargs, dspecs)]
+    enc_ab = [bitproxy(a, sp) for a, sp in zip(enc_a, dspecs)]
     vbits = sum((gv.astype(jnp.int64) << k)
                 for k, gv in enumerate(gvalids)) \
         if gvalids else jnp.zeros_like(live, dtype=jnp.int64)
-    h = _combine_hash(enc_g + enc_a + [vbits]).astype(jnp.uint64)
+    h = _combine_hash(enc_g + enc_ab + [vbits]).astype(jnp.uint64)
     part = (h % jnp.uint64(ndev)).astype(jnp.int32)
     exch = _make_exchange(axes, axis, ndev, H, C, dedup_cap)
     ship = tuple(enc_g) + tuple(gvalids) + tuple(enc_a)
@@ -554,7 +584,8 @@ def _distinct_phase(sig: DistPlanSig, di: int, glanes, gvalids,
     vb_x = sum((gv.astype(jnp.int64) << k)
                for k, gv in enumerate(gv_x)) \
         if gv_x else jnp.zeros_like(vx, dtype=jnp.int64)
-    keys = tuple(ad_x) + (vb_x,) + tuple(gl_x) + ((~vx),)
+    adb_x = [bitproxy(a, sp) for a, sp in zip(ad_x, dspecs)]
+    keys = tuple(adb_x) + (vb_x,) + tuple(gl_x) + ((~vx),)
     order = jnp.lexsort(keys)
     vx_s = vx[order]
     gl_s = [l[order] for l in gl_x]
@@ -562,7 +593,7 @@ def _distinct_phase(sig: DistPlanSig, di: int, glanes, gvalids,
     ad_s = [a[order] for a in ad_x]
     prev_eq = jnp.concatenate([jnp.zeros(1, jnp.bool_),
                                vx_s[1:] & vx_s[:-1]])
-    for l in list(gl_s) + list(ad_s) + [vb_x[order]]:
+    for l in list(gl_s) + [b[order] for b in adb_x] + [vb_x[order]]:
         prev_eq = prev_eq & jnp.concatenate(
             [jnp.zeros(1, jnp.bool_), l[1:] == l[:-1]])
     unique = vx_s & ~prev_eq

@@ -459,6 +459,45 @@ def test_device_distinct_without_distributed():
     assert pq2.perfmon.counts.get("dist_distinct_steps", 0) == 0
 
 
+@pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")
+def test_distinct_float_args_pg_equality():
+    """DISTINCT over float args follows PG equality: -0.0 == +0.0 and
+    every NaN payload is ONE value (bit-lane dedup would miscount both)."""
+    from decimal import Decimal  # noqa: F401
+    f4 = [1.5, -0.0, 0.0, float("nan"), float("nan"), 2.5, 1.5, None]
+    f8 = [3.25, 0.0, -0.0, float("nan"), 7.5, float("nan"), 3.25, None]
+    g = [1, 1, 1, 1, 1, 2, 2, 2]
+    db = Database()
+    db.create(Table.from_columns("fd", {
+        "g": column_from_values(T.INT4, g * 50),
+        "a": column_from_values(T.FLOAT4, f4 * 50),
+        "b": column_from_values(T.FLOAT8, f8 * 50),
+    }))
+    for q in (
+        "select g, count(distinct a) from fd group by g order by g",
+        "select g, count(distinct b) from fd group by g order by g",
+        "select g, sum(distinct b) from fd group by g order by g",
+    ):
+        host = execute(q, db).rows
+        from pg_strom_tpu.sql.parser import parse
+        from pg_strom_tpu.plan.planner import plan_query
+        with override(distributed=True, debug_force_offload=True,
+                      perfmon=True):
+            pq = plan_query(parse(q), db)
+            dist = pq.execute()
+        import math
+        assert len(host) == len(dist), (q, host, dist)
+        for rh, rd in zip(host, dist):
+            for vh, vd in zip(rh, rd):
+                if isinstance(vh, float) and math.isnan(vh):
+                    assert isinstance(vd, float) and math.isnan(vd), (q, rh, rd)
+                elif isinstance(vh, float):
+                    assert vd == pytest.approx(vh, rel=1e-12), (q, rh, rd)
+                else:
+                    assert vh == vd, (q, rh, rd)
+        assert pq.perfmon.counts.get("dist_distinct_steps", 0) >= 1, q
+
+
 def test_skew_routing_balance_property():
     """SURVEY §7 hard-part 5 (scaling efficiency under skew): the router's
     device-load balance is a pure function of the hash + spread logic, so
