@@ -100,9 +100,16 @@ def _distinct_agg_distributable(inst) -> bool:
     if any(k not in ("count", "sum_i", "sumsq_i", "sum_f", "sumsq_f")
            for k in inst.slots):
         return False
-    return bool(inst.args) and all(
-        a.type in (T.INT2, T.INT4, T.INT8, T.DATE, T.BOOL, T.TEXT,
-                   T.BPCHAR, T.FLOAT4, T.FLOAT8) for a in inst.args)
+    if not inst.args:
+        return False
+    if any(a.type is T.NUMERIC for a in inst.args):
+        # numeric DISTINCT: count only — sum(distinct numeric) would need
+        # a defined representative display scale per distinct value
+        return set(inst.slots) <= {"count"} and all(
+            a.type is T.NUMERIC for a in inst.args)
+    return all(a.type in (T.INT2, T.INT4, T.INT8, T.DATE, T.BOOL, T.TEXT,
+                          T.BPCHAR, T.FLOAT4, T.FLOAT8)
+               for a in inst.args)
 
 
 class DistJoinAggExecutor:

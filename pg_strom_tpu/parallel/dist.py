@@ -569,7 +569,33 @@ def _distinct_phase(sig: DistPlanSig, di: int, glanes, gvalids,
     dspecs = sig.aggs[di][0]
     enc_a = [jnp.where(av, canon(ad, sp), jnp.zeros_like(ad))
              for (ad, av), sp in zip(dargs, dspecs)]
-    enc_ab = [bitproxy(a, sp) for a, sp in zip(enc_a, dspecs)]
+
+    def proxies(lanes_):
+        """Equality-proxy lanes per spec.  A NUMERIC arg spans three wire
+        lanes (mantissa, exponent, dscale): PG numeric equality is on the
+        VALUE mant*10^exp and ignores display scale, so the proxy is the
+        canonical (mant, exp) pair with trailing zeros stripped (1.0 and
+        1.00 become one value) and dscale excluded."""
+        out = []
+        li = 0
+        while li < len(dspecs):
+            sp = dspecs[li]
+            if sp.t is T.NUMERIC and sp.role == "arg":
+                mant = lanes_[li]
+                exp = lanes_[li + 1]
+                for _ in range(18):       # |mant| < 10^18: bounded strip
+                    more = (mant != 0) & (mant % jnp.int64(10) == 0)
+                    mant = jnp.where(more, mant // jnp.int64(10), mant)
+                    exp = jnp.where(more, exp + jnp.int64(1), exp)
+                exp = jnp.where(mant == 0, jnp.int64(0), exp)
+                out += [mant, exp]
+                li += 3
+            else:
+                out.append(bitproxy(lanes_[li], sp))
+                li += 1
+        return out
+
+    enc_ab = proxies(enc_a)
     vbits = sum((gv.astype(jnp.int64) << k)
                 for k, gv in enumerate(gvalids)) \
         if gvalids else jnp.zeros_like(live, dtype=jnp.int64)
@@ -584,7 +610,7 @@ def _distinct_phase(sig: DistPlanSig, di: int, glanes, gvalids,
     vb_x = sum((gv.astype(jnp.int64) << k)
                for k, gv in enumerate(gv_x)) \
         if gv_x else jnp.zeros_like(vx, dtype=jnp.int64)
-    adb_x = [bitproxy(a, sp) for a, sp in zip(ad_x, dspecs)]
+    adb_x = proxies(ad_x)
     keys = tuple(adb_x) + (vb_x,) + tuple(gl_x) + ((~vx),)
     order = jnp.lexsort(keys)
     vx_s = vx[order]

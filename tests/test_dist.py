@@ -498,6 +498,33 @@ def test_distinct_float_args_pg_equality():
         assert pq.perfmon.counts.get("dist_distinct_steps", 0) >= 1, q
 
 
+@pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")
+def test_distinct_numeric_count():
+    """count(DISTINCT numeric): equality is on the VALUE (1.0 == 1.00 ==
+    1.000), not the (mantissa, exponent, dscale) lanes."""
+    from decimal import Decimal
+    vals = [Decimal("1.0"), Decimal("1.00"), Decimal("1.000"),
+            Decimal("2.5"), Decimal("2.50"), None, Decimal("0"),
+            Decimal("0.00"), Decimal("-3.14")]
+    g = [1, 1, 1, 1, 2, 2, 2, 2, 2]
+    db = Database()
+    db.create(Table.from_columns("nd", {
+        "g": column_from_values(T.INT4, g * 40),
+        "n": column_from_values(T.NUMERIC, vals * 40),
+    }))
+    q = "select g, count(distinct n), count(n) from nd group by g order by g"
+    host = execute(q, db).rows
+    from pg_strom_tpu.sql.parser import parse
+    from pg_strom_tpu.plan.planner import plan_query
+    with override(distributed=True, debug_force_offload=True, perfmon=True):
+        pq = plan_query(parse(q), db)
+        dist = pq.execute()
+    assert _rows_equal(host, dist), (host, dist)
+    # fixture sanity: g1 = {1.0, 2.5}; g2 = {2.5, 0, -3.14}
+    assert host[0][1] == 2 and host[1][1] == 3
+    assert pq.perfmon.counts.get("dist_distinct_steps", 0) >= 1
+
+
 def test_skew_routing_balance_property():
     """SURVEY §7 hard-part 5 (scaling efficiency under skew): the router's
     device-load balance is a pure function of the hash + spread logic, so
