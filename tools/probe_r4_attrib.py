@@ -71,16 +71,19 @@ def main():
     yhi = (y_np.view(np.uint64) >> np.uint64(32)).astype(np.uint32)
     ysplit = (jax.device_put(ylo), jax.device_put(yhi))
 
-    def one(label, agg_list):
+    def one(label, agg_list, use_pred=True):
         insts = []
         for aggname, arg in agg_list:
-            d, fam = lookup_agg(aggname, (arg.type,))
+            d, fam = lookup_agg(aggname, (arg.type,) if arg is not None
+                                else ())
             insts.append(AggInstance(aggname=aggname, family=fam,
-                                     slots=d.slots, args=(arg,)))
-        plan = derive_v2_plan(cols_host, schema, [key], insts, pred,
+                                     slots=d.slots,
+                                     args=(arg,) if arg is not None else ()))
+        qpred = pred if use_pred else None
+        plan = derive_v2_plan(cols_host, schema, [key], insts, qpred,
                               max_g=4096)
         assert plan is not None, label
-        fn = jax.jit(build_preagg_fn(schema, [key], insts, pred, plan.G,
+        fn = jax.jit(build_preagg_fn(schema, [key], insts, qpred, plan.G,
                                      strategy="mxu_dense", v2sig=plan.sig))
         cols = (dev["key"], dev["x"], dev["y"])
         scal = {"i": plan.scal_i, "u": plan.scal_u, "f4sc": plan.f4sc,
@@ -92,16 +95,9 @@ def main():
               flush=True)
         return dt
 
-    import pg_strom_tpu.ops.preagg_fused2 as pf2
-    for cm in ("via_i32", "direct", "select"):
-        pf2.CAST_MODE = cm
-        print(f"# === cast={cm} ===", flush=True)
-        try:
-            one(f"count_x_only ", [("count", x)])
-            one(f"flagship     ", [("sum", x), ("count", x), ("sum", y)])
-        except Exception as e:  # noqa: BLE001
-            print(f"# cast={cm} FAILED: {type(e).__name__}: "
-                  f"{str(e)[:400]}", flush=True)
+    one("nrows_only   ", [("count", None)], use_pred=False)
+    one("count_x_only ", [("count", x)])
+    one("flagship     ", [("sum", x), ("count", x), ("sum", y)])
 
 
 if __name__ == "__main__":
