@@ -1583,6 +1583,12 @@ def _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
         kind = "TpuPreAgg" if dec["agg"] else "HashAggregate"
         if kind == "TpuPreAgg":
             _annotate_distributed(d)
+            if (config.device_distinct and not config.distributed
+                    and any(getattr(a, "distinct", False)
+                            for a in _collect_aggrefs(items, None))):
+                # the round-4 device-assisted DISTINCT tier (runtime
+                # eligibility can still fall back to the host row loop)
+                d["Distinct"] = "device dedup exchange"
         node = PlanNode(kind, d, [node], cost=node_costs["agg"])
     else:
         node = PlanNode("Result",
