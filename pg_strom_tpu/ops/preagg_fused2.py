@@ -650,12 +650,12 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
               // jnp.int32(P))
         return it if mod is None else it % jnp.int32(mod)
 
-    def u_limbs(u, nl, base=0):
-        """nl 8-bit limb rows of a u32 block, limbs [base, base+nl).
+    def u_limbs(u, nl):
+        """nl 8-bit limb rows of a u32 block, limbs [0, nl).
         i8 mode: digits ride as digit-128 (fits int8); the epilogue adds
         128*bucket_rows back per biased phys col."""
         r = rep(u, nl)
-        sh = (limb_iota(nl) + jnp.int32(base)) * jnp.int32(8)
+        sh = limb_iota(nl) * jnp.int32(8)
         d = (((r >> sh.astype(jnp.uint32)) & jnp.uint32(0xFF))
              .astype(jnp.int32))
         if I8:
@@ -674,8 +674,8 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
     def kernel(*refs):
         in_refs = refs[:n_in]
         si_ref, su_ref, sc_ref = refs[n_in:n_in + 3]
-        hi_ref, lo_ref, sh_ref, fail_ref = refs[n_in + 3:n_in + 7]
-        acc, hi_acc, lo_acc, sh_acc, fail_acc = refs[n_in + 7:]
+        hi_ref, lo_ref, sh_ref = refs[n_in + 3:n_in + 6]
+        acc, hi_acc, lo_acc, sh_acc = refs[n_in + 6:]
         step = pl.program_id(0)
 
         @pl.when(step == jnp.int32(0))
@@ -684,7 +684,6 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
             hi_acc[:] = jnp.zeros_like(hi_acc)
             lo_acc[:] = jnp.zeros_like(lo_acc)
             sh_acc[:] = jnp.zeros_like(sh_acc)
-            fail_acc[0, 0] = jnp.int32(0)
 
         def rd(i):
             # non-bool lanes arrive as FLAT (TILE,) blocks and reshape to
@@ -893,7 +892,6 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
             hi_ref[:] = hi_acc[:]
             lo_ref[:] = lo_acc[:]
             sh_ref[:] = sh_acc[:]
-            fail_ref[0, 0] = fail_acc[0, 0]
 
     lane1 = pl.BlockSpec((TILE,), lambda i: (i,),
                          memory_space=pltpu.VMEM)
@@ -912,18 +910,14 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
         kernel, grid=(nsteps,), interpret=interpret,
         in_specs=lane_specs + [srow(1, sig.ni), srow(1, sig.nu),
                                srow(2, max(sig.nf4, 1))],
-        out_specs=(out_spec, out_spec, out_spec,
-                   pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0),
-                                memory_space=pltpu.SMEM)),
+        out_specs=(out_spec, out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((GP, SKL), jnp.int32),
                    jax.ShapeDtypeStruct((GP, SKL), jnp.int32),
-                   jax.ShapeDtypeStruct((GP, SKL), jnp.float32),
-                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+                   jax.ShapeDtypeStruct((GP, SKL), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((GP, SKL), ADT),
                         pltpu.VMEM((GP, SKL), jnp.int32),
                         pltpu.VMEM((GP, SKL), jnp.int32),
-                        pltpu.VMEM((GP, SKL), jnp.float32),
-                        pltpu.SMEM((1, 1), jnp.int32)],
+                        pltpu.VMEM((GP, SKL), jnp.float32)],
     )
 
 
@@ -973,7 +967,7 @@ def build_fused2_fn(schema, group_exprs, aggs, pred, G: int, sig: V2Sig):
         kfn = _build_kernel(sig, _in_index(sig, key.index, "data"),
                             kvi, pred, n, G, TILE, interpret,
                             ONEHOT_MODE, CAST_MODE)
-        hi, lo, sh, fail = kfn(*kin, si,
+        hi, lo, sh = kfn(*kin, si,
                                jnp.asarray(scal["u"], jnp.uint32),
                                jnp.asarray(scal["f4sc"], jnp.float32))
         # strided-diagonal reduce in NARROW dtypes first (i64/f64 are
@@ -1018,7 +1012,9 @@ def build_fused2_fn(schema, group_exprs, aggs, pred, G: int, sig: V2Sig):
             "dense_kmin": jnp.asarray(scal["i"], jnp.int32)[0, 0]
             .astype(jnp.int64),
             "dense_rng": jnp.int32(sig.rng),
-            "dense_fail": fail[0, 0] > 0,
+            # exact column statistics make out-of-range keys impossible
+            # (the v1 runtime-window guard this kernel elides)
+            "dense_fail": jnp.bool_(False),
         }
 
     return f
