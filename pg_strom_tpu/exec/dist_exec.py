@@ -5,8 +5,8 @@ fused join->aggregate shape through this executor when
 pg_strom.distributed is on and >1 device is visible.  Owns:
 
   - eligibility (ColumnRef keys/args of mesh-shippable types, slot kinds
-    within DIST_SLOT_KINDS; one agg(DISTINCT x) per query rides the dedup
-    exchange — _distinct_agg_distributable)
+    within DIST_SLOT_KINDS; agg(DISTINCT x) rides the dedup exchange,
+    one phase per distinct agg — _distinct_agg_distributable)
   - skew routing: sampled heavy-hitter hashes spread hot probe keys over
     all devices and broadcast the matching build rows (round 4)
   - side predicates: applied per side through the single-chip ScanExecutor
@@ -112,6 +112,25 @@ def _distinct_agg_distributable(inst) -> bool:
                for a in inst.args)
 
 
+def _merge_distinct_aware(gk_out, gkv_out, gvalid, slots, extraB, gmeta,
+                          group_exprs, aggs, distinct_idxs, pm):
+    """Phase-A merge with every distinct agg neutralized, then one
+    phase-B merge per distinct agg from its (gkB, gkvB, gvB, slotB)
+    quadruple in `extraB` (step-output order == distinct_idxs order)."""
+    skip = set(distinct_idxs)
+    states, displays = _merge_device_partials(
+        gk_out, gkv_out, gvalid, slots, gmeta, group_exprs, aggs,
+        skip_idx=skip if skip else None)
+    for j, di in enumerate(distinct_idxs):
+        pm.bump("dist_distinct_steps")
+        gkB, gkvB, gvB, slotB = extraB[4 * j:4 * j + 4]
+        slotsB = [slotB[0] if i == di else {} for i in range(len(aggs))]
+        _merge_device_partials(
+            gkB, gkvB, gvB, slotsB, gmeta, group_exprs, aggs,
+            states=states, displays=displays, only_idx=di)
+    return states, displays
+
+
 class DistJoinAggExecutor:
     """SELECT <aggs> FROM probe JOIN build ON keys [WHERE ...] GROUP BY ...
     executed over the device mesh (hash-partition shuffle join + per-device
@@ -176,8 +195,6 @@ class DistJoinAggExecutor:
                 if (g.type in (T.TEXT, T.BPCHAR, T.NUMERIC)
                         or not device_expression_supported(g)):
                     return False
-        if sum(1 for i_ in self.aggs if i_.distinct) > 1:
-            return False                   # one dedup exchange per step
         for inst in self.aggs:
             if inst.distinct and not _distinct_agg_distributable(inst):
                 return False
@@ -462,8 +479,8 @@ class DistJoinAggExecutor:
         nbuckets = _next_pow2(max(ndev * bcap, 64))
         mchain = 8
         G = _next_pow2(config.dist_group_slots, lo=64)
-        distinct_idx = next((i for i, i_ in enumerate(self.aggs)
-                             if i_.distinct), None)
+        distinct_idxs = tuple(i for i, i_ in enumerate(self.aggs)
+                              if i_.distinct)
         dcap = _next_pow2(max(2 * (n_p + n_b) // max(ndev, 1), 64))
         for attempt in range(4):
             # mesh axes in the key: a 1D flat mesh and a 2D hosts x
@@ -472,24 +489,21 @@ class DistJoinAggExecutor:
             # pg_strom.dist_mesh_hosts silently reused the old step)
             key = (sig, ndev, tuple(mesh.axis_names),
                    tuple(mesh.devices.shape), bcap, nbuckets, mchain, G,
-                   k_heavy, heavy_cap, distinct_idx, dcap)
+                   k_heavy, heavy_cap, distinct_idxs, dcap)
             step = self._STEP_CACHE.get(key)
             if step is None:
                 step = build_dist_join_agg_step(
                     mesh, sig, bucket_cap=bcap, nbuckets=nbuckets,
                     max_chain=mchain, G=G, k_heavy=k_heavy,
-                    heavy_cap=heavy_cap, distinct_idx=distinct_idx,
+                    heavy_cap=heavy_cap, distinct_idxs=distinct_idxs,
                     dedup_cap=dcap)
                 self._STEP_CACHE[key] = step
             with pm.timer("dispatch"):
                 out = step(*args, heavy_np) if k_heavy else step(*args)
             with pm.timer("device_wait"):
                 out = jax.device_get(out)
-            if distinct_idx is None:
-                gk_out, gkv_out, gvalid, slots, err, ovf = out
-            else:
-                (gk_out, gkv_out, gvalid, slots, err, ovf,
-                 gkB, gkvB, gvB, slotB) = out
+            gk_out, gkv_out, gvalid, slots, err, ovf = out[:6]
+            extraB = out[6:]
             if np.any(np.asarray(err)):
                 pm.bump("dist_recheck")
                 raise DistFallback("device err lane (CpuReCheck)")
@@ -507,17 +521,9 @@ class DistJoinAggExecutor:
 
         # ---- host merge of per-device partials --------------------------
         with pm.timer("materialize"):
-            states, displays = _merge_device_partials(
-                gk_out, gkv_out, gvalid, slots, gmeta, self.group_exprs,
-                self.aggs, skip_idx=distinct_idx)
-            if distinct_idx is not None:
-                pm.bump("dist_distinct_steps")
-                slotsB = [slotB[0] if i == distinct_idx else {}
-                          for i in range(len(self.aggs))]
-                _merge_device_partials(
-                    gkB, gkvB, gvB, slotsB, gmeta, self.group_exprs,
-                    self.aggs, states=states, displays=displays,
-                    only_idx=distinct_idx)
+            states, displays = _merge_distinct_aware(
+                gk_out, gkv_out, gvalid, slots, extraB, gmeta,
+                self.group_exprs, self.aggs, distinct_idxs, pm)
         from .preagg_exec import finalize_agg_states
         return finalize_agg_states(self.group_exprs, self.aggs, states,
                                    displays)
@@ -548,11 +554,15 @@ def _merge_device_partials(gk_out, gkv_out, gvalid, slots, gmeta,
     the engine's merge_partials — groups appearing on several devices (or
     twice on one, after a hash collision) merge exactly.
 
-    only_idx / skip_idx support the distinct two-phase merge: an agg
-    outside the selection contributes a NEUTRAL (new_state) partial, so
-    phase-A buckets never pollute the distinct agg and phase-B buckets
-    never pollute the others."""
+    only_idx / skip_idx (an index or a set of indexes) support the
+    distinct multi-phase merge: an agg outside the selection contributes
+    a NEUTRAL (new_state) partial, so phase-A buckets never pollute the
+    distinct aggs and phase-B buckets never pollute the others."""
     from .hostexec import new_state
+    if skip_idx is None:
+        skip_idx = set()
+    elif not isinstance(skip_idx, (set, frozenset)):
+        skip_idx = {skip_idx}
     states = {} if states is None else states
     displays = {} if displays is None else displays
     gvalid = np.asarray(gvalid)
@@ -566,7 +576,7 @@ def _merge_device_partials(gk_out, gkv_out, gvalid, slots, gmeta,
                       for i in range(len(group_exprs)))
         ck = tuple(canon_group_key(v) for v in kvals)
         parts = [new_state(inst)
-                 if (i == skip_idx
+                 if (i in skip_idx
                      or (only_idx is not None and i != only_idx))
                  else extract_partials(inst, d, s)
                  for i, (inst, d) in enumerate(zip(aggs, slots))]
@@ -619,8 +629,6 @@ class DistPreAggExecutor:
                     g.type in (T.TEXT, T.BPCHAR, T.NUMERIC)
                     or not device_expression_supported(g)):
                 return False
-        if sum(1 for i_ in self.aggs if i_.distinct) > 1:
-            return False               # one dedup exchange per step
         for inst in self.aggs:
             if inst.distinct and not _distinct_agg_distributable(inst):
                 return False
@@ -690,8 +698,8 @@ class DistPreAggExecutor:
             lambda: ([pad_shards(valid, ndev, fill=False)]
                      + [pad_shards(d, ndev) for d in lanes]
                      + [pad_shards(v, ndev, fill=False) for v in lvalids]))
-        distinct_idx = next((i for i, i_ in enumerate(self.aggs)
-                             if i_.distinct), None)
+        distinct_idxs = tuple(i for i, i_ in enumerate(self.aggs)
+                              if i_.distinct)
         # dedup exchange capacity: a (src, dst) bucket can never exceed
         # the source shard's rows, so this cap is overflow-free
         n_shard = -(-ii.size // ndev)
@@ -699,22 +707,19 @@ class DistPreAggExecutor:
         G = _next_pow2(config.dist_group_slots, lo=64)
         for attempt in range(4):
             key = (sig, ndev, tuple(mesh.axis_names),
-                   tuple(mesh.devices.shape), G, distinct_idx, dcap)
+                   tuple(mesh.devices.shape), G, distinct_idxs, dcap)
             step = self._STEP_CACHE.get(key)
             if step is None:
                 step = build_dist_preagg_step(mesh, sig, G=G,
-                                              distinct_idx=distinct_idx,
+                                              distinct_idxs=distinct_idxs,
                                               dedup_cap=dcap)
                 self._STEP_CACHE[key] = step
             with pm.timer("dispatch"):
                 out = step(*args)
             with pm.timer("device_wait"):
                 out = jax.device_get(out)
-            if distinct_idx is None:
-                gk_out, gkv_out, gvalid, slots, err, ovf = out
-            else:
-                (gk_out, gkv_out, gvalid, slots, err, ovf,
-                 gkB, gkvB, gvB, slotB) = out
+            gk_out, gkv_out, gvalid, slots, err, ovf = out[:6]
+            extraB = out[6:]
             if np.any(np.asarray(err)):
                 pm.bump("dist_recheck")
                 raise DistFallback("device err lane (CpuReCheck)")
@@ -726,20 +731,9 @@ class DistPreAggExecutor:
             raise DistFallback("group-slot ladder exhausted")
         pm.bump("dist_steps")
         with pm.timer("materialize"):
-            states, displays = _merge_device_partials(
-                gk_out, gkv_out, gvalid, slots, gmeta, self.group_exprs,
-                self.aggs, skip_idx=distinct_idx)
-            if distinct_idx is not None:
-                # phase-B buckets carry the distinct agg's partials over
-                # globally deduped (group, arg) pairs — merge only that
-                # agg's slots, neutral states for the rest
-                pm.bump("dist_distinct_steps")
-                slotsB = [slotB[0] if i == distinct_idx else {}
-                          for i in range(len(self.aggs))]
-                _merge_device_partials(
-                    gkB, gkvB, gvB, slotsB, gmeta, self.group_exprs,
-                    self.aggs, states=states, displays=displays,
-                    only_idx=distinct_idx)
+            states, displays = _merge_distinct_aware(
+                gk_out, gkv_out, gvalid, slots, extraB, gmeta,
+                self.group_exprs, self.aggs, distinct_idxs, pm)
         from .preagg_exec import finalize_agg_states
         return finalize_agg_states(self.group_exprs, self.aggs, states,
                                    displays)

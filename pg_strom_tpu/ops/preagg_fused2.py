@@ -638,6 +638,11 @@ def _build_kernel(sig: V2Sig, key_in_d: int, key_in_v: int,
     # i32 accumulator: |digit| <= 128 so 2^24 rows fit exactly (the -2^31
     # corner is representable); bf16/f32 needs the 2^16-row window
     flush_every = max(((1 << 24) if I8 else FLUSH_ROWS) // TILE, 1)
+    # exactness invariants: a flush window's worst-case cell must fit the
+    # accumulator exactly (f32 integers to 2^24; i32 to 2^31)
+    assert flush_every * TILE * 255 < (1 << 24) or I8, (TILE, flush_every)
+    assert flush_every * TILE * 128 <= (1 << 31) or not I8, \
+        (TILE, flush_every)
     SK = -(-K * P // LANES)
     SKL = SK * LANES
     n_in = len(sig.inputs)

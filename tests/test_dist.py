@@ -499,6 +499,35 @@ def test_distinct_float_args_pg_equality():
 
 
 @pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")
+def test_multiple_distinct_aggs_one_query():
+    """count(distinct a), count(distinct b), sum(distinct a): one dedup
+    exchange per distinct agg, all in one step."""
+    rng = np.random.default_rng(52)
+    n = 6000
+    db = Database()
+    db.create(Table.from_columns("md", {
+        "g": column_from_values(T.INT4,
+                                [int(v) for v in rng.integers(0, 7, n)]),
+        "a": column_from_values(T.INT4,
+                                [int(v) for v in rng.integers(0, 25, n)]),
+        "b": column_from_values(
+            T.INT8, [None if i % 11 == 0 else int(v)
+                     for i, v in enumerate(rng.integers(0, 90, n))]),
+    }))
+    q = ("select g, count(distinct a), count(distinct b), sum(distinct a), "
+         "count(*) from md group by g order by g")
+    host = execute(q, db).rows
+    from pg_strom_tpu.sql.parser import parse
+    from pg_strom_tpu.plan.planner import plan_query
+    with override(distributed=True, debug_force_offload=True, perfmon=True):
+        pq = plan_query(parse(q), db)
+        dist = pq.execute()
+    assert _rows_equal(host, dist), (host[:2], dist[:2])
+    assert pq.perfmon.counts.get("dist_distinct_steps", 0) >= 3, \
+        dict(pq.perfmon.counts)
+
+
+@pytest.mark.skipif(not _mesh_ready(), reason="needs a multi-device mesh")
 def test_distinct_numeric_count():
     """count(DISTINCT numeric): equality is on the VALUE (1.0 == 1.00 ==
     1.000), not the (mantissa, exponent, dscale) lanes."""
