@@ -1623,21 +1623,32 @@ def plan_query(stmt, db: Database) -> PlannedQuery:
 
 
 def plan_setop(stmt: "ast.SetOpStmt", db: Database) -> PlannedQuery:
+    """UNION / EXCEPT / INTERSECT [ALL].  PostgreSQL setop semantics:
+    rows compare with NULLs equal and one NaN (canon_group_key, the same
+    canonicalization DISTINCT/GROUP BY use); EXCEPT ALL keeps
+    max(0, countL - countR) copies, INTERSECT ALL min(countL, countR)."""
+    opname = stmt.op.upper()
     lpq = plan_query(stmt.left, db)
     rpq = plan_query(stmt.right, db)
     if len(lpq.out_types) != len(rpq.out_types):
-        raise SqlError("each UNION query must have the same number of columns")
+        raise SqlError(f"each {opname} query must have the same number "
+                       "of columns")
     for lt, rt in zip(lpq.out_types, rpq.out_types):
         if lt is not rt:
-            raise SqlError(f"UNION types {lt.value} and {rt.value} "
+            raise SqlError(f"{opname} types {lt.value} and {rt.value} "
                            "cannot be matched")
     out_names, out_types = list(lpq.out_names), list(lpq.out_types)
     perfmon = Perfmon()
 
     def run() -> list[tuple]:
-        rows = list(lpq.execute()) + list(rpq.execute())
-        if not stmt.all:
-            rows = _dedupe_rows(rows)
+        lrows = list(lpq.execute())
+        rrows = list(rpq.execute())
+        if stmt.op == "union":
+            rows = lrows + rrows
+            if not stmt.all:
+                rows = _dedupe_rows(rows)
+        else:
+            rows = _setop_rows(stmt.op, stmt.all, lrows, rrows)
         if stmt.order_by:
             rows = _sort_rows_by_output(rows, stmt.order_by, out_names)
         if stmt.offset:
@@ -1646,12 +1657,63 @@ def plan_setop(stmt: "ast.SetOpStmt", db: Database) -> PlannedQuery:
             rows = rows[:stmt.limit]
         return rows
 
-    root = PlanNode("Unique" if not stmt.all else "Append",
-                    {"op": "UNION" + (" ALL" if stmt.all else "")},
-                    [lpq.root, rpq.root])
-    if not stmt.all:
-        root.children = [PlanNode("Append", {}, [lpq.root, rpq.root])]
+    label = opname + (" ALL" if stmt.all else "")
+    if stmt.op == "union":
+        root = PlanNode("Append", {"op": label}, [lpq.root, rpq.root])
+        if not stmt.all:
+            root = PlanNode("Unique", {"op": label}, [root])
+    else:
+        # PG renders these as HashSetOp Except / HashSetOp Intersect
+        root = PlanNode("HashSetOp", {"op": label}, [lpq.root, rpq.root])
     return PlannedQuery(out_names, out_types, run, root, perfmon)
+
+
+def _setop_rows(op: str, all_: bool, lrows: list, rrows: list) -> list:
+    """EXCEPT / INTERSECT row arithmetic over canonical row keys.
+    Output rows come from the left input in left order (PG's hashed
+    setop also emits left-side tuples)."""
+    from ..exec.hostexec import canon_group_key
+    from collections import Counter
+
+    def key(r: tuple) -> tuple:
+        return tuple(canon_group_key(v) for v in r)
+
+    rcnt = Counter(key(r) for r in rrows)
+    out: list[tuple] = []
+    if op == "except":
+        if all_:
+            rem = dict(rcnt)
+            for r in lrows:
+                k = key(r)
+                if rem.get(k, 0) > 0:
+                    rem[k] -= 1
+                else:
+                    out.append(r)
+        else:
+            seen: set = set()
+            for r in lrows:
+                k = key(r)
+                if k not in rcnt and k not in seen:
+                    seen.add(k)
+                    out.append(r)
+    elif op == "intersect":
+        if all_:
+            rem = dict(rcnt)
+            for r in lrows:
+                k = key(r)
+                if rem.get(k, 0) > 0:
+                    rem[k] -= 1
+                    out.append(r)
+        else:
+            seen = set()
+            for r in lrows:
+                k = key(r)
+                if k in rcnt and k not in seen:
+                    seen.add(k)
+                    out.append(r)
+    else:  # pragma: no cover - parser only produces the three ops
+        raise SqlError(f"unknown set operation {op!r}")
+    return out
 
 
 def _sort_rows_by_output(rows, order_by, out_names) -> list[tuple]:

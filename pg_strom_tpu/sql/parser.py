@@ -39,6 +39,7 @@ KEYWORDS = {
     "between", "in", "like", "case", "when", "then", "else", "end", "cast",
     "asc", "desc", "nulls", "first", "last", "distinct", "join", "inner",
     "left", "right", "full", "outer", "cross", "on", "using", "union",
+    "except", "intersect",
     "all", "coalesce", "exists", "explain", "verbose", "costs", "analyze",
     "set", "to", "show", "isnull", "notnull",
     "create", "table", "drop", "insert", "into", "values", "copy",
@@ -211,8 +212,10 @@ class SelectStmt:
 
 @dataclasses.dataclass
 class SetOpStmt:
-    """UNION [ALL] chain; ORDER BY / LIMIT bind to the whole set op."""
-    op: str                         # 'union'
+    """UNION/EXCEPT/INTERSECT [ALL] chain; ORDER BY / LIMIT bind to the
+    whole set op.  INTERSECT binds tighter than UNION/EXCEPT (PG
+    precedence)."""
+    op: str                         # 'union' | 'except' | 'intersect'
     all: bool
     left: Any                       # SelectStmt | SetOpStmt
     right: Any                      # SelectStmt
@@ -450,14 +453,20 @@ class Parser:
     # -- select --------------------------------------------------------------
 
     def parse_select(self):
-        """Full query expression: select-core (UNION [ALL] select-core)*
-        with ORDER BY / LIMIT / OFFSET binding to the whole chain."""
-        node = self._select_core()
-        while self.accept_kw("union"):
+        """Full query expression:
+        intersect-chain ((UNION|EXCEPT) [ALL] intersect-chain)*
+        with ORDER BY / LIMIT / OFFSET binding to the whole chain.
+        INTERSECT binds tighter than UNION/EXCEPT, both left-associative
+        (PostgreSQL gram.y precedence)."""
+        node = self._intersect_chain()
+        while True:
+            op = self.accept_kw("union", "except")
+            if not op:
+                break
             all_ = bool(self.accept_kw("all"))
             self.accept_kw("distinct")       # UNION DISTINCT == UNION
-            rhs = self._select_core()
-            node = SetOpStmt("union", all_, node, rhs)
+            rhs = self._intersect_chain()
+            node = SetOpStmt(op, all_, node, rhs)
         order_by: list[OrderItem] = []
         if self.accept_kw("order"):
             self.expect_kw("by")
@@ -472,6 +481,15 @@ class Parser:
         node.order_by = order_by
         node.limit = limit
         node.offset = offset
+        return node
+
+    def _intersect_chain(self):
+        node = self._select_core()
+        while self.accept_kw("intersect"):
+            all_ = bool(self.accept_kw("all"))
+            self.accept_kw("distinct")       # INTERSECT DISTINCT == INTERSECT
+            rhs = self._select_core()
+            node = SetOpStmt("intersect", all_, node, rhs)
         return node
 
     def _select_core(self) -> SelectStmt:

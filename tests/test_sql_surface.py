@@ -149,6 +149,58 @@ class TestUnion:
         assert r == [(9,)]
 
 
+class TestExceptIntersect:
+    """EXCEPT / INTERSECT [ALL] — PostgreSQL setop semantics: NULLs
+    compare equal, EXCEPT ALL keeps countL-countR copies, INTERSECT ALL
+    min(countL, countR); INTERSECT binds tighter than UNION/EXCEPT."""
+
+    def test_except_dedupes_and_keeps_null(self, db):
+        # a.k = {1,2,3,4,NULL}, b.k = {2,3,3,5}
+        r = execute("select k from a except select k from b "
+                    "order by k", db).rows
+        assert r == [(1,), (4,), (None,)]
+
+    def test_except_all_counts(self, db):
+        # left [2,3,3,5] minus one 2, one 3 from a -> [3,5]
+        r = execute("select k from b except all select k from a "
+                    "order by k", db).rows
+        assert r == [(3,), (5,)]
+
+    def test_intersect(self, db):
+        r = execute("select k from a intersect select k from b "
+                    "order by k", db).rows
+        assert r == [(2,), (3,)]
+
+    def test_intersect_all_keeps_duplicates(self, db):
+        r = execute("select k from b intersect all select k from b "
+                    "order by k", db).rows
+        assert r == [(2,), (3,), (3,), (5,)]
+
+    def test_intersect_null_equality(self, db):
+        r = execute("select k from a intersect "
+                    "select k from a where k is null", db).rows
+        assert r == [(None,)]
+
+    def test_intersect_binds_tighter_than_union(self, db):
+        # 1 UNION (2 INTERSECT 2) = {1,2}; wrong precedence would give {2}
+        r = execute("select 1 union select 2 intersect select 2 "
+                    "order by 1", db).rows
+        assert r == [(1,), (2,)]
+
+    def test_except_everything_is_empty(self, db):
+        r = execute("select k from b except select k from b", db).rows
+        assert r == []
+
+    def test_setop_type_mismatch(self, db):
+        with pytest.raises(SqlError):
+            execute("select k from b except select w from b", db)
+
+    def test_setop_in_subquery(self, db):
+        r = execute("select count(*) from (select k from a intersect "
+                    "select k from b) u", db).rows
+        assert r == [(2,)]
+
+
 class TestSubqueries:
     def test_in_subquery(self, db):
         r = execute("select k from b where k in (select k from a) "
