@@ -439,7 +439,26 @@ class HashJoinExecutor:
                         values.extend(tmp.get(i) for i in range(len(tmp)))
                     else:
                         values.extend(payload)
-                cols[name] = column_from_values(ctype, values)
+                if ctype in (T.TEXT, T.BPCHAR) \
+                        and src_col.dictionary is not None:
+                    # re-encode against the SOURCE dictionary (every value
+                    # came from src_col, so membership is guaranteed): the
+                    # outer-join NULL-extension pieces in _finish gather
+                    # ORIGINAL codes, and _concat_tables assumes one shared
+                    # code space per column.  A fresh matched-rows-only
+                    # dictionary here silently collides with those codes
+                    # (caught by the differential fuzz harness).
+                    code = {s: i for i, s in enumerate(src_col.dictionary)}
+                    data = np.zeros(len(values), dtype=src_col.data.dtype)
+                    valid = np.zeros(len(values), dtype=np.bool_)
+                    for i, v in enumerate(values):
+                        if v is not None:
+                            valid[i] = True
+                            data[i] = code[v]
+                    cols[name] = Column(type=ctype, data=data, valid=valid,
+                                        dictionary=src_col.dictionary)
+                else:
+                    cols[name] = column_from_values(ctype, values)
         return Table.from_columns("join_result", cols)
 
     # -- residual ON + outer-join NULL extension ------------------------------
@@ -637,6 +656,29 @@ def _concat_tables(parts: list[Table]) -> Table:
     for nm in parts[0].column_names:
         cs = [p.columns[nm] for p in parts]
         c0 = cs[0]
+        if c0.dictionary is not None and any(
+                c.dictionary is not c0.dictionary
+                and list(c.dictionary or ()) != list(c0.dictionary)
+                for c in cs[1:]):
+            # parts encode against different dictionaries: remap every
+            # piece's codes into the sorted union before concatenating
+            # (code order must stay C-collation order for device compares)
+            union = sorted(set().union(*[set(c.dictionary or ())
+                                         for c in cs]))
+            code = {s: i for i, s in enumerate(union)}
+            datas = []
+            for c in cs:
+                d = list(c.dictionary or ())
+                lut = np.array([code[s] for s in d] or [0],
+                               dtype=c.data.dtype)
+                safe = np.clip(c.data, 0, max(len(d) - 1, 0))
+                datas.append(np.where(c.valid, lut[safe], 0)
+                             .astype(c.data.dtype))
+            nc = Column(type=c0.type, data=np.concatenate(datas),
+                        valid=np.concatenate([c.valid for c in cs]),
+                        dictionary=union)
+            cols[nm] = nc
+            continue
         nc = Column(type=c0.type,
                     data=np.concatenate([c.data for c in cs]),
                     valid=np.concatenate([c.valid for c in cs]),

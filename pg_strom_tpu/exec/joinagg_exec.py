@@ -32,11 +32,12 @@ from ..ops.mxu_lookup import encode_table, lookup_digits
 from ..ops.preagg import AggInstance
 from .devcache import TCACHE, chunk_capacity, planes_on_device, fetch_host
 from .hostexec import canon_group_key, new_state, update_state
-from ..ops.preagg import extract_partials, merge_partials
+from ..ops.preagg import merge_partials
 from ..ops.preagg_mxu import mxu_keys_supported, mxu_dense_supported, \
     mxu_absorb
 from .preagg_exec import (
     absorb_preagg_out, finalize_agg_states, _key_value_from_planes,
+    agg_text_dicts, extract_with_dicts,
 )
 from ..utils.devprog import tiered_capacity
 from ..utils.perfmon import Perfmon
@@ -118,6 +119,11 @@ class JoinPreAggExecutor:
                 # numeric agg args need the display-scale plane: plain columns
                 if a.type is T.NUMERIC and not isinstance(a, ColumnRef):
                     return False
+                # text agg args aggregate dict codes: plain columns only
+                # (a computed text expr has no single dictionary to decode)
+                if a.type in (T.TEXT, T.BPCHAR) \
+                        and not isinstance(a, ColumnRef):
+                    return False
         return (config.enabled and config.enable_tpuhashjoin
                 and config.enable_tpupreagg and self.offload
                 and self.build.nrows > 0
@@ -149,6 +155,9 @@ class JoinPreAggExecutor:
             AggInstance(aggname=i_.aggname, family=i_.family, slots=i_.slots,
                         args=tuple(bind_columns(a, jlayout) for a in i_.args))
             for i_ in self.aggs]
+        self._agg_dicts_join = agg_text_dicts(
+            bound_aggs,
+            lambda n: self.probe.columns.get(n) or self.build.columns.get(n))
 
         # ---- build side: device-resident hash table + planes ----------------
         bcols_all = [self.build.columns[n] for n in bnames]
@@ -339,7 +348,10 @@ class JoinPreAggExecutor:
                     continue
                 collided, overflow = mxu_absorb(
                     out, bound_groups, bound_aggs, key_metas, states,
-                    displays, merge_partials, extract_partials,
+                    displays, merge_partials,
+                    extract_with_dicts(bound_aggs,
+                                       getattr(self, "_agg_dicts_join",
+                                               None)),
                     canon_group_key, dense_key=cur[2] == "mxu_dense")
                 if overflow:
                     continue
@@ -351,7 +363,8 @@ class JoinPreAggExecutor:
                             if bound_groups else False)
                 if not collided:
                     absorb_preagg_out(out, bound_groups, bound_aggs,
-                                      key_metas, states, displays, pm)
+                                      key_metas, states, displays, pm,
+                                      getattr(self, "_agg_dicts_join", None))
                     return
             if attempt >= len(ladder):
                 break
@@ -485,8 +498,11 @@ class JoinPreAggExecutor:
                 return
             collided, overflow = mxu_absorb(
                 out, [seg_ref], aggs_pre, [None], seg_states, seg_disp,
-                merge_partials, extract_partials, canon_group_key,
-                dense_key=True)
+                merge_partials,
+                extract_with_dicts(
+                    aggs_pre,
+                    agg_text_dicts(aggs_pre, self.probe.columns.get)),
+                canon_group_key, dense_key=True)
             if collided or overflow:
                 # collisions are impossible by construction (dense seg ids);
                 # defensive: replay the chunk host-exactly either way

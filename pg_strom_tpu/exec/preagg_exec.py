@@ -109,6 +109,10 @@ def _device_supported(pred, group_exprs, aggs) -> bool:
             # lane is available; computed numerics go host-exact
             if a.type is T.NUMERIC and not isinstance(a, ColumnRef):
                 return False
+            # text agg args aggregate dict codes: plain columns only (a
+            # computed text expr has no single dictionary to decode)
+            if a.type in (T.TEXT, T.BPCHAR) and not isinstance(a, ColumnRef):
+                return False
     return True
 
 
@@ -171,6 +175,7 @@ class PreAggExecutor:
 
         self._gskey = self._gstats_key()
         key_metas = self._key_metas()
+        self._agg_dicts = agg_text_dicts(self.aggs, self.table.columns.get)
         # grouped chunks go to the MXU (one-hot matmul) strategy whenever the
         # key types support exact host-side recovery — measured 6-12x faster
         # than scatter on v5e (ops/preagg_mxu.py); otherwise scatter
@@ -384,7 +389,9 @@ class PreAggExecutor:
                     continue
                 collided, overflow = mxu_absorb(
                     out, self.group_exprs, self.aggs, key_metas, states,
-                    displays, merge_partials, extract_partials,
+                    displays, merge_partials,
+                    extract_with_dicts(self.aggs,
+                                       getattr(self, "_agg_dicts", None)),
                     canon_group_key, dense_key=cur_strategy == "mxu_dense",
                     recipes=(self._v2.recipes
                              if self._v2 is not None
@@ -399,7 +406,8 @@ class PreAggExecutor:
                             if self.group_exprs else False)
                 if not collided:
                     absorb_preagg_out(out, self.group_exprs, self.aggs,
-                                      key_metas, states, displays, pm)
+                                      key_metas, states, displays, pm,
+                                      getattr(self, "_agg_dicts", None))
                     return
             if attempt < len(ladder):
                 pm.bump("salt_retries")
@@ -449,8 +457,46 @@ class PreAggExecutor:
                                    displays)
 
 
+def agg_text_dicts(aggs, resolve) -> list[tuple | None] | None:
+    """Per-agg sorted dictionary for min/max over a TEXT/BPCHAR column.
+
+    The device aggregates dict codes (order-preserving dictionary, so code
+    order is C-collation string order); extraction decodes code -> string
+    so device partials merge with host-replay partials.  ``resolve`` maps
+    a column name to its Column (executor-specific: single table, probe or
+    build side, fact or dims).  Returns None when no agg needs decoding
+    (the common case — keeps the hot path allocation-free)."""
+    out: list[tuple | None] = []
+    any_ = False
+    for inst in aggs:
+        d = None
+        if inst.aggname in ("min", "max") and inst.args and \
+                inst.args[0].type in (T.TEXT, T.BPCHAR) and \
+                isinstance(inst.args[0], ColumnRef):
+            c = resolve(inst.args[0].name)
+            if c is not None and c.dictionary is not None:
+                d = tuple(c.dictionary)
+                any_ = True
+        out.append(d)
+    return out if any_ else None
+
+
+def extract_with_dicts(aggs, agg_dicts):
+    """extract_partials bound to per-instance text dictionaries (keyed by
+    instance identity so strategy paths that take an extract function —
+    mxu_absorb — need no signature change)."""
+    if not agg_dicts:
+        return extract_partials
+    by_id = {id(i): d for i, d in zip(aggs, agg_dicts)}
+
+    def ex(inst, arrays, g, skip=()):
+        return extract_partials(inst, arrays, g, skip,
+                                text_dict=by_id.get(id(inst)))
+    return ex
+
+
 def absorb_preagg_out(out, group_exprs, aggs, key_metas, states, displays,
-                      pm) -> None:
+                      pm, agg_dicts: list | None = None) -> None:
     """Merge one device preagg output pytree into the host (states, displays)
     accumulators — the partial-merge half of the two-phase contract."""
     with pm.timer("materialize"):
@@ -466,8 +512,10 @@ def absorb_preagg_out(out, group_exprs, aggs, key_metas, states, displays,
             _key_value_from_planes(ge.type, kp, g, meta)
             for ge, kp, meta in zip(group_exprs, keys, key_metas))
         ck = tuple(canon_group_key(v) for v in kvals)
-        parts = [extract_partials(inst, d, g)
-                 for inst, d in zip(aggs, slots)]
+        parts = [extract_partials(
+                     inst, d, g,
+                     text_dict=agg_dicts[i] if agg_dicts else None)
+                 for i, (inst, d) in enumerate(zip(aggs, slots))]
         if ck not in states:
             states[ck] = parts
             displays[ck] = kvals

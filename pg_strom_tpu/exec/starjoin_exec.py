@@ -35,13 +35,14 @@ from ..expr.lower_jax import ColMeta, schema_from_chunk_columns
 from ..ops.hashjoin import build_hash_table, dense_cap_for, \
     mxu_dense_window, _next_pow2
 from ..ops.starjoin import build_star_join_preagg_fn
-from ..ops.preagg import AggInstance, extract_partials, merge_partials
+from ..ops.preagg import AggInstance, merge_partials
 from ..ops.preagg_mxu import mxu_keys_supported, mxu_dense_supported, \
     mxu_absorb
 from .devcache import TCACHE, chunk_capacity, planes_on_device, fetch_host
 from .hostexec import canon_group_key, new_state, update_state
 from .joinagg_exec import _cached_jit
-from .preagg_exec import absorb_preagg_out, finalize_agg_states
+from .preagg_exec import absorb_preagg_out, finalize_agg_states, \
+    agg_text_dicts, extract_with_dicts
 from ..utils.perfmon import Perfmon
 
 
@@ -121,6 +122,10 @@ class StarJoinAggExecutor:
             for a in inst.args:
                 if a.type is T.NUMERIC and not isinstance(a, ColumnRef):
                     return False
+                # text agg args aggregate dict codes: plain columns only
+                if a.type in (T.TEXT, T.BPCHAR) \
+                        and not isinstance(a, ColumnRef):
+                    return False
         return True
 
     # -- run -----------------------------------------------------------------
@@ -164,6 +169,13 @@ class StarJoinAggExecutor:
             AggInstance(aggname=i_.aggname, family=i_.family, slots=i_.slots,
                         args=tuple(bind_columns(a, jlayout) for a in i_.args))
             for i_ in self.aggs]
+
+        def _rescol(n):
+            c = self.probe.columns.get(n)
+            if c is None and n in col_dim:
+                c = self.dims[col_dim[n][0]].table.columns.get(n)
+            return c
+        self._agg_dicts_star = agg_text_dicts(bound_aggs, _rescol)
 
         # ---- per-dimension device hash tables -----------------------------
         hts, bccs, dim_specs, bschemas = [], [], [], []
@@ -458,7 +470,11 @@ class StarJoinAggExecutor:
                         return None
                     collided, overflow = mxu_absorb(
                         so, bound_groups, bound_aggs, key_metas, st2, dp2,
-                        merge_partials, extract_partials, canon_group_key,
+                        merge_partials,
+                        extract_with_dicts(
+                            bound_aggs,
+                            getattr(self, "_agg_dicts_star", None)),
+                        canon_group_key,
                         dense_key=self._strategy == "mxu_dense")
                     if collided or overflow:
                         return None
@@ -466,7 +482,8 @@ class StarJoinAggExecutor:
                     if bound_groups and bool(so.get("collision", False)):
                         return None
                     absorb_preagg_out(so, bound_groups, bound_aggs,
-                                      key_metas, st2, dp2, pm)
+                                      key_metas, st2, dp2, pm,
+                                      getattr(self, "_agg_dicts_star", None))
         for ck, parts in st2.items():
             if ck not in states:
                 states[ck] = parts
@@ -564,7 +581,11 @@ class StarJoinAggExecutor:
                         break
                     collided, overflow = mxu_absorb(
                         so, bound_groups, bound_aggs, key_metas, st2, dp2,
-                        merge_partials, extract_partials, canon_group_key,
+                        merge_partials,
+                        extract_with_dicts(
+                            bound_aggs,
+                            getattr(self, "_agg_dicts_star", None)),
+                        canon_group_key,
                         dense_key=cur[2] == "mxu_dense")
                     if overflow:
                         failed = "replay"
@@ -579,7 +600,8 @@ class StarJoinAggExecutor:
                         failed = "ladder"
                         break
                     absorb_preagg_out(so, bound_groups, bound_aggs,
-                                      key_metas, st2, dp2, pm)
+                                      key_metas, st2, dp2, pm,
+                                      getattr(self, "_agg_dicts_star", None))
             if failed is None:
                 for ck, parts in st2.items():
                     if ck not in states:

@@ -863,10 +863,17 @@ def _rows_equal(keys_s: list[DVal], i, j) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def extract_partials(inst: AggInstance, arrays: dict[str, np.ndarray],
-                     g: int, skip: tuple = ()) -> dict[str, Any]:
+                     g: int, skip: tuple = (),
+                     text_dict: tuple | None = None) -> dict[str, Any]:
     """python partial dict for group g from device slot arrays.
 
-    `skip` names slot kinds computed elsewhere (the MXU matmul path)."""
+    `skip` names slot kinds computed elsewhere (the MXU matmul path).
+    `text_dict` is the arg column's sorted dictionary for min/max over
+    TEXT/BPCHAR: the device aggregates int32 dict CODES (the dictionary is
+    order-preserving, datastore.py:138, so code order == C-collation
+    order), and the code decodes to its string HERE so device partials
+    merge type-consistently with host-replay partials (which hold
+    strings, hostexec.update_state)."""
     out: dict[str, Any] = {}
     for kind in inst.slots:
         if kind in skip:
@@ -889,7 +896,7 @@ def extract_partials(inst: AggInstance, arrays: dict[str, np.ndarray],
             out[kind] = Decimal(int(arrays[f"{kind}_mant"][g])).scaleb(
                 int(arrays[f"{kind}_exp"][g]))
         elif kind in ("min", "max"):
-            out[kind] = _extract_minmax(kind, inst, arrays, g)
+            out[kind] = _extract_minmax(kind, inst, arrays, g, text_dict)
         else:
             raise ValueError(kind)
     return out
@@ -904,7 +911,8 @@ def unflip_f64_orderkey(k: int) -> float:
     return float(np.int64(bits).view(np.float64))
 
 
-def _extract_minmax(kind: str, inst: AggInstance, arrays, g: int):
+def _extract_minmax(kind: str, inst: AggInstance, arrays, g: int,
+                    text_dict: tuple | None = None):
     if f"{kind}_okey" in arrays:  # float8 via exact bit order keys
         if not bool(arrays[f"{kind}_has"][g]):
             return None
@@ -923,6 +931,8 @@ def _extract_minmax(kind: str, inst: AggInstance, arrays, g: int):
         return float(v)
     if isinstance(v, (np.bool_,)):
         return bool(v)
+    if text_dict is not None:
+        return text_dict[int(v)]
     return int(v)
 
 

@@ -1,0 +1,282 @@
+"""Random SQL query generator for differential fuzzing.
+
+The reference validates itself by running a fixed regression corpus twice —
+once with the GPU path enabled and once disabled — and diffing the output
+(SURVEY §4; pg_strom's enable.conf/disable.conf discipline,
+/root/reference/test/ *.sql).  This module generalizes that contract from a
+fixed corpus to a seeded RANDOM corpus: `QueryGen` emits syntactically valid
+SQL over a supplied schema, and the harness (tests/test_fuzz_sql.py,
+tools/fuzz_sql.py) runs every query through BOTH the device path and the
+host path and requires identical results — including identical errors.
+
+Design constraints that keep every generated query a *fair* differential:
+
+* deterministic: driven entirely by a caller-supplied ``random.Random`` —
+  a (seed, index) pair always reproduces the same statement.
+* total comparability: queries either carry a total ORDER BY (unique id
+  prefix) or are compared as sorted multisets of formatted rows by the
+  harness; nothing depends on engine row order.
+* errors are results: overflow ("smallint out of range") and the numeric
+  device window are in scope — the harness asserts both paths raise the
+  SAME SqlError text, mirroring how the reference's expected/*.out files
+  embed ERROR lines.
+* division appears only with provably nonzero divisors (PG raises on /0,
+  and both paths must raise identically anyway, but a fuzz corpus drowning
+  in division-by-zero errors exercises nothing else).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional
+
+# column kind -> aggregate names PostgreSQL accepts for it (subset the
+# engine's AGG_CATALOG covers; ops/preagg.py:196-231)
+_AGGS = {
+    "int": ["count", "sum", "avg", "min", "max", "stddev", "variance"],
+    "float": ["count", "sum", "avg", "min", "max", "stddev", "variance"],
+    "numeric": ["count", "sum", "avg", "min", "max"],
+    "text": ["count", "min", "max"],
+}
+_DISTINCT_AGGS = {"count", "sum", "avg"}
+
+_CMP = ["=", "<>", "<", "<=", ">", ">="]
+
+
+class TableSpec:
+    def __init__(self, name: str, cols: dict[str, str],
+                 unique_col: Optional[str] = None):
+        self.name = name
+        self.cols = cols                    # col -> kind
+        self.unique_col = unique_col        # a NOT NULL unique int column
+
+    def of_kind(self, *kinds: str) -> list[str]:
+        return [c for c, k in self.cols.items() if k in kinds]
+
+
+class QueryGen:
+    """Seeded random SELECT generator over a schema.
+
+    ``gen()`` returns ``(sql, ordered)`` where ``ordered`` is True when the
+    statement carries a total ORDER BY (compare as a list) and False when
+    the harness must compare sorted multisets.
+    """
+
+    def __init__(self, rng: random.Random, tables: list[TableSpec],
+                 join_pairs: list[tuple[str, str, str, str]]):
+        # join_pairs: (left_table, left_col, right_table, right_col)
+        self.rng = rng
+        self.tables = {t.name: t for t in tables}
+        self.join_pairs = join_pairs
+
+    # -- scalar expressions --------------------------------------------------
+
+    def _int_atom(self, t: TableSpec, q: str) -> str:
+        r = self.rng
+        cols = t.of_kind("int")
+        if cols and r.random() < 0.75:
+            return f"{q}{r.choice(cols)}"
+        return str(r.randint(-30, 30))
+
+    def _int_expr(self, t: TableSpec, q: str, depth: int = 0) -> str:
+        r = self.rng
+        if depth >= 2 or r.random() < 0.45:
+            return self._int_atom(t, q)
+        a = self._int_expr(t, q, depth + 1)
+        b = self._int_expr(t, q, depth + 1)
+        op = r.choice(["+", "-", "*", "/", "%"])
+        if op in ("/", "%"):
+            # provably nonzero divisor only
+            b = str(r.choice([2, 3, 5, 7, -4, 11]))
+        return f"({a} {op} {b})"
+
+    def _float_expr(self, t: TableSpec, q: str) -> str:
+        r = self.rng
+        cols = t.of_kind("float")
+        if not cols:
+            return f"{r.uniform(-2, 2):.3f}"
+        c = f"{q}{r.choice(cols)}"
+        pick = r.random()
+        if pick < 0.4:
+            return c
+        if pick < 0.6:
+            return f"abs({c})"
+        if pick < 0.8:
+            return f"({c} + {r.uniform(-1, 1):.3f})"
+        return f"({c} * {r.uniform(-2, 2):.3f})"
+
+    def _pred_atom(self, t: TableSpec, q: str) -> str:
+        r = self.rng
+        pick = r.random()
+        if pick < 0.35:
+            return f"{self._int_expr(t, q)} {r.choice(_CMP)} " \
+                   f"{self._int_expr(t, q)}"
+        if pick < 0.55:
+            cols = t.of_kind("float")
+            if cols:
+                return f"{q}{r.choice(cols)} {r.choice(_CMP)} " \
+                       f"{r.uniform(-1, 1):.3f}"
+        if pick < 0.7:
+            c = r.choice(list(t.cols))
+            return f"{q}{c} is {'not ' if r.random() < 0.5 else ''}null"
+        if pick < 0.85:
+            cols = t.of_kind("int")
+            if cols:
+                c = r.choice(cols)
+                vals = sorted(r.sample(range(-5, 35), r.randint(1, 4)))
+                return f"{q}{c} in ({', '.join(map(str, vals))})"
+        cols = t.of_kind("int")
+        if cols:
+            c = r.choice(cols)
+            lo = r.randint(-10, 15)
+            return f"{q}{c} between {lo} and {lo + r.randint(0, 20)}"
+        return "true"
+
+    def _pred(self, t: TableSpec, q: str = "", depth: int = 0) -> str:
+        r = self.rng
+        if depth >= 2 or r.random() < 0.5:
+            return self._pred_atom(t, q)
+        a = self._pred(t, q, depth + 1)
+        b = self._pred(t, q, depth + 1)
+        conn = r.choice(["and", "or"])
+        neg = "not " if r.random() < 0.15 else ""
+        return f"{neg}({a} {conn} {b})"
+
+    def _agg(self, t: TableSpec, q: str = "") -> str:
+        r = self.rng
+        if r.random() < 0.15:
+            return "count(*)"
+        kind = r.choice([k for k in ("int", "float", "numeric", "text")
+                         if t.of_kind(k)])
+        col = r.choice(t.of_kind(kind))
+        name = r.choice(_AGGS[kind])
+        if name in _DISTINCT_AGGS and kind in ("int", "float") \
+                and r.random() < 0.25:
+            return f"{name}(distinct {q}{col})"
+        return f"{name}({q}{col})"
+
+    # -- statement shapes ----------------------------------------------------
+
+    def gen(self) -> tuple[str, bool]:
+        r = self.rng
+        shape = r.choices(
+            ["project", "grouped", "ungrouped", "join", "distinct",
+             "setop", "topk", "subquery_in"],
+            weights=[20, 22, 12, 18, 8, 8, 8, 4])[0]
+        return getattr(self, "_gen_" + shape)()
+
+    def _fact(self) -> TableSpec:
+        # any table can anchor single-table shapes
+        return self.rng.choice(list(self.tables.values()))
+
+    def _gen_project(self) -> tuple[str, bool]:
+        r, t = self.rng, self._fact()
+        n = r.randint(1, 4)
+        items = []
+        for _ in range(n):
+            pick = r.random()
+            if pick < 0.4:
+                items.append(self._int_expr(t, ""))
+            elif pick < 0.7:
+                items.append(self._float_expr(t, ""))
+            elif t.of_kind("text") and pick < 0.85:
+                items.append(r.choice(t.of_kind("text")))
+            else:
+                c = r.choice(list(t.cols))
+                items.append(f"case when {self._pred_atom(t, '')} "
+                             f"then {c} else null end")
+        sql = f"select {', '.join(items)} from {t.name}"
+        if r.random() < 0.8:
+            sql += f" where {self._pred(t)}"
+        return sql, False
+
+    def _gen_grouped(self) -> tuple[str, bool]:
+        r, t = self.rng, self._fact()
+        keys = r.sample(t.of_kind("int", "text"), r.randint(1, 2))
+        aggs = [self._agg(t) for _ in range(r.randint(1, 3))]
+        sql = f"select {', '.join(keys + aggs)} from {t.name}"
+        if r.random() < 0.7:
+            sql += f" where {self._pred(t)}"
+        sql += f" group by {', '.join(keys)}"
+        if r.random() < 0.3:
+            sql += f" having count(*) > {r.randint(0, 3)}"
+        return sql, False
+
+    def _gen_ungrouped(self) -> tuple[str, bool]:
+        r, t = self.rng, self._fact()
+        aggs = [self._agg(t) for _ in range(r.randint(1, 4))]
+        sql = f"select {', '.join(aggs)} from {t.name}"
+        if r.random() < 0.6:
+            sql += f" where {self._pred(t)}"
+        return sql, False
+
+    def _gen_join(self) -> tuple[str, bool]:
+        r = self.rng
+        lt, lc, rt, rc = r.choice(self.join_pairs)
+        l, rr = self.tables[lt], self.tables[rt]
+        jt = r.choice(["join", "join", "left join", "right join",
+                       "full join"])
+        grouped = r.random() < 0.5
+        if grouped:
+            key = f"{lt}.{r.choice(l.of_kind('int'))}"
+            aggs = [self._agg(rr, rt + ".") for _ in range(r.randint(1, 2))]
+            items = [key] + aggs
+            tail = f" group by {key}"
+        else:
+            items = [f"{lt}.{r.choice(list(l.cols))}",
+                     f"{rt}.{r.choice(list(rr.cols))}"]
+            tail = ""
+        sql = (f"select {', '.join(items)} from {lt} {jt} {rt} "
+               f"on {lt}.{lc} = {rt}.{rc}")
+        if r.random() < 0.5:
+            # outer-join WHERE quals filter post-join (PG semantics) —
+            # generate them only on the preserved side to stay interesting
+            side = l if "right" not in jt else rr
+            sq = (lt if side is l else rt) + "."
+            sql += f" where {self._pred(side, sq)}"
+        return sql + tail, False
+
+    def _gen_distinct(self) -> tuple[str, bool]:
+        r, t = self.rng, self._fact()
+        cols = r.sample(list(t.cols), r.randint(1, 2))
+        sql = f"select distinct {', '.join(cols)} from {t.name}"
+        if r.random() < 0.6:
+            sql += f" where {self._pred(t)}"
+        return sql, False
+
+    def _gen_setop(self) -> tuple[str, bool]:
+        r, t = self.rng, self._fact()
+        c = r.choice(t.of_kind("int"))
+        op = r.choice(["union", "union all", "except", "except all",
+                       "intersect", "intersect all"])
+        a = f"select {c} from {t.name} where {self._pred(t)}"
+        b = f"select {c} from {t.name} where {self._pred(t)}"
+        return f"{a} {op} {b}", False
+
+    def _gen_topk(self) -> tuple[str, bool]:
+        r, t = self.rng, self._fact()
+        if t.unique_col is None:
+            return self._gen_project()
+        n = r.randint(1, 3)
+        items = [t.unique_col] + \
+            [self._float_expr(t, "") for _ in range(n - 1)]
+        sql = f"select {', '.join(items)} from {t.name}"
+        if r.random() < 0.7:
+            sql += f" where {self._pred(t)}"
+        desc = r.choice(["", " desc"])
+        sql += f" order by {t.unique_col}{desc} limit {r.randint(1, 40)}"
+        return sql, True
+
+    def _gen_subquery_in(self) -> tuple[str, bool]:
+        r = self.rng
+        lt, lc, rt, rc = r.choice(self.join_pairs)
+        l, rr = self.tables[lt], self.tables[rt]
+        neg = "not " if r.random() < 0.3 else ""
+        # NOT IN over a NULL-producing subquery is three-valued and a
+        # classic engine bug magnet — keep NULLs out of the subquery
+        # output only for NOT IN with a 50% coin, in for the rest
+        inner = f"select {rc} from {rt}"
+        if neg or r.random() < 0.5:
+            inner += f" where {rc} is not null"
+        sql = (f"select count(*) from {lt} where {lc} {neg}in ({inner})")
+        return sql, False

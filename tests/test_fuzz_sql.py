@@ -1,0 +1,156 @@
+"""Differential SQL fuzzing: random queries, device path vs host path.
+
+The reference's whole test strategy is differential — run the same corpus
+with the GPU path on and off and diff the output (SURVEY §4;
+/root/reference/test/*.sql with enable.conf/disable.conf).  This suite is
+that contract over a SEEDED RANDOM corpus (utils/sqlgen.QueryGen): every
+generated statement must produce identical results — or identical errors —
+with pg_strom.enabled on and off, across randomized engine configs
+(chunk sizes, device group capacity) that force different execution tiers
+(scatter vs sort grouping, chunk loops, capacity regrows, host fallbacks).
+
+Seeds are fixed, so CI is deterministic; tools/fuzz_sql.py runs the same
+generator open-ended for soak testing.
+"""
+
+import random
+
+import pytest
+
+import pg_strom_tpu  # noqa: F401
+from pg_strom_tpu import T, Table, column_from_values, override
+from pg_strom_tpu.datastore import Database
+from pg_strom_tpu.errors import SqlError
+from pg_strom_tpu.models.fixtures import make_preagg_test
+from pg_strom_tpu.sql import execute
+from pg_strom_tpu.utils.sqlgen import QueryGen, TableSpec
+
+N_PER_SEED = 6
+SEEDS = list(range(12))
+
+
+def fuzz_schema():
+    tables = [
+        TableSpec("gpupreagg_test", {
+            "id": "int", "key": "int", "smlint_x": "int", "integer_x": "int",
+            "bigint_x": "int", "real_x": "float", "float_x": "float",
+            "nume_x": "numeric",
+        }, unique_col="id"),
+        TableSpec("fuzz_dim", {"k": "int", "nm": "text", "w": "float"}),
+    ]
+    pairs = [("gpupreagg_test", "key", "fuzz_dim", "k")]
+    return tables, pairs
+
+
+def make_fuzz_dim() -> Table:
+    # duplicates (3,7,11 twice), gaps (no 2,5,...), NULL keys, keys outside
+    # the fact's [1,31] range — every join cardinality case in one dim
+    ks = [1, 3, 3, 4, 7, 7, 9, 11, 11, 13, 17, 21, 25, 29, 31, 40, 41,
+          None, None]
+    nms = [f"n{k}" if k is not None else None for k in ks]
+    ws = [float(k) / 2 if k is not None else None for k in ks]
+    ws[3] = None           # a NULL float on a matched key
+    return Table.from_columns("fuzz_dim", {
+        "k": column_from_values(T.INT4, ks),
+        "nm": column_from_values(T.TEXT, nms),
+        "w": column_from_values(T.FLOAT8, ws),
+    })
+
+
+@pytest.fixture(scope="module")
+def db():
+    d = Database()
+    d.create(make_preagg_test(nrows=600))
+    d.create(make_fuzz_dim())
+    return d
+
+
+def run_one(db, sql, device, cfg):
+    """Execute under one path; normalize to a comparable outcome."""
+    try:
+        with override(enabled=device, **cfg):
+            r = execute(sql, db)
+        return ("rows", tuple(r.columns), tuple(r.formatted(-3)))
+    except SqlError as e:
+        return ("error", str(e))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_differential(db, seed):
+    rng = random.Random(seed)
+    tables, pairs = fuzz_schema()
+    gen = QueryGen(rng, tables, pairs)
+    cfg = {
+        "chunk_rows": rng.choice([97, 256, 1024]),
+        "max_groups_device": rng.choice([8, 64, 512]),
+    }
+    for i in range(N_PER_SEED):
+        sql, ordered = gen.gen()
+        dev = run_one(db, sql, True, cfg)
+        host = run_one(db, sql, False, cfg)
+        if dev[0] == host[0] == "rows" and not ordered:
+            dev = (dev[0], dev[1], tuple(sorted(dev[2])))
+            host = (host[0], host[1], tuple(sorted(host[2])))
+        assert dev == host, (
+            f"seed={seed} q#{i} cfg={cfg}\nSQL: {sql}\n"
+            f"dev : {dev[:2]} {str(dev[2:])[:400]}\n"
+            f"host: {host[:2]} {str(host[2:])[:400]}")
+
+
+class TestFuzzFoundRegressions:
+    """Distilled repros for bugs the fuzzer found (kept as fixed tests)."""
+
+    def test_device_min_max_text_through_join(self, db):
+        # round 4: device min/max over a TEXT arg returned raw dict codes
+        # (and host-replay partials hold strings — mixed merges). Now the
+        # code decodes against the order-preserving dictionary at
+        # extraction (ops/preagg.extract_partials text_dict).
+        sql = ("select gpupreagg_test.key, min(fuzz_dim.nm), "
+               "max(fuzz_dim.nm) from gpupreagg_test join fuzz_dim "
+               "on gpupreagg_test.key = fuzz_dim.k "
+               "group by gpupreagg_test.key")
+        dev = run_one(db, sql, True, {})
+        host = run_one(db, sql, False, {})
+        assert dev[0] == "rows" and sorted(dev[2]) == sorted(host[2])
+        # every value decodes to a string, never an int code
+        assert all(v.split("|")[1].startswith("n") for v in dev[2])
+
+    def test_device_min_max_text_single_table(self, db):
+        sql = "select min(nm), max(nm) from fuzz_dim"
+        dev = run_one(db, sql, True, {})
+        host = run_one(db, sql, False, {})
+        assert dev == host == ("rows", ("min", "max"), ("n1|n9",))
+
+    def test_outer_join_text_dictionary_consistency(self, db):
+        # round 4: the host join's matched-rows piece rebuilt a FRESH
+        # (smaller) dictionary, then outer-join NULL-extension appended
+        # rows carrying ORIGINAL codes — IndexError / silently wrong
+        # strings.  _to_table now re-encodes against the source
+        # dictionary and _concat_tables union-remaps as a net.
+        sql = ("select gpupreagg_test.bigint_x, count(fuzz_dim.nm) "
+               "from gpupreagg_test right join fuzz_dim "
+               "on gpupreagg_test.key = fuzz_dim.k "
+               "group by gpupreagg_test.bigint_x")
+        cfg = {"chunk_rows": 1024, "max_groups_device": 8}
+        dev = run_one(db, sql, True, cfg)
+        host = run_one(db, sql, False, cfg)
+        assert dev[0] == host[0] == "rows"
+        assert sorted(dev[2]) == sorted(host[2])
+
+    def test_unmatched_dim_names_survive_right_join(self, db):
+        # the unmatched dim rows carry names ABSENT from the matched
+        # dictionary (n31/n40/n41) — they must come through intact
+        sql = ("select fuzz_dim.nm from gpupreagg_test right join fuzz_dim "
+               "on gpupreagg_test.key = fuzz_dim.k where "
+               "gpupreagg_test.id is null")
+        for dev in (True, False):
+            out = run_one(db, sql, dev, {})
+            assert out[0] == "rows"
+            assert sorted(v for v in out[2]) == ["", "", "n31", "n40", "n41"]
+
+
+def test_generator_is_deterministic():
+    tables, pairs = fuzz_schema()
+    a = [QueryGen(random.Random(7), tables, pairs).gen() for _ in range(10)]
+    b = [QueryGen(random.Random(7), tables, pairs).gen() for _ in range(10)]
+    assert a == b
