@@ -204,6 +204,16 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
         if tr.subquery is not None:
             alias = tr.alias or f"subquery{len(rels)}"
             sub = plan_query(tr.subquery, db)
+            if tr.col_aliases:
+                # t(a, b): rename the first k output columns (PG errors
+                # when the alias list is wider than the subquery output)
+                if len(tr.col_aliases) > len(sub.out_names):
+                    raise SqlError(
+                        f'table "{alias}" has {len(sub.out_names)} columns '
+                        f'available but {len(tr.col_aliases)} columns '
+                        'specified')
+                sub.out_names = list(tr.col_aliases) + \
+                    sub.out_names[len(tr.col_aliases):]
             sub_plans[alias] = sub
             rels.append((alias, sub))
         else:
@@ -1616,10 +1626,60 @@ def _build_plan_tree(rels, per_rel, join_equis, post_join, has_aggs,
 # ---------------------------------------------------------------------------
 
 def plan_query(stmt, db: Database) -> PlannedQuery:
-    """Plan any query expression: SELECT or a UNION chain."""
+    """Plan any query expression: SELECT or a set-op chain, with WITH
+    entries desugared first."""
+    if getattr(stmt, "ctes", None):
+        stmt = _expand_ctes(stmt)
     if isinstance(stmt, ast.SetOpStmt):
         return plan_setop(stmt, db)
     return plan_select(stmt, db)
+
+
+def _expand_ctes(stmt, outer: dict | None = None):
+    """Desugar WITH: rewrite every reference to a CTE name into a
+    FROM-subquery carrying the CTE body (+ its column aliases).
+
+    PostgreSQL >= 12 inlines single-reference CTEs exactly like this; for
+    multi-reference CTEs the body plans (and its lazily-materialized
+    subquery table builds) once per reference instead of once per query —
+    same rows, only a cost difference.  Scoping follows PG: a CTE may
+    reference earlier CTEs in the same WITH list, inner WITH lists shadow
+    outer ones, and CTE names shadow real tables."""
+    cmap = dict(outer or {})
+    for c in getattr(stmt, "ctes", None) or []:
+        cmap[c.name] = (_expand_ctes(c.query, cmap), c.columns)
+    if not cmap:
+        return stmt
+
+    def rw(n):
+        if isinstance(n, ast.TableRef):
+            if n.subquery is not None:
+                return dataclasses.replace(
+                    n, subquery=_expand_ctes(n.subquery, cmap))
+            ent = cmap.get(n.name)
+            if ent is not None:
+                body, cols = ent
+                return ast.TableRef(None, body, n.alias or n.name,
+                                    n.col_aliases or cols)
+            return n
+        if isinstance(n, (ast.SelectStmt, ast.SetOpStmt)):
+            # nested scope (subqueries in expressions, setop sides):
+            # inherits this scope's CTEs, its own WITH shadows
+            return _expand_ctes(n, cmap)
+        if isinstance(n, list):
+            return [rw(x) for x in n]
+        if isinstance(n, tuple):
+            return tuple(rw(x) for x in n)
+        if dataclasses.is_dataclass(n) and not isinstance(n, type):
+            return dataclasses.replace(n, **{
+                f.name: rw(getattr(n, f.name))
+                for f in dataclasses.fields(n)})
+        return n
+
+    fields = {f.name: rw(getattr(stmt, f.name))
+              for f in dataclasses.fields(stmt) if f.name != "ctes"}
+    fields["ctes"] = []
+    return dataclasses.replace(stmt, **fields)
 
 
 def plan_setop(stmt: "ast.SetOpStmt", db: Database) -> PlannedQuery:

@@ -43,6 +43,7 @@ KEYWORDS = {
     "all", "coalesce", "exists", "explain", "verbose", "costs", "analyze",
     "set", "to", "show", "isnull", "notnull",
     "create", "table", "drop", "insert", "into", "values", "copy",
+    "with", "recursive",
 }
 
 
@@ -180,6 +181,15 @@ class TableRef:
     name: Optional[str]             # base table
     subquery: Optional["SelectStmt"]
     alias: Optional[str]
+    col_aliases: Optional[list] = None   # t(a, b, ...) output renames
+
+
+@dataclasses.dataclass
+class CteDef:
+    """One WITH entry: name [(col, ...)] AS (query)."""
+    name: str
+    columns: Optional[list]
+    query: Any                      # SelectStmt | SetOpStmt
 
 
 @dataclasses.dataclass
@@ -208,6 +218,7 @@ class SelectStmt:
     limit: Optional[int]
     offset: Optional[int]
     distinct: bool = False
+    ctes: list = dataclasses.field(default_factory=list)   # WITH entries
 
 
 @dataclasses.dataclass
@@ -222,6 +233,7 @@ class SetOpStmt:
     order_by: list = dataclasses.field(default_factory=list)
     limit: Optional[int] = None
     offset: Optional[int] = None
+    ctes: list = dataclasses.field(default_factory=list)   # WITH entries
 
 
 @dataclasses.dataclass
@@ -454,10 +466,19 @@ class Parser:
 
     def parse_select(self):
         """Full query expression:
-        intersect-chain ((UNION|EXCEPT) [ALL] intersect-chain)*
+        [WITH ctes] intersect-chain ((UNION|EXCEPT) [ALL] intersect-chain)*
         with ORDER BY / LIMIT / OFFSET binding to the whole chain.
         INTERSECT binds tighter than UNION/EXCEPT, both left-associative
-        (PostgreSQL gram.y precedence)."""
+        (PostgreSQL gram.y precedence).  WITH entries attach to the whole
+        query expression; the planner desugars references into
+        FROM-subqueries (plan/planner._expand_ctes)."""
+        ctes: list[CteDef] = []
+        if self.accept_kw("with"):
+            if self.accept_kw("recursive"):
+                raise ParseError("WITH RECURSIVE is not supported")
+            ctes.append(self._cte_def())
+            while self.accept_op(","):
+                ctes.append(self._cte_def())
         node = self._intersect_chain()
         while True:
             op = self.accept_kw("union", "except")
@@ -481,7 +502,25 @@ class Parser:
         node.order_by = order_by
         node.limit = limit
         node.offset = offset
+        node.ctes = ctes
         return node
+
+    def _cte_def(self) -> CteDef:
+        t = self.peek()
+        if t.kind not in ("ident", "kw"):
+            raise ParseError(f"expected CTE name near {t.value!r}")
+        name = self.next().value
+        columns = None
+        if self.accept_op("("):
+            columns = [self.next().value]
+            while self.accept_op(","):
+                columns.append(self.next().value)
+            self.expect_op(")")
+        self.expect_kw("as")
+        self.expect_op("(")
+        q = self.parse_select()
+        self.expect_op(")")
+        return CteDef(name, columns, q)
 
     def _intersect_chain(self):
         node = self._select_core()
@@ -568,7 +607,13 @@ class Parser:
                 alias = self.next().value
             elif self.peek().kind == "ident":
                 alias = self.next().value
-            return TableRef(None, sub, alias)
+            col_aliases = None
+            if alias is not None and self.accept_op("("):
+                col_aliases = [self.next().value]
+                while self.accept_op(","):
+                    col_aliases.append(self.next().value)
+                self.expect_op(")")
+            return TableRef(None, sub, alias, col_aliases)
         name = ".".join(self._qualified_name())
         alias = None
         if self.accept_kw("as"):

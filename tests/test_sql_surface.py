@@ -201,6 +201,67 @@ class TestExceptIntersect:
         assert r == [(2,)]
 
 
+class TestCtes:
+    """WITH (non-recursive CTEs), desugared into FROM-subqueries by
+    plan/planner._expand_ctes — PostgreSQL >= 12 inlining semantics."""
+
+    def test_basic(self, db):
+        r = execute("with t as (select k from a where k > 1) "
+                    "select count(*) from t", db).rows
+        assert r == [(3,)]
+
+    def test_column_aliases(self, db):
+        r = execute("with t(x) as (select k from b) "
+                    "select x from t order by x", db).rows
+        assert r == [(2,), (3,), (3,), (5,)]
+
+    def test_chained_ctes(self, db):
+        r = execute("with t as (select k from a), "
+                    "u as (select k from t where k > 2) "
+                    "select count(*) from u", db).rows
+        assert r == [(2,)]
+
+    def test_cte_in_join(self, db):
+        r = execute("with t as (select k from a where k is not null) "
+                    "select t.k, count(*) from t join b on t.k = b.k "
+                    "group by t.k order by t.k", db).rows
+        assert r == [(2, 1), (3, 2)]
+
+    def test_cte_shadows_table(self, db):
+        # a CTE named like a real table wins (PG scoping)
+        r = execute("with b as (select 42 k) select k from b", db).rows
+        assert r == [(42,)]
+
+    def test_cte_referenced_twice(self, db):
+        r = execute("with t as (select k from b) "
+                    "select k from t union all select k from t "
+                    "order by k limit 3", db).rows
+        assert r == [(2,), (2,), (3,)]
+
+    def test_cte_in_where_subquery(self, db):
+        r = execute("with t as (select k from b) select count(*) from a "
+                    "where a.k in (select k from t)", db).rows
+        assert r == [(2,)]
+
+    def test_cte_under_setop(self, db):
+        r = execute("with t as (select k from b) "
+                    "select k from t except select 3 order by k", db).rows
+        assert r == [(2,), (5,)]
+
+    def test_recursive_rejected(self, db):
+        from pg_strom_tpu.sql.parser import ParseError
+        with pytest.raises(ParseError):
+            execute("with recursive t as (select 1) select * from t", db)
+
+    def test_self_reference_is_unknown_relation(self, db):
+        with pytest.raises(KeyError):
+            execute("with t as (select k from t) select * from t", db)
+
+    def test_subquery_column_alias_width_check(self, db):
+        with pytest.raises(SqlError):
+            execute("select x from (select k from b) s(x, y)", db)
+
+
 class TestSubqueries:
     def test_in_subquery(self, db):
         r = execute("select k from b where k in (select k from a) "
