@@ -194,6 +194,9 @@ def fmt_expr(e: Expr) -> str:
 # ---------------------------------------------------------------------------
 
 def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
+    from .window import stmt_has_windows, plan_windowed
+    if stmt_has_windows(stmt):
+        return plan_windowed(stmt, db)
     perfmon = Perfmon()
 
     # ---- FROM: resolve relations (subqueries planned recursively) ---------

@@ -43,7 +43,7 @@ KEYWORDS = {
     "all", "coalesce", "exists", "explain", "verbose", "costs", "analyze",
     "set", "to", "show", "isnull", "notnull",
     "create", "table", "drop", "insert", "into", "values", "copy",
-    "with", "recursive",
+    "with", "recursive", "over", "partition",
 }
 
 
@@ -111,6 +111,15 @@ class AFunc:
     args: list
     star: bool = False
     distinct: bool = False
+
+
+@dataclasses.dataclass
+class AWindow:
+    """func(args) OVER (PARTITION BY ... ORDER BY ...) — default frame
+    only (frame clauses are rejected at parse time)."""
+    func: "AFunc"
+    partition: list
+    order: list
 
 
 @dataclasses.dataclass
@@ -505,6 +514,30 @@ class Parser:
         node.ctes = ctes
         return node
 
+    def _maybe_over(self, fn: AFunc):
+        """fn OVER (window-spec) -> AWindow; plain fn otherwise."""
+        if not self.accept_kw("over"):
+            return fn
+        self.expect_op("(")
+        partition: list = []
+        if self.accept_kw("partition"):
+            self.expect_kw("by")
+            partition.append(self.parse_expr())
+            while self.accept_op(","):
+                partition.append(self.parse_expr())
+        order: list = []
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            order.append(self._order_item())
+            while self.accept_op(","):
+                order.append(self._order_item())
+        t = self.peek()
+        if t.kind == "ident" and t.value in ("rows", "range", "groups"):
+            raise ParseError("window frame clauses are not supported "
+                             "(default frame only)")
+        self.expect_op(")")
+        return AWindow(fn, partition, order)
+
     def _cte_def(self) -> CteDef:
         t = self.peek()
         if t.kind not in ("ident", "kw"):
@@ -842,14 +875,15 @@ class Parser:
                 distinct = bool(self.accept_kw("distinct"))
                 if self.accept_op("*"):
                     self.expect_op(")")
-                    return AFunc(name[-1], [], star=True)
+                    return self._maybe_over(AFunc(name[-1], [], star=True))
                 args = []
                 if not self.accept_op(")"):
                     args.append(self.parse_expr())
                     while self.accept_op(","):
                         args.append(self.parse_expr())
                     self.expect_op(")")
-                return AFunc(name[-1], args, distinct=distinct)
+                return self._maybe_over(
+                    AFunc(name[-1], args, distinct=distinct))
             if self.peek().kind == "op" and self.peek().value == "." and False:
                 pass
             # t.* handled at select-item level via AStar? keep simple:
