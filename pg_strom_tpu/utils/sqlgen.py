@@ -161,8 +161,8 @@ class QueryGen:
         r = self.rng
         shape = r.choices(
             ["project", "grouped", "ungrouped", "join", "distinct",
-             "setop", "topk", "subquery_in"],
-            weights=[20, 22, 12, 18, 8, 8, 8, 4])[0]
+             "setop", "topk", "subquery_in", "window", "cte"],
+            weights=[16, 18, 10, 16, 7, 7, 7, 4, 8, 7])[0]
         return getattr(self, "_gen_" + shape)()
 
     def _fact(self) -> TableSpec:
@@ -266,6 +266,63 @@ class QueryGen:
         desc = r.choice(["", " desc"])
         sql += f" order by {t.unique_col}{desc} limit {r.randint(1, 40)}"
         return sql, True
+
+    def _gen_window(self) -> tuple[str, bool]:
+        """Window functions over a table with a unique column.
+
+        Determinism contract: rank/dense_rank and aggregate windows are
+        peer-stable (any enumeration order gives the same value), so they
+        may order by any keys; row_number/lag/lead/first_value/last_value
+        need a TOTAL order, so the unique column is appended to the
+        window ORDER BY."""
+        r = self.rng
+        cands = [t for t in self.tables.values() if t.unique_col]
+        if not cands:
+            return self._gen_project()
+        t = r.choice(cands)
+        u = t.unique_col
+        ints, floats = t.of_kind("int"), t.of_kind("float")
+        kind = r.choice(["ranker", "agg", "offset"])
+        part = f"partition by {r.choice(ints)} " if r.random() < 0.6 else ""
+        okey = r.choice(ints + floats)
+        desc = r.choice(["", " desc"])
+        if kind == "ranker":
+            fn = r.choice(["rank()", "dense_rank()"])
+            over = f"({part}order by {okey}{desc})"
+        elif kind == "agg":
+            agg = r.choice(["sum", "avg", "min", "max", "count"])
+            fn = f"{agg}({r.choice(ints + floats)})"
+            over = f"({part}order by {okey}{desc})" if r.random() < 0.7 \
+                else f"({part.rstrip()})" if part else "()"
+        else:
+            if r.random() < 0.5:
+                fn = (f"lag({r.choice(ints)}, {r.randint(1, 3)}, "
+                      f"{r.randint(-5, 5)})")
+            else:
+                fn = f"lead({r.choice(ints + floats)})"
+            over = f"({part}order by {okey}{desc}, {u})"
+        sql = f"select {u}, {fn} over {over} from {t.name}"
+        if r.random() < 0.6:
+            sql += f" where {self._pred(t)}"
+        return sql, False
+
+    def _gen_cte(self) -> tuple[str, bool]:
+        """WITH c(a0..ak) AS (grouped query) SELECT ... FROM c."""
+        r, t = self.rng, self._fact()
+        ints = t.of_kind("int")
+        keys = r.sample(ints, min(len(ints), r.randint(1, 2)))
+        aggs = [self._agg(t) for _ in range(r.randint(1, 2))]
+        names = [f"a{i}" for i in range(len(keys) + len(aggs))]
+        inner = f"select {', '.join(keys + aggs)} from {t.name}"
+        if r.random() < 0.6:
+            inner += f" where {self._pred(t)}"
+        inner += f" group by {', '.join(keys)}"
+        outer = r.choice([
+            f"select count(*) from c where a0 is not null",
+            f"select a0, count(*) from c group by a0",
+            f"select {', '.join(names)} from c",
+        ])
+        return f"with c({', '.join(names)}) as ({inner}) {outer}", False
 
     def _gen_subquery_in(self) -> tuple[str, bool]:
         r = self.rng
