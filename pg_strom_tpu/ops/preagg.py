@@ -327,9 +327,10 @@ def _bucket_ids(keys, mask: jnp.ndarray, salt, G: int) -> jnp.ndarray:
         k = keys[0]
         okk = mask & k.valid
         kd = k.data.astype(jnp.int64)
-        big = jnp.int64(1 << 62)
+        # int64 extremes: an int8 key >= 2^62 must not lose to the sentinel
+        big = jnp.int64((1 << 63) - 1)
         kmin = jnp.min(jnp.where(okk, kd, big))
-        kmax = jnp.max(jnp.where(okk, kd, -big))
+        kmax = jnp.max(jnp.where(okk, kd, jnp.int64(-(1 << 63))))
         # int64 wrap on a huge range flips rng negative -> dense_ok False
         rng = kmax - kmin
         # <= G-2 leaves bucket rng+1 free for the NULL-key group
@@ -517,7 +518,14 @@ def _slot_minmax(kind: str, a: DVal, ok: jnp.ndarray, seg_id: jnp.ndarray,
     if a.t is T.FLOAT8 and getattr(a, "bits", None) is not None:
         from ..expr.lower_jax import _f64_orderkey
         key = _f64_orderkey(a.bits)
-        sent = jnp.int64((1 << 62)) if kind == "min" else jnp.int64(-(1 << 62))
+        # sentinel must beat EVERY real order key: doubles >= 2.0 have
+        # okey >= 2^62 (bits of 2.0 are 0x4000...), so a 2^62 sentinel
+        # used to WIN the min for any group whose true min was >= 2.0 and
+        # decode as a phantom 2.0 (caught by the differential fuzzer);
+        # int64 extremes are unreachable (0x7FFF.. is a NaN payload no
+        # ingestion path produces, and the has-lane guards empty groups)
+        sent = jnp.int64((1 << 63) - 1) if kind == "min" \
+            else jnp.int64(-(1 << 63))
         x = jnp.where(ok, key, sent)
         g = _seg(x, seg_id, G, how)
         return {f"{kind}_okey": g,
@@ -627,11 +635,14 @@ def build_preagg_fn(schema: Sequence[ColMeta], group_exprs: Sequence[Expr],
                 k = keys[0]
                 okk = mask & k.valid
                 kd = k.data.astype(jnp.int64)
-                big = jnp.int64(1 << 62)
+                # int64 extremes (an int8 key >= 2^62 must beat the sentinel)
+                big = jnp.int64((1 << 63) - 1)
                 any_ok = jnp.any(okk)
                 kmin = jnp.where(any_ok, jnp.min(jnp.where(okk, kd, big)),
                                  jnp.int64(0))
-                kmax = jnp.where(any_ok, jnp.max(jnp.where(okk, kd, -big)),
+                kmax = jnp.where(any_ok,
+                                 jnp.max(jnp.where(okk, kd,
+                                                   jnp.int64(-(1 << 63)))),
                                  jnp.int64(0))
                 rng = kmax - kmin          # int64 wrap => negative => fail
                 dense_fail = ~((rng >= 0) & (rng <= jnp.int64(G - 2)))

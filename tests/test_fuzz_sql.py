@@ -149,6 +149,26 @@ class TestFuzzFoundRegressions:
             assert sorted(v for v in out[2]) == ["", "", "n31", "n40", "n41"]
 
 
+    def test_float8_minmax_sentinel_beyond_two(self, db):
+        # round 4: the f8 min/max order-key sentinel was 2^62 — but every
+        # double >= 2.0 has okey >= 2^62 (bits of 2.0 = 0x4000...), so a
+        # group whose true min was >= 2.0 returned a phantom 2.0 whenever
+        # a padding/invalid row shared its segment (and -2.0 for max).
+        # Sentinels are int64 extremes now (ops/preagg.py _slot_minmax).
+        sql = ("select k, min(w), max(w) from fuzz_dim group by k "
+               "order by k nulls last")
+        base = None
+        for mg in (8, 16, 64):      # sort-fallback, dense, scatter tiers
+            for dev in (True, False):
+                out = run_one(db, sql, dev,
+                              {"chunk_rows": 97, "max_groups_device": mg})
+                assert out[0] == "rows"
+                if base is None:
+                    base = out
+                assert out == base, (mg, dev)
+        assert "7|3.5|3.5" in base[2]          # was 7|2|2 on device
+
+
 def test_generator_is_deterministic():
     tables, pairs = fuzz_schema()
     a = [QueryGen(random.Random(7), tables, pairs).gen() for _ in range(10)]
