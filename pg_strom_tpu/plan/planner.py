@@ -195,6 +195,8 @@ def fmt_expr(e: Expr) -> str:
 
 def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
     from .window import stmt_has_windows, plan_windowed
+    if stmt.grouping_sets is not None:
+        return plan_grouping_sets(stmt, db)
     if stmt_has_windows(stmt):
         return plan_windowed(stmt, db)
     perfmon = Perfmon()
@@ -1683,6 +1685,110 @@ def _expand_ctes(stmt, outer: dict | None = None):
               for f in dataclasses.fields(stmt) if f.name != "ctes"}
     fields["ctes"] = []
     return dataclasses.replace(stmt, **fields)
+
+
+def plan_grouping_sets(stmt: "ast.SelectStmt", db: Database) -> PlannedQuery:
+    """GROUP BY ROLLUP / CUBE / GROUPING SETS, desugared into one grouped
+    subplan per set (each riding the normal device pipeline) whose rows
+    append — PG's MixedAggregate result.  Per set, grouping keys absent
+    from the set render NULL in the select list, and GROUPING(e1..ek)
+    folds to its constant bitmask.  ORDER BY / LIMIT / DISTINCT apply to
+    the appended rows (output-column references only, like a set op)."""
+    from .window import stmt_has_windows
+    if stmt_has_windows(stmt):
+        raise SqlError(
+            "window functions with GROUPING SETS are not supported")
+    sets = stmt.grouping_sets or [[]]
+    all_keys: list = []
+    for s in sets:
+        for e in s:
+            if e not in all_keys:
+                all_keys.append(e)
+
+    from ..ops.preagg import AGG_CATALOG
+    aggnames = {name for name, _fam in AGG_CATALOG}
+
+    def gs_rewrite(e, present: list):
+        """NULL out grouping exprs not in this set; fold grouping() to
+        its bitmask.  Does not descend into aggregate calls (their args
+        aggregate normally) or subqueries."""
+        if e is None:
+            return None
+        if isinstance(e, ast.AFunc) and e.name == "grouping" and e.args:
+            mask = 0
+            for a in e.args:
+                if a not in all_keys:
+                    raise SqlError("arguments to GROUPING must be "
+                                   "grouping expressions of the query")
+                mask = (mask << 1) | (0 if a in present else 1)
+            return ast.ALiteral(mask)
+        if e in all_keys:
+            return e if e in present else ast.ALiteral(None)
+        if isinstance(e, ast.AFunc) and e.name in aggnames:
+            return e
+        if isinstance(e, (ast.ASubquery, ast.AExists)):
+            return e
+        if isinstance(e, (list, tuple)):
+            out = [gs_rewrite(x, present) for x in e]
+            return type(e)(out) if isinstance(e, list) else tuple(out)
+        if dataclasses.is_dataclass(e) and not isinstance(e, type):
+            return dataclasses.replace(e, **{
+                f.name: gs_rewrite(getattr(e, f.name), present)
+                for f in dataclasses.fields(e)})
+        return e
+
+    subplans, nulled = [], []
+    for s in sets:
+        items_s = [ast.SelectItem(gs_rewrite(it.expr, s), it.alias)
+                   for it in stmt.items]
+        nulled.append([i2.expr == ast.ALiteral(None)
+                       for i2 in items_s])
+        sub = dataclasses.replace(
+            stmt, items=items_s, group_by=list(s), grouping_sets=None,
+            having=gs_rewrite(stmt.having, s), order_by=[], limit=None,
+            offset=None, distinct=False, ctes=[])
+        subplans.append(plan_query(sub, db))
+
+    out_names = list(subplans[0].out_names)
+    out_types = []
+    for p in range(len(out_names)):
+        j = next((j for j in range(len(sets)) if not nulled[j][p]), 0)
+        out_types.append(subplans[j].out_types[p])
+
+    specs = []
+    for oi in stmt.order_by:
+        e = oi.expr
+        if isinstance(e, ast.ALiteral) and isinstance(e.value, int) \
+                and not e.is_string and 1 <= e.value <= len(out_names):
+            pos = e.value - 1
+        elif isinstance(e, ast.AName) and len(e.parts) == 1 \
+                and e.parts[0] in out_names:
+            pos = out_names.index(e.parts[0])
+        elif e in [it.expr for it in stmt.items]:
+            pos = [it.expr for it in stmt.items].index(e)
+        else:
+            raise SqlError("ORDER BY with GROUPING SETS must reference an "
+                           "output column")
+        specs.append((pos, oi.descending, oi.nulls_first))
+
+    def run() -> list[tuple]:
+        rows: list[tuple] = []
+        for sp in subplans:
+            rows.extend(sp.execute())
+        if stmt.distinct:
+            rows = _dedupe_rows(rows)
+        if specs:
+            rows = _lexsort_rows(rows, specs, lambda r, i: r[i])
+        if stmt.offset:
+            rows = rows[stmt.offset:]
+        if stmt.limit is not None:
+            rows = rows[:stmt.limit]
+        return rows
+
+    root = PlanNode("MixedAggregate", {"grouping_sets": len(sets)},
+                    [sp.root for sp in subplans])
+    return PlannedQuery(out_names, out_types, run, root,
+                        subplans[0].perfmon)
 
 
 def plan_setop(stmt: "ast.SetOpStmt", db: Database) -> PlannedQuery:

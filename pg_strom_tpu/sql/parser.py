@@ -228,6 +228,9 @@ class SelectStmt:
     offset: Optional[int]
     distinct: bool = False
     ctes: list = dataclasses.field(default_factory=list)   # WITH entries
+    # GROUP BY ROLLUP/CUBE/GROUPING SETS: the expanded list of grouping
+    # sets (group_by is [] when set); None for a plain GROUP BY
+    grouping_sets: Optional[list] = None
 
 
 @dataclasses.dataclass
@@ -609,14 +612,67 @@ class Parser:
 
         where = self.parse_expr() if self.accept_kw("where") else None
         group_by: list = []
+        grouping_sets = None
         if self.accept_kw("group"):
             self.expect_kw("by")
-            group_by.append(self.parse_expr())
+            elems = [self._group_elem()]
             while self.accept_op(","):
-                group_by.append(self.parse_expr())
+                elems.append(self._group_elem())
+            if all(len(sets) == 1 for sets in elems):
+                group_by = [e for sets in elems for e in sets[0]]
+            else:
+                # PG gram: mixed elements cross-product their set lists
+                # (GROUP BY a, ROLLUP(b, c) = sets (a,b,c), (a,b), (a))
+                prod: list[list] = [[]]
+                for sets in elems:
+                    prod = [p + s for p in prod for s in sets]
+                grouping_sets = prod
         having = self.parse_expr() if self.accept_kw("having") else None
         return SelectStmt(items, frm, joins, where, group_by, having,
-                          [], None, None, distinct=distinct)
+                          [], None, None, distinct=distinct,
+                          grouping_sets=grouping_sets)
+
+    def _group_elem(self) -> list[list]:
+        """One GROUP BY element -> its list of grouping sets.
+
+        expr -> [[expr]]; ROLLUP(e1..ek) -> prefixes down to ();
+        CUBE(e1..ek) -> all subsets; GROUPING SETS ((..), ..) -> as
+        written (an unparenthesized element is a one-expr set)."""
+        t = self.peek()
+        if t.kind == "ident" and t.value in ("rollup", "cube"):
+            kind = self.next().value
+            self.expect_op("(")
+            es = [self.parse_expr()]
+            while self.accept_op(","):
+                es.append(self.parse_expr())
+            self.expect_op(")")
+            if kind == "rollup":
+                return [es[:k] for k in range(len(es), -1, -1)]
+            return [[e for j, e in enumerate(es) if mask & (1 << j)]
+                    for mask in range((1 << len(es)) - 1, -1, -1)]
+        if t.kind == "ident" and t.value == "grouping":
+            nxt = self.peek(1)
+            if nxt.kind == "ident" and nxt.value == "sets":
+                self.next()
+                self.next()
+                self.expect_op("(")
+                sets: list[list] = [self._grouping_set()]
+                while self.accept_op(","):
+                    sets.append(self._grouping_set())
+                self.expect_op(")")
+                return sets
+        return [[self.parse_expr()]]
+
+    def _grouping_set(self) -> list:
+        if self.accept_op("("):
+            es: list = []
+            if not self.accept_op(")"):
+                es.append(self.parse_expr())
+                while self.accept_op(","):
+                    es.append(self.parse_expr())
+                self.expect_op(")")
+            return es
+        return [self.parse_expr()]
 
     def _select_item(self) -> SelectItem:
         t = self.peek()

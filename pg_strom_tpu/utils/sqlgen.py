@@ -161,8 +161,8 @@ class QueryGen:
         r = self.rng
         shape = r.choices(
             ["project", "grouped", "ungrouped", "join", "distinct",
-             "setop", "topk", "subquery_in", "window", "cte"],
-            weights=[16, 18, 10, 16, 7, 7, 7, 4, 8, 7])[0]
+             "setop", "topk", "subquery_in", "window", "cte", "rollup"],
+            weights=[15, 17, 9, 15, 7, 7, 7, 4, 7, 6, 6])[0]
         return getattr(self, "_gen_" + shape)()
 
     def _fact(self) -> TableSpec:
@@ -323,6 +323,22 @@ class QueryGen:
             f"select {', '.join(names)} from c",
         ])
         return f"with c({', '.join(names)}) as ({inner}) {outer}", False
+
+    def _gen_rollup(self) -> tuple[str, bool]:
+        r, t = self.rng, self._fact()
+        keys = r.sample(t.of_kind("int", "text"), r.randint(1, 2))
+        aggs = [self._agg(t) for _ in range(r.randint(1, 2))]
+        kind = r.choice(["rollup", "cube", "sets"])
+        if kind == "sets":
+            gs = ", ".join(f"({k})" for k in keys) + ", ()"
+            grp = f"grouping sets ({gs})"
+        else:
+            grp = f"{kind} ({', '.join(keys)})"
+        items = keys + [f"grouping({keys[0]})"] + aggs
+        sql = f"select {', '.join(items)} from {t.name}"
+        if r.random() < 0.6:
+            sql += f" where {self._pred(t)}"
+        return f"{sql} group by {grp}", False
 
     def _gen_subquery_in(self) -> tuple[str, bool]:
         r = self.rng
