@@ -186,6 +186,78 @@ def _sql_like(s: str, pat: str) -> bool:
     return re.fullmatch(rx, s, flags=re.DOTALL) is not None
 
 
+# common PostgreSQL text functions — host tier (varlena manipulation
+# stays on the CPU in the reference too; only fixed-width compares ride
+# the device).  Semantics match PG: 1-based substr with clamping,
+# strpos 0 when absent, trim removes SPACES only by default,
+# left/right negative-count complements.
+
+def _pg_substr(s: str, start: int, ln: int = None) -> str:
+    if ln is None:
+        return s[max(start - 1, 0):]
+    if ln < 0:
+        from ..errors import SqlError
+        raise SqlError("negative substring length not allowed")
+    return s[max(start - 1, 0):max(start - 1 + ln, 0)]
+
+
+def _pg_left(s: str, n: int) -> str:
+    return "" if n == 0 else s[:n]
+
+
+def _pg_right(s: str, n: int) -> str:
+    return "" if n == 0 else s[-n:]
+
+
+_reg("upper", (T.TEXT,), T.TEXT, ("text_upper",), lambda s: s.upper(),
+     device_ok=False)
+_reg("lower", (T.TEXT,), T.TEXT, ("text_lower",), lambda s: s.lower(),
+     device_ok=False)
+for _nm, _how in (("btrim", str.strip), ("trim", str.strip),
+                  ("ltrim", str.lstrip), ("rtrim", str.rstrip)):
+    _reg(_nm, (T.TEXT,), T.TEXT, (f"text_{_nm}",),
+         (lambda how: lambda s: how(s, " "))(_how), device_ok=False)
+    _reg(_nm, (T.TEXT, T.TEXT), T.TEXT, (f"text_{_nm}2",),
+         (lambda how: lambda s, cs: how(s, cs))(_how), device_ok=False)
+_reg("substr", (T.TEXT, T.INT4), T.TEXT, ("text_substr2",), _pg_substr,
+     device_ok=False)
+_reg("substr", (T.TEXT, T.INT4, T.INT4), T.TEXT, ("text_substr3",),
+     _pg_substr, device_ok=False)
+_reg("substring", (T.TEXT, T.INT4), T.TEXT, ("text_substr2",), _pg_substr,
+     device_ok=False)
+_reg("substring", (T.TEXT, T.INT4, T.INT4), T.TEXT, ("text_substr3",),
+     _pg_substr, device_ok=False)
+_reg("strpos", (T.TEXT, T.TEXT), T.INT4, ("text_strpos",),
+     lambda s, sub: s.find(sub) + 1, device_ok=False)
+_reg("replace", (T.TEXT, T.TEXT, T.TEXT), T.TEXT, ("text_replace",),
+     lambda s, a, b: s.replace(a, b), device_ok=False)
+_reg("repeat", (T.TEXT, T.INT4), T.TEXT, ("text_repeat",),
+     lambda s, n: s * max(n, 0), device_ok=False)
+_reg("left", (T.TEXT, T.INT4), T.TEXT, ("text_left",), _pg_left,
+     device_ok=False)
+_reg("right", (T.TEXT, T.INT4), T.TEXT, ("text_right",), _pg_right,
+     device_ok=False)
+_reg("starts_with", (T.TEXT, T.TEXT), T.BOOL, ("text_starts",),
+     lambda s, p: s.startswith(p), device_ok=False)
+
+
+# float8 exp/ln/log/power/sign etc. already ride the device math library
+# (ops.MATH1/MATH2 above — opencl_mathlib.h analog); log10 is PG's alias
+# for log(double)
+FUNCTION_CATALOG[("log10", (T.FLOAT8,))] = \
+    FUNCTION_CATALOG[("log", (T.FLOAT8,))]
+_reg("sign", (T.NUMERIC,), T.NUMERIC, ("num_sign",),
+     lambda x: __import__("decimal").Decimal(0 if x == 0
+                                             else (1 if x > 0 else -1)),
+     device_ok=False)
+
+# mod(a, b) is the function form of % (same transition, same errors)
+for _t in INT_TYPES + (T.NUMERIC,):
+    _sig = ("%", (_t, _t))
+    if _sig in FUNCTION_CATALOG:
+        FUNCTION_CATALOG[("mod", (_t, _t))] = FUNCTION_CATALOG[_sig]
+
+
 # ---------------------------------------------------------------------------
 # resolution
 # ---------------------------------------------------------------------------

@@ -944,6 +944,17 @@ class Parser:
                 pass
             # t.* handled at select-item level via AStar? keep simple:
             return AName(tuple(name))
+        if t.kind == "kw" and t.value in ("left", "right") \
+                and self.peek(1).kind == "op" and self.peek(1).value == "(":
+            # LEFT(s, n) / RIGHT(s, n): join keywords PG still allows as
+            # function names (col_name_keyword class)
+            name = self.next().value
+            self.next()
+            args = [self.parse_expr()]
+            while self.accept_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            return self._maybe_over(AFunc(name, args))
         raise ParseError(f"syntax error at or near {t.value!r}")
 
 

@@ -180,7 +180,13 @@ class QueryGen:
             elif pick < 0.7:
                 items.append(self._float_expr(t, ""))
             elif t.of_kind("text") and pick < 0.85:
-                items.append(r.choice(t.of_kind("text")))
+                c = r.choice(t.of_kind("text"))
+                items.append(r.choice([
+                    c, f"upper({c})", f"lower({c})", f"length({c})",
+                    f"substr({c}, 1, {r.randint(1, 4)})",
+                    f"left({c}, {r.randint(-2, 3)})",
+                    f"{c} || '-t'",
+                ]))
             else:
                 c = r.choice(list(t.cols))
                 items.append(f"case when {self._pred_atom(t, '')} "

@@ -201,6 +201,69 @@ class TestExceptIntersect:
         assert r == [(2,)]
 
 
+class TestScalarFunctions:
+    """Host-tier scalar functions (varlena/text manipulation stays on the
+    CPU in the reference too); semantics match PostgreSQL."""
+
+    def test_text_case_and_trim(self, db):
+        r = execute("select upper('aBc'), lower('aBc'), trim('  x  '), "
+                    "ltrim('  x  '), rtrim('  x  '), btrim('xxaxx', 'x')",
+                    db).rows
+        assert r == [("ABC", "abc", "x", "x  ", "  x", "a")]
+
+    def test_substr_clamping(self, db):
+        r = execute("select substr('abcdef', 2, 3), substr('abcdef', 0, 2), "
+                    "substr('abcdef', 3), substring('abcdef', 5, 99)",
+                    db).rows
+        assert r == [("bcd", "a", "cdef", "ef")]
+
+    def test_substr_negative_length_errors(self, db):
+        with pytest.raises(SqlError):
+            execute("select substr('abc', 1, -1)", db)
+
+    def test_strpos_replace_repeat(self, db):
+        r = execute("select strpos('abcdef', 'cd'), strpos('ab', 'zz'), "
+                    "replace('aXbXc', 'X', '-'), repeat('ab', 3)", db).rows
+        assert r == [(3, 0, "a-b-c", "ababab")]
+
+    def test_left_right_negative_counts(self, db):
+        # LEFT/RIGHT parse as functions despite being join keywords
+        r = execute("select left('abcde', 2), left('abcde', -2), "
+                    "right('abcde', 2), right('abcde', -2), "
+                    "right('abcde', 0)", db).rows
+        assert r == [("ab", "abc", "de", "cde", "")]
+
+    def test_math_functions(self, db):
+        r = execute("select exp(0.0::float8), ln(1.0::float8), "
+                    "power(2.0::float8, 10.0::float8), "
+                    "sign(-2.5::float8), log10(100.0::float8), "
+                    "mod(7, 3), mod(-7, 3)", db).rows
+        assert r == [(1.0, 0.0, 1024.0, -1.0, 2.0, 1, -1)]
+
+    def test_ln_domain_errors(self, db):
+        with pytest.raises(SqlError):
+            execute("select ln(0.0::float8)", db)
+        with pytest.raises(SqlError):
+            execute("select ln(-1.0::float8)", db)
+
+    def test_numeric_sign(self, db):
+        from decimal import Decimal
+        r = execute("select sign(0.0::numeric), sign('-4.2'::numeric)",
+                    db).rows
+        assert r == [(Decimal("0"), Decimal("-1"))]
+
+    def test_strict_null_propagation(self, db):
+        r = execute("select upper(case when k is null then null else v "
+                    "end) from a where k is null", db).rows
+        assert r == [(None,)]
+
+    def test_functions_over_table_rows(self, db):
+        r = execute("select k, upper(v), length(v) from a "
+                    "where k is not null order by k", db).rows
+        assert r == [(1, "ONE", 3), (2, "TWO", 3), (3, "THREE", 5),
+                     (4, "FOUR", 4)]
+
+
 class TestCtes:
     """WITH (non-recursive CTEs), desugared into FROM-subqueries by
     plan/planner._expand_ctes — PostgreSQL >= 12 inlining semantics."""
