@@ -73,6 +73,10 @@ def execute(sql: str, db: Database) -> Result:
         return Result(columns=[], rows=[], types=[], command="DROP TABLE")
     if isinstance(stmt, ast.InsertStmt):
         return _exec_insert(stmt, db)
+    if isinstance(stmt, ast.UpdateStmt):
+        return _exec_update(stmt, db)
+    if isinstance(stmt, ast.DeleteStmt):
+        return _exec_delete(stmt, db)
     if isinstance(stmt, ast.CopyStmt):
         return _exec_copy(stmt, db)
     if isinstance(stmt, ast.ExplainStmt):
@@ -230,6 +234,95 @@ def _exec_insert(stmt: ast.InsertStmt, db: Database) -> Result:
         new_cols[cn] = column_from_values(c.type, old)
     db.create(Table.from_columns(stmt.name, new_cols))
     return Result([], [], [], command=f"INSERT 0 {len(rows)}")
+
+
+def _dml_layout(name: str, tbl) -> dict:
+    # the binder qualifies refs as "alias.col"; accept bare names too
+    layout = {}
+    for i, n in enumerate(tbl.column_names):
+        layout[n] = i
+        layout[f"{name}.{n}"] = i
+    return layout
+
+
+def _bound_where(where, name: str, tbl, db):
+    """WHERE of UPDATE/DELETE bound to the table layout — the match set
+    comes from ScanExecutor.row_indexes, so the filter kernel (and its
+    CpuReCheck ladder) is the same one SELECT uses."""
+    from ..plan.binder import Scope, bind_expr
+    from ..expr.ir import bind_columns
+    be = bind_expr(where, Scope(rels=[(name, tbl)], db=db),
+                   allow_aggs=False)
+    return bind_columns(be, _dml_layout(name, tbl))
+
+
+def _exec_delete(stmt: "ast.DeleteStmt", db: Database) -> Result:
+    import numpy as np
+    from ..exec.scan_exec import ScanExecutor
+    from ..plan.planner import _subset_table
+    tbl = db.get(stmt.name)
+    if stmt.where is None:
+        hit = np.arange(tbl.nrows, dtype=np.int64)
+    else:
+        hit = np.asarray(ScanExecutor(
+            tbl, _bound_where(stmt.where, stmt.name, tbl, db)).row_indexes(),
+            dtype=np.int64)
+    keepmask = np.ones(tbl.nrows, dtype=bool)
+    keepmask[hit] = False
+    keep = [int(i) for i in np.flatnonzero(keepmask)]
+    from ..datastore import Table
+    nt = _subset_table(tbl, keep)
+    db.create(Table.from_columns(stmt.name, dict(nt.columns)))
+    return Result([], [], [], command=f"DELETE {len(hit)}")
+
+
+def _exec_update(stmt: "ast.UpdateStmt", db: Database) -> Result:
+    import numpy as np
+    from ..errors import SqlError
+    from ..exec.scan_exec import ScanExecutor
+    from ..plan.binder import Scope, bind_expr
+    from ..expr.ir import bind_columns
+    from ..expr.eval_cpu import eval_expr_cpu
+    from ..datastore import Table, column_from_values
+    tbl = db.get(stmt.name)
+    names = list(tbl.column_names)
+    for cn, _e in stmt.sets:
+        if cn not in names:
+            raise SqlError(f'column "{cn}" of relation "{stmt.name}" '
+                           "does not exist")
+    if stmt.where is None:
+        hit = np.arange(tbl.nrows, dtype=np.int64)
+    else:
+        hit = np.asarray(ScanExecutor(
+            tbl, _bound_where(stmt.where, stmt.name, tbl, db)).row_indexes(),
+            dtype=np.int64)
+    hitset = set(int(i) for i in hit)
+    scope = Scope(rels=[(stmt.name, tbl)], db=db)
+    layout = _dml_layout(stmt.name, tbl)
+    bsets = [(cn, bind_columns(bind_expr(e, scope, allow_aggs=False),
+                               layout))
+             for cn, e in stmt.sets]
+    # SET exprs see the OLD row (PG semantics: all assignments evaluate
+    # against the pre-update tuple)
+    new_cols = {}
+    cols = [tbl.columns[n] for n in names]
+
+    def row_at(i):
+        return lambda s: cols[s].get(i)
+    updates: dict[str, dict[int, object]] = {cn: {} for cn, _ in bsets}
+    for i in hitset:
+        row = row_at(i)
+        for cn, be in bsets:
+            updates[cn][i] = eval_expr_cpu(be, row)
+    for cn in names:
+        c = tbl.columns[cn]
+        vals = [c.get(i) for i in range(tbl.nrows)]
+        if cn in updates:
+            for i, v in updates[cn].items():
+                vals[i] = _value_in(c.type, v)
+        new_cols[cn] = column_from_values(c.type, vals)
+    db.create(Table.from_columns(stmt.name, new_cols))
+    return Result([], [], [], command=f"UPDATE {len(hitset)}")
 
 
 def _exec_copy(stmt: ast.CopyStmt, db: Database) -> Result:

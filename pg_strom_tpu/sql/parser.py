@@ -43,6 +43,7 @@ KEYWORDS = {
     "all", "coalesce", "exists", "explain", "verbose", "costs", "analyze",
     "set", "to", "show", "isnull", "notnull",
     "create", "table", "drop", "insert", "into", "values", "copy",
+    "update", "delete",
     "with", "recursive", "over", "partition",
 }
 
@@ -278,6 +279,19 @@ class InsertStmt:
 
 
 @dataclasses.dataclass
+class UpdateStmt:
+    name: str
+    sets: list                      # [(column, expr)]
+    where: Optional[Any] = None
+
+
+@dataclasses.dataclass
+class DeleteStmt:
+    name: str
+    where: Optional[Any] = None
+
+
+@dataclasses.dataclass
 class CopyStmt:
     name: str
     filename: str
@@ -390,6 +404,24 @@ class Parser:
                 self.expect_kw("exists")
                 ife = True
             return DropStmt(".".join(self._qualified_name()), if_exists=ife)
+        if self.accept_kw("update"):
+            name = ".".join(self._qualified_name())
+            self.expect_kw("set")
+
+            def set_item():
+                cname = self.next().value
+                self.expect_op("=")
+                return (cname, self.parse_expr())
+            sets = [set_item()]
+            while self.accept_op(","):
+                sets.append(set_item())
+            where = self.parse_expr() if self.accept_kw("where") else None
+            return UpdateStmt(name, sets, where)
+        if self.accept_kw("delete"):
+            self.expect_kw("from")
+            name = ".".join(self._qualified_name())
+            where = self.parse_expr() if self.accept_kw("where") else None
+            return DeleteStmt(name, where)
         if self.accept_kw("insert"):
             self.expect_kw("into")
             name = ".".join(self._qualified_name())

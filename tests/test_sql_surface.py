@@ -201,6 +201,65 @@ class TestExceptIntersect:
         assert r == [(2,)]
 
 
+class TestUpdateDelete:
+    """UPDATE / DELETE — the WHERE match set rides the same ScanExecutor
+    filter kernel as SELECT; SET expressions evaluate against the OLD
+    row (PG semantics)."""
+
+    @pytest.fixture()
+    def ddb(self):
+        d = Database()
+        d.create(Table.from_columns("t", {
+            "k": column_from_values(T.INT4, [1, 2, 3, 4, None]),
+            "v": column_from_values(T.TEXT, ["a", "b", "c", "d", "e"]),
+            "x": column_from_values(T.FLOAT8, [1.0, 2.0, 3.0, 4.0, 5.0]),
+        }))
+        return d
+
+    def test_update_where(self, ddb):
+        r = execute("update t set x = x * 10, v = upper(v) where k > 2",
+                    ddb)
+        assert r.command == "UPDATE 2"
+        rows = execute("select k, v, x from t order by k nulls last",
+                       ddb).rows
+        assert rows == [(1, "a", 1.0), (2, "b", 2.0), (3, "C", 30.0),
+                        (4, "D", 40.0), (None, "e", 5.0)]
+
+    def test_delete_where(self, ddb):
+        r = execute("delete from t where k is null or x >= 4", ddb)
+        assert r.command == "DELETE 2"
+        assert execute("select k from t order by k", ddb).rows == \
+            [(1,), (2,), (3,)]
+
+    def test_update_all_and_delete_all(self, ddb):
+        assert execute("update t set k = k + 100", ddb).command == \
+            "UPDATE 5"
+        assert execute("select count(k) from t", ddb).rows == [(4,)]
+        assert execute("delete from t", ddb).command == "DELETE 5"
+        assert execute("select count(*) from t", ddb).rows == [(0,)]
+
+    def test_set_sees_old_row(self, ddb):
+        execute("create table sw (a int, b int)", ddb)
+        execute("insert into sw values (1, 2)", ddb)
+        execute("update sw set a = b, b = a", ddb)
+        assert execute("select a, b from sw", ddb).rows == [(2, 1)]
+
+    def test_update_unknown_column(self, ddb):
+        with pytest.raises(SqlError):
+            execute("update t set zz = 1", ddb)
+
+    def test_update_overflow_raises(self, ddb):
+        execute("create table ov (i smallint)", ddb)
+        execute("insert into ov values (32767)", ddb)
+        with pytest.raises(SqlError):
+            execute("update ov set i = i + 1", ddb)
+
+    def test_update_then_query_device(self, ddb):
+        execute("update t set x = 100.0 where k in (1, 2)", ddb)
+        r = execute("select sum(x) from t where x = 100.0", ddb).rows
+        assert r == [(200.0,)]
+
+
 class TestScalarFunctions:
     """Host-tier scalar functions (varlena/text manipulation stays on the
     CPU in the reference too); semantics match PostgreSQL."""
