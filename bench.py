@@ -172,10 +172,13 @@ def main() -> None:
 
     print(f"# device={dev} N={N} dt={dt*1e3:.2f}ms", file=sys.stderr)
 
-    # per-operator + e2e SoL records travel with the flagship record in
-    # ONE artifact (round-4 verdict item 10) — measured by
-    # benchmarks/bench_ops.py / bench_e2e.py in fresh processes (the
-    # poisoned-compile hazard forbids running them inline here)
+    # per-operator + e2e SoL records go to a SEPARATE detail artifact
+    # (round-4 verdict item 1: the driver parses bench.py's final stdout
+    # line, and a multi-KB detail blob broke that parse in round 4 — the
+    # headline line below stays short; detail lands in
+    # benchmarks/BENCH_DETAIL_r05.json, committed).  Per-op/e2e numbers
+    # are measured by benchmarks/bench_ops.py / bench_e2e.py in fresh
+    # processes (the poisoned-compile hazard forbids running them inline)
     import os
     here = os.path.dirname(os.path.abspath(__file__))
     detail = {
@@ -199,13 +202,23 @@ def main() -> None:
         with open(e2ef) as f:
             detail["e2e"] = json.load(f).get("results", [])
 
-    print(json.dumps({
+    headline = {
         "metric": "preagg_filter_group_rows_per_s_per_chip",
         "value": round(rows_per_s),
         "unit": "rows/s",
         "vs_baseline": round(vs, 4),
-        "detail": detail,
-    }))
+    }
+    detail["headline"] = headline
+    detail_path = os.path.join(here, "benchmarks", "BENCH_DETAIL_r05.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        print(f"# detail -> {detail_path}", file=sys.stderr)
+    except OSError as e:  # read-only checkout must not sink the headline
+        print(f"# detail write failed: {e}", file=sys.stderr)
+
+    # ONE short parseable line — the driver contract
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
