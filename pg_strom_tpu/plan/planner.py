@@ -1737,19 +1737,49 @@ def plan_grouping_sets(stmt: "ast.SelectStmt", db: Database) -> PlannedQuery:
                 for f in dataclasses.fields(e)})
         return e
 
-    subplans, nulled = [], []
+    def ast_has_agg(e) -> bool:
+        """True if e contains an aggregate call at this query level
+        (does not descend into subqueries, whose aggregates are theirs)."""
+        if e is None:
+            return False
+        if isinstance(e, ast.AFunc) and e.name in aggnames:
+            return True
+        if isinstance(e, (ast.ASubquery, ast.AExists)):
+            return False
+        if isinstance(e, (list, tuple)):
+            return any(ast_has_agg(x) for x in e)
+        if dataclasses.is_dataclass(e) and not isinstance(e, type):
+            return any(ast_has_agg(getattr(e, f.name))
+                       for f in dataclasses.fields(e))
+        return False
+
+    subplans, nulled, strip_last = [], [], []
     for s in sets:
         items_s = [ast.SelectItem(gs_rewrite(it.expr, s), it.alias)
                    for it in stmt.items]
         nulled.append([i2.expr == ast.ALiteral(None)
                        for i2 in items_s])
+        having_s = gs_rewrite(stmt.having, s)
+        strip = False
+        if not s and not any(ast_has_agg(it.expr) for it in items_s) \
+                and not ast_has_agg(having_s):
+            # GROUP BY () with no aggregates anywhere: PG still makes
+            # exactly one group, but a plain projection would emit one
+            # row per input row.  Inject count(*) so the subplan plans
+            # as a one-row aggregate; strip the column at execution.
+            items_s = items_s + [ast.SelectItem(
+                ast.AFunc("count", [], star=True), "__gs_one__")]
+            strip = True
+        strip_last.append(strip)
         sub = dataclasses.replace(
             stmt, items=items_s, group_by=list(s), grouping_sets=None,
-            having=gs_rewrite(stmt.having, s), order_by=[], limit=None,
+            having=having_s, order_by=[], limit=None,
             offset=None, distinct=False, ctes=[])
         subplans.append(plan_query(sub, db))
 
     out_names = list(subplans[0].out_names)
+    if strip_last[0]:
+        out_names = out_names[:-1]
     out_types = []
     for p in range(len(out_names)):
         j = next((j for j in range(len(sets)) if not nulled[j][p]), 0)
@@ -1773,8 +1803,11 @@ def plan_grouping_sets(stmt: "ast.SelectStmt", db: Database) -> PlannedQuery:
 
     def run() -> list[tuple]:
         rows: list[tuple] = []
-        for sp in subplans:
-            rows.extend(sp.execute())
+        for sp, strip in zip(subplans, strip_last):
+            got = sp.execute()
+            if strip:
+                got = [r[:-1] for r in got]
+            rows.extend(got)
         if stmt.distinct:
             rows = _dedupe_rows(rows)
         if specs:

@@ -97,3 +97,33 @@ class TestGroupingSets:
         r = execute("select distinct count(*) from s group by "
                     "grouping sets ((), ())", db).rows
         assert r == [(5,)]
+
+    def test_empty_set_no_aggregates_one_row(self, db):
+        # PG: the () set still makes exactly one group even with no
+        # aggregate in the select list (round-4 advisor: this planned as
+        # a plain projection, one row per input row).
+        r = execute("select a from s group by rollup (a) "
+                    "order by a nulls last", db).rows
+        assert r == [("x",), ("y",), (None,)]
+        r = execute("select a, grouping(a) from s group by "
+                    "grouping sets ((a), ()) order by a nulls last", db).rows
+        assert r == [("x", 0), ("y", 0), (None, 1)]
+
+    def test_empty_set_no_aggregates_empty_table(self):
+        # GROUP BY () yields one row even over an empty input (PG).
+        d = Database()
+        d.create(Table.from_columns("e", {
+            "a": column_from_values(T.INT4, []),
+        }))
+        assert execute("select a from e group by rollup (a)", d).rows \
+            == [(None,)]
+
+    def test_empty_set_having_aggregate(self, db):
+        # HAVING carries the only aggregate: the subplan must still
+        # aggregate to one row and apply the filter over it.
+        r = execute("select a from s group by rollup (a) "
+                    "having count(*) > 1 order by a nulls last", db).rows
+        assert r == [("x",), ("y",), (None,)]
+        r = execute("select a from s group by rollup (a) "
+                    "having count(*) > 4 order by a nulls last", db).rows
+        assert r == [(None,)]
