@@ -157,6 +157,11 @@ class _Config:
     # on the local device mesh instead of the host row loop (the reference
     # always punts DISTINCT to the CPU aggregate — this exceeds it)
     device_distinct: bool = True
+    # plane-space window execution (plan/window.py _run_columnar): window
+    # keys sort/compute on numpy planes with zero python row objects; off
+    # falls back to the exact per-row tier (the reference runs windows on
+    # the PostgreSQL CPU executor — this flag picks which host tier)
+    vectorized_windows: bool = True
 
 
 def _enabled_get(self) -> bool:

@@ -184,6 +184,85 @@ def next_column_uid() -> int:
     return next(_COL_UID)
 
 
+def column_gather(col: Column, ii: np.ndarray,
+                  extra_valid: np.ndarray | None = None) -> Column:
+    """col at row indexes ii as a new Column, pure plane gathers (the
+    text dictionary is shared, numeric side-planes ride along).
+    extra_valid (aligned with ii) is AND'd into validity — masked slots
+    read as NULL regardless of the source row.  An identity gather with
+    no mask returns col itself (same uid, so the device chunk cache
+    keeps serving the resident buffers)."""
+    n0 = len(col.data)
+    if extra_valid is None and len(ii) == n0 and \
+            (n0 == 0 or (ii[0] == 0 and ii[-1] == n0 - 1
+                         and np.array_equal(ii, np.arange(n0)))):
+        return col
+    valid = col.valid[ii]
+    if extra_valid is not None:
+        valid = valid & extra_valid
+    data = np.where(valid, col.data[ii], np.zeros((), col.data.dtype))
+    out = Column(type=col.type, data=data, valid=valid,
+                 dictionary=col.dictionary)
+    if col.num_exp is not None:
+        out.num_exp = np.where(valid, col.num_exp[ii], np.int32(0))
+        out.num_dscale = np.where(valid, col.num_dscale[ii], np.int32(0))
+        rc = col.recheck[ii] & valid
+        out.recheck = rc
+        if rc.any():
+            for newpos in np.flatnonzero(rc):
+                out._exact[int(newpos)] = col._exact[int(ii[int(newpos)])]
+    return out
+
+
+def column_scatter(col: Column, hit: np.ndarray, sub: Column) -> Column:
+    """col with rows `hit` replaced by sub's rows (len(sub) == len(hit)):
+    the plane-level UPDATE primitive.  Text dictionaries merge
+    order-preservingly (both sides' codes remap through the union
+    dictionary in one vectorized pass)."""
+    t = col.type
+    if t in (T.TEXT, T.BPCHAR):
+        od = col.dictionary or []
+        sd = sub.dictionary or []
+        merged = sorted(set(od) | set(sd))
+        code = {s: i for i, s in enumerate(merged)}
+        data = np.zeros(len(col.data), dtype=col.data.dtype)
+        if od:
+            omap = np.asarray([code[s] for s in od], dtype=col.data.dtype)
+            data = omap[col.data]
+        if sd:
+            smap = np.asarray([code[s] for s in sd], dtype=col.data.dtype)
+            data[hit] = smap[sub.data]
+        else:
+            data[hit] = 0
+        valid = col.valid.copy()
+        valid[hit] = sub.valid
+        data = np.where(valid, data, np.zeros((), data.dtype))
+        return Column(type=t, data=data, valid=valid,
+                      dictionary=merged or None)
+    data = col.data.copy()
+    data[hit] = sub.data
+    valid = col.valid.copy()
+    valid[hit] = sub.valid
+    out = Column(type=t, data=data, valid=valid)
+    if col.num_exp is not None:
+        out.num_exp = col.num_exp.copy()
+        out.num_exp[hit] = sub.num_exp
+        out.num_dscale = col.num_dscale.copy()
+        out.num_dscale[hit] = sub.num_dscale
+        out.recheck = col.recheck.copy()
+        out.recheck[hit] = sub.recheck
+        if out.recheck.any():
+            hitmask = np.zeros(len(col.data), dtype=np.bool_)
+            hitmask[hit] = True
+            for i, v in col._exact.items():
+                if not hitmask[i]:
+                    out._exact[i] = v
+            if sub.recheck.any():
+                for j in np.flatnonzero(sub.recheck):
+                    out._exact[int(hit[int(j)])] = sub._exact[int(j)]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # column statistics — the ANALYZE analog.
 #

@@ -194,11 +194,35 @@ def _build_spec(w: ast.AWindow, rw: _Rewriter) -> _WinSpec:
                     part_idx, order)
 
 
+_NUM_CHAIN = (T.INT2, T.INT4, T.INT8, T.NUMERIC, T.FLOAT4, T.FLOAT8)
+
+
+def _common_type(a: T, b: T) -> Optional[T]:
+    """PG select_common_type for the lag/lead anyelement pair: identical,
+    the numeric promotion chain, or date->timestamp; None = no common
+    type (PG raises at plan time — round-4 advisor, window.py:178)."""
+    if a == b:
+        return a
+    if a in _NUM_CHAIN and b in _NUM_CHAIN:
+        return _NUM_CHAIN[max(_NUM_CHAIN.index(a), _NUM_CHAIN.index(b))]
+    if {a, b} == {T.DATE, T.TIMESTAMP}:
+        return T.TIMESTAMP
+    return None
+
+
 def _win_type(spec: _WinSpec, ctypes: list) -> T:
     if spec.fname in _RANKERS:
         return T.INT8
     if spec.fname in _OFFSETS:
-        return ctypes[spec.arg_idx]
+        at = ctypes[spec.arg_idx]
+        if spec.default_idx is not None:
+            ct = _common_type(at, ctypes[spec.default_idx])
+            if ct is None:
+                raise SqlError(
+                    f"{spec.fname}() default must be coercible to the "
+                    f"argument type")
+            return ct
+        return at
     argts = () if spec.star or spec.arg_idx is None \
         else (ctypes[spec.arg_idx],)
     adef, _fam = lookup_agg(spec.fname, argts, star=spec.star)
@@ -208,8 +232,267 @@ def _win_type(spec: _WinSpec, ctypes: list) -> T:
 # ---------------------------------------------------------------------------
 # window computation (PG default-frame semantics)
 # ---------------------------------------------------------------------------
+#
+# The fast path vectorizes with numpy (round-4 verdict item 2: the per-row
+# comparator sort + Python partition dict made 4M-row rank() take minutes):
+# partition/order keys encode to order-preserving int64 (the same
+# _encode_sort_column ORDER BY uses), one global np.lexsort groups
+# partitions AND orders within them, boundaries come from adjacent-key
+# compares, and each function computes from positional arrays.  Aggregate
+# windows with float/numeric transitions keep the bit-exact sequential
+# host transitions (addition is not associative; prefix-subtract would
+# drift an ulp from PG's per-partition running sums) but still ride the
+# vectorized sort + boundaries.  Unencodable keys fall back to the exact
+# per-row path below.
+
+_FAST_MIN_ROWS = 256        # below this the python path wins; tests set 0
+
 
 def _window_values(spec: _WinSpec, rows: list, ctypes: list) -> list:
+    n = len(rows)
+    if n <= _FAST_MIN_ROWS:
+        return _window_values_slow(spec, rows, ctypes)
+    import numpy as np
+    from .planner import _encode_sort_column
+
+    enc_cache: dict = {}
+
+    def enc_col(idx):
+        if idx not in enc_cache:
+            vals = [r[idx] for r in rows]
+            nulls = np.fromiter((v is None for v in vals), np.bool_, n)
+            e = _encode_sort_column(vals, nulls)
+            enc_cache[idx] = None if e is None else (e, nulls)
+        return enc_cache[idx]
+
+    for idx in spec.part_idx + [i for (i, _, _) in spec.order]:
+        if enc_col(idx) is None:
+            return _window_values_slow(spec, rows, ctypes)
+
+    # global sort: np.lexsort's LAST key is primary, so partition keys go
+    # last; lexsort is stable, preserving input order for full ties (the
+    # same tie order as the python sorted() the slow path uses)
+    arrays: list = []
+    for i, desc, nf in reversed(spec.order):
+        e, nulls = enc_col(i)
+        enc = (np.int64(-1) - e) if desc else e
+        enc = np.where(nulls, np.int64(0), enc)
+        nulls_first = desc if nf is None else nf
+        nkey = np.where(nulls, np.int8(-1 if nulls_first else 1),
+                        np.int8(0))
+        arrays.append(enc)
+        arrays.append(nkey)
+    for p in reversed(spec.part_idx):
+        e, nulls = enc_col(p)
+        arrays.append(np.where(nulls, np.int64(0), e))
+        arrays.append(nulls.astype(np.int8))
+    order = (np.lexsort(tuple(arrays)) if arrays
+             else np.arange(n, dtype=np.int64))
+
+    # boundaries in sorted coordinates
+    new_part = np.zeros(n, np.bool_)
+    new_part[0] = True
+    for p in spec.part_idx:
+        e, nulls = enc_col(p)
+        es = np.where(nulls, np.int64(0), e)[order]
+        ns = nulls[order]
+        new_part[1:] |= (es[1:] != es[:-1]) | (ns[1:] != ns[:-1])
+    new_peer = new_part.copy()
+    for i, _desc, _nf in spec.order:
+        e, nulls = enc_col(i)
+        es = np.where(nulls, np.int64(0), e)[order]
+        ns = nulls[order]
+        new_peer[1:] |= (es[1:] != es[:-1]) | (ns[1:] != ns[:-1])
+
+    idx = np.arange(n, dtype=np.int64)
+    part_start = np.maximum.accumulate(np.where(new_part, idx, 0))
+    peer_start = np.maximum.accumulate(np.where(new_peer, idx, 0))
+    next_new = np.empty(n, np.bool_)
+    next_new[:-1] = new_peer[1:]
+    next_new[-1] = True
+    peer_end = np.minimum.accumulate(
+        np.where(next_new, idx, n)[::-1])[::-1]
+
+    def scatter_ints(vals_sorted) -> list:
+        res = np.empty(n, np.int64)
+        res[order] = vals_sorted
+        return res.tolist()
+
+    def gather_obj(col_idx):
+        ov = np.empty(n, object)
+        ov[:] = [r[col_idx] for r in rows]
+        return ov[order]                 # values in sorted coordinates
+
+    def scatter_obj(vals_sorted) -> list:
+        res = np.empty(n, object)
+        res[order] = vals_sorted
+        return res.tolist()
+
+    f = spec.fname
+    if f == "row_number":
+        return scatter_ints(idx - part_start + 1)
+    if f == "rank":
+        return scatter_ints(peer_start - part_start + 1)
+    if f == "dense_rank":
+        c = np.cumsum(new_peer.astype(np.int64))
+        return scatter_ints(c - c[part_start] + 1)
+    if f in ("lag", "lead"):
+        off = spec.offset if f == "lag" else -spec.offset
+        src = idx - np.int64(off)
+        valid = (src >= 0) & (src < n)
+        srcc = np.clip(src, 0, n - 1)
+        valid &= part_start[srcc] == part_start
+        av = gather_obj(spec.arg_idx)
+        res = np.where(valid, av[srcc], None)
+        if spec.default_idx is not None:
+            # PG: the default expression evaluates at the CURRENT row
+            dv = gather_obj(spec.default_idx)
+            res = np.where(valid, res, dv)
+        return scatter_obj(res)
+    if f == "first_value":
+        av = gather_obj(spec.arg_idx)
+        return scatter_obj(av[part_start])
+    if f == "last_value":
+        # default frame ends at the CURRENT ROW's last peer (the classic
+        # PG last_value gotcha) — whole partition without ORDER BY
+        av = gather_obj(spec.arg_idx)
+        return scatter_obj(av[peer_end])
+    if f == "count":
+        if spec.star:
+            return scatter_ints(peer_end - part_start + 1)
+        vals = [r[spec.arg_idx] for r in rows]
+        nn = np.fromiter((v is not None for v in vals), np.int64, n)[order]
+        pre = np.cumsum(nn)
+        return scatter_ints(pre[peer_end] - pre[part_start]
+                            + nn[part_start])
+    if f in ("min", "max"):
+        got = _minmax_window_fast(spec, rows, np, enc_col, order,
+                                  new_part, idx, peer_end, scatter_obj)
+        if got is not None:
+            return got
+    got = _agg_window_int_fast(spec, rows, np, order, new_part, new_peer,
+                               idx, part_start, peer_end, scatter_obj)
+    if got is not None:
+        return got
+    # exact sequential transitions over the vectorized sort + boundaries
+    return _agg_window_sequential(spec, rows, order, new_part, next_new)
+
+
+def _minmax_window_fast(spec, rows, np, enc_col, order, new_part, idx,
+                        peer_end, scatter_obj):
+    """Segmented running min/max, fully vectorized and exact: encode the
+    argument order-preservingly, densify to ranks (< 2^31), pack
+    (partition ordinal << 32 | rank+1) into one int64 — partition
+    ordinals increase along the sorted order, so a global
+    maximum.accumulate never lets an earlier partition's max leak into
+    the current one.  Display value is the EARLIEST occurrence of the
+    extreme (strict-increase detection), matching the host transition's
+    keep-on-tie (visible for Decimal 1.5 vs 1.50 and -0.0 vs 0.0)."""
+    got = enc_col(spec.arg_idx)
+    if got is None:
+        return None
+    e, nulls = got
+    n = len(rows)
+    es = e[order]
+    ns = nulls[order]
+    uniq, inv = np.unique(es, return_inverse=True)
+    if len(uniq) >= (1 << 31):
+        return None
+    rank = inv.astype(np.int64) + 1          # 0 reserved for NULL
+    if spec.fname == "min":
+        rank = np.int64(len(uniq) + 1) - rank
+    rank = np.where(ns, np.int64(0), rank)
+    part_ord = np.cumsum(new_part.astype(np.int64)) - 1
+    comp = (part_ord << np.int64(32)) | rank
+    run = np.maximum.accumulate(comp)
+    prev = np.empty(n, np.int64)
+    prev[0] = np.int64(-1)
+    prev[1:] = run[:-1]
+    isnew = comp > prev
+    arg = np.maximum.accumulate(np.where(isnew, idx, np.int64(-1)))
+    have = (run & np.int64(0xFFFFFFFF)) > 0  # partition saw a non-null
+    av = np.empty(n, object)
+    av[:] = [r[spec.arg_idx] for r in rows]
+    av = av[order]
+    res = np.where(have[peer_end], av[np.clip(arg[peer_end], 0, n - 1)],
+                   None)
+    return scatter_obj(res)
+
+
+def _agg_window_int_fast(spec, rows, np, order, new_part, new_peer, idx,
+                         part_start, peer_end, scatter_obj):
+    """Integer-slot aggregate windows (sum/avg/variance over int args):
+    python-int prefix sums on object arrays — exact at any magnitude
+    (integer addition is associative, so prefix-subtract is the same
+    value the sequential transition computes) — with finals evaluated
+    once per peer group, like the sequential path."""
+    adef, fam = spec._adef, spec._fam
+    if adef is None or spec.star or spec.arg_idx is None:
+        return None
+    if not set(adef.slots) <= {"nrows", "count", "sum_i", "sumsq_i"}:
+        return None
+    n = len(rows)
+    vals = [r[spec.arg_idx] for r in rows]
+    nn = np.fromiter((v is not None for v in vals), np.int64, n)[order]
+    iv = np.empty(n, object)
+    iv[:] = [0 if v is None else int(v) for v in vals]
+    iv = iv[order]
+    pre_n = np.cumsum(nn)
+    cnt = pre_n[peer_end] - pre_n[part_start] + nn[part_start]
+    nrows = peer_end - part_start + 1
+    pre_s = np.cumsum(iv)
+    tot = pre_s[peer_end] - pre_s[part_start] + iv[part_start]
+    if "sumsq_i" in adef.slots:
+        sq = iv * iv
+        pre_q = np.cumsum(sq)
+        totq = pre_q[peer_end] - pre_q[part_start] + sq[part_start]
+    gid = np.cumsum(new_peer.astype(np.int64)) - 1
+    starts = np.flatnonzero(new_peer)
+    finals = np.empty(len(starts), object)
+    for g, ps in enumerate(starts):
+        pe = peer_end[ps]
+        s = {}
+        for kind in adef.slots:
+            if kind == "nrows":
+                s[kind] = int(nrows[pe])
+            elif kind == "count":
+                s[kind] = int(cnt[pe])
+            elif kind == "sum_i":
+                s[kind] = int(tot[pe])
+            elif kind == "sumsq_i":
+                s[kind] = int(totq[pe])
+        finals[g] = adef.final(s)
+    return scatter_obj(finals[gid])
+
+
+def _agg_window_sequential(spec, rows, order, new_part, next_new) -> list:
+    """Aggregate windows whose transitions are not associative-exact
+    (float CHECKFLOATVAL chains, numeric dscale tracking): run the SAME
+    sequential host transitions as the slow path, over the numpy sort
+    and precomputed peer boundaries."""
+    n = len(rows)
+    out: list = [None] * n
+    adef, fam = spec._adef, spec._fam
+    inst = AggInstance(aggname=spec.fname, family=fam, slots=adef.slots,
+                       args=())
+    state = None
+    peer: list = []
+    for pos in range(n):
+        i = int(order[pos])
+        if new_part[pos]:
+            state = new_state(inst)
+        args = [] if spec.arg_idx is None else [rows[i][spec.arg_idx]]
+        update_state(inst, state, args)
+        peer.append(i)
+        if next_new[pos]:
+            val = adef.final(state)
+            for j in peer:
+                out[j] = val
+            peer = []
+    return out
+
+
+def _window_values_slow(spec: _WinSpec, rows: list, ctypes: list) -> list:
     n = len(rows)
     out: list = [None] * n
 
@@ -302,6 +585,432 @@ def _compute_partition(spec, rows, ordered, groups, out) -> None:
         val = adef.final(state)
         for i in g:
             out[i] = val
+
+
+# ---------------------------------------------------------------------------
+# columnar window path (plane space, zero python rows)
+# ---------------------------------------------------------------------------
+#
+# When the inner stage is a plain scan (single table, no joins/grouping),
+# the row-based tier above still pays three O(n) python costs: tuple
+# materialization of the inner result, per-value re-encoding, and
+# column_from_values re-ingestion for the POST stage.  This path never
+# leaves plane space: component columns are numpy gathers of the table's
+# planes (text dictionaries and numeric planes ride along untouched),
+# window keys encode via the planner's _order_plane_keys, and the POST
+# stage receives real Columns — including, when there is no WHERE, the
+# ORIGINAL Column objects (same uid), so the device chunk cache reuses
+# the table's resident device buffers.
+
+def _gather_column(col, ii, np, extra_valid=None):
+    from ..datastore import column_gather
+    return column_gather(col, ii, extra_valid)
+
+
+def _const_column(t: T, v, n: int, np):
+    from ..datastore import column_from_values
+    one = column_from_values(t, [v])
+    return _gather_column(one, np.zeros(n, np.int64), np)
+
+
+def _fast_column(t: T, vals: list, np):
+    """Column from python values with numpy bulk paths for the window
+    finals' common types (int8 counts/sums, float8 running sums)."""
+    from ..datastore import column_from_values, column_from_numpy
+    if t in (T.INT2, T.INT4, T.INT8):
+        try:
+            data = np.fromiter((0 if v is None else v for v in vals),
+                               np.int64, len(vals))
+        except (OverflowError, TypeError):
+            return column_from_values(t, vals)
+        valid = np.fromiter((v is not None for v in vals), np.bool_,
+                            len(vals))
+        return column_from_numpy(t, data, valid)
+    if t in (T.FLOAT4, T.FLOAT8):
+        data = np.fromiter((0.0 if v is None else v for v in vals),
+                           np.float64, len(vals))
+        valid = np.fromiter((v is not None for v in vals), np.bool_,
+                            len(vals))
+        return column_from_numpy(t, data, valid)
+    return column_from_values(t, vals)
+
+
+class _Frame:
+    """Sorted-order frame shared by every function of one window spec:
+    the global lexsort (partition keys most significant) plus partition
+    and peer boundaries in sorted coordinates."""
+
+    def __init__(self, np, n, key_of, spec):
+        self.np = np
+        self.n = n
+        arrays: list = []
+        okeys: list = []                # (lanes_sorted..., nulls_sorted)
+        pkeys: list = []
+        for i, desc, nf in reversed(spec.order):
+            lanes, nulls = key_of(i)
+            nulls_first = desc if nf is None else nf
+            nkey = np.where(nulls, np.int8(-1 if nulls_first else 1),
+                            np.int8(0))
+            for lane in reversed(lanes):
+                if desc:
+                    lane = np.int64(-1) - lane
+                arrays.append(np.where(nulls, np.int64(0), lane))
+            arrays.append(nkey)
+        for p in reversed(spec.part_idx):
+            lanes, nulls = key_of(p)
+            for lane in reversed(lanes):
+                arrays.append(np.where(nulls, np.int64(0), lane))
+            arrays.append(nulls.astype(np.int8))
+        self.order = (np.lexsort(tuple(arrays)) if arrays
+                      else np.arange(n, dtype=np.int64))
+        order = self.order
+        new_part = np.zeros(n, np.bool_)
+        if n:
+            new_part[0] = True
+        for p in spec.part_idx:
+            lanes, nulls = key_of(p)
+            ns = nulls[order]
+            new_part[1:] |= ns[1:] != ns[:-1]
+            for lane in lanes:
+                ls = np.where(nulls, np.int64(0), lane)[order]
+                new_part[1:] |= ls[1:] != ls[:-1]
+        new_peer = new_part.copy()
+        for i, _d, _nf in spec.order:
+            lanes, nulls = key_of(i)
+            ns = nulls[order]
+            new_peer[1:] |= ns[1:] != ns[:-1]
+            for lane in lanes:
+                ls = np.where(nulls, np.int64(0), lane)[order]
+                new_peer[1:] |= ls[1:] != ls[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        self.idx = idx
+        self.new_part = new_part
+        self.new_peer = new_peer
+        self.part_start = np.maximum.accumulate(np.where(new_part, idx, 0))
+        self.peer_start = np.maximum.accumulate(np.where(new_peer, idx, 0))
+        next_new = np.empty(n, np.bool_)
+        if n:
+            next_new[:-1] = new_peer[1:]
+            next_new[-1] = True
+        self.next_new = next_new
+        self.peer_end = np.minimum.accumulate(
+            np.where(next_new, idx, n)[::-1])[::-1]
+
+    def scatter_i8_col(self, vals_sorted):
+        from ..datastore import column_from_numpy
+        res = self.np.empty(self.n, self.np.int64)
+        res[self.order] = vals_sorted
+        return column_from_numpy(T.INT8, res)
+
+    def gather_col(self, col, src_sorted, valid_sorted=None):
+        """Column whose ORIGINAL-order row i holds col[order[src_sorted]]
+        for i's sorted position (NULL where valid_sorted is False)."""
+        np = self.np
+        fg = np.empty(self.n, np.int64)
+        fg[self.order] = self.order[np.clip(src_sorted, 0, self.n - 1)]
+        ev = None
+        if valid_sorted is not None:
+            ev = np.empty(self.n, np.bool_)
+            ev[self.order] = valid_sorted
+        return _gather_column(col, fg, np, extra_valid=ev)
+
+
+def _dense_ranks(np, lanes, nulls, n):
+    """1-based dense ranks of the non-null rows under the lane ordering
+    (0 for nulls); None when they might not fit the 31-bit pack."""
+    if n >= (1 << 31):
+        return None, 0
+    o2 = np.lexsort(tuple(reversed(lanes)))
+    newv = np.zeros(n, np.bool_)
+    if n:
+        newv[0] = True
+    ns = nulls[o2]
+    newv[1:] |= ns[1:] != ns[:-1]
+    for lane in lanes:
+        ls = np.where(nulls, np.int64(0), lane)[o2]
+        newv[1:] |= ls[1:] != ls[:-1]
+    ranks_sorted = np.cumsum(newv.astype(np.int64))
+    rank = np.empty(n, np.int64)
+    rank[o2] = ranks_sorted
+    nrank = int(ranks_sorted[-1]) if n else 0
+    return np.where(nulls, np.int64(0), rank), nrank
+
+
+def _window_column(spec, ccols, wtype, fr, key_of, np):
+    """One spec's output Column in plane space; None -> row path."""
+    n = fr.n
+    f = spec.fname
+    idx, order = fr.idx, fr.order
+    part_start, peer_start, peer_end = (fr.part_start, fr.peer_start,
+                                        fr.peer_end)
+    if f == "row_number":
+        return fr.scatter_i8_col(idx - part_start + 1)
+    if f == "rank":
+        return fr.scatter_i8_col(peer_start - part_start + 1)
+    if f == "dense_rank":
+        c = np.cumsum(fr.new_peer.astype(np.int64))
+        return fr.scatter_i8_col(c - c[part_start] + 1)
+    if f in ("lag", "lead"):
+        acol = ccols[spec.arg_idx]
+        if spec.default_idx is not None:
+            dcol = ccols[spec.default_idx]
+            if dcol.type != acol.type or \
+                    acol.type in (T.TEXT, T.BPCHAR):
+                return None      # promotion / dict merge: row path
+        off = spec.offset if f == "lag" else -spec.offset
+        src = idx - np.int64(off)
+        vp = (src >= 0) & (src < n)
+        srcc = np.clip(src, 0, n - 1)
+        vp &= part_start[srcc] == part_start
+        out = fr.gather_col(acol, srcc, vp)
+        if spec.default_idx is not None:
+            # PG: the default expression evaluates at the CURRENT row
+            vorig = np.empty(n, np.bool_)
+            vorig[order] = vp
+            out = _merge_columns(out, ccols[spec.default_idx], vorig, np)
+        return out
+    if f == "first_value":
+        return fr.gather_col(ccols[spec.arg_idx], part_start)
+    if f == "last_value":
+        # default frame ends at the CURRENT ROW's last peer
+        return fr.gather_col(ccols[spec.arg_idx], peer_end)
+    if f == "count":
+        if spec.star:
+            return fr.scatter_i8_col(peer_end - part_start + 1)
+        nn = ccols[spec.arg_idx].valid[order].astype(np.int64)
+        pre = np.cumsum(nn)
+        return fr.scatter_i8_col(pre[peer_end] - pre[part_start]
+                                 + nn[part_start])
+    if f in ("min", "max"):
+        got = key_of(spec.arg_idx)
+        if got is None:
+            return None
+        lanes, nulls = got
+        rank, nrank = _dense_ranks(np, [l[order] for l in lanes],
+                                   nulls[order], n)
+        if rank is None:
+            return None
+        if f == "min":
+            rank = np.where(rank > 0, np.int64(nrank + 1) - rank,
+                            np.int64(0))
+        part_ord = np.cumsum(fr.new_part.astype(np.int64)) - 1
+        comp = (part_ord << np.int64(32)) | rank
+        run = np.maximum.accumulate(comp)
+        prev = np.empty(n, np.int64)
+        if n:
+            prev[0] = np.int64(-1)
+            prev[1:] = run[:-1]
+        isnew = comp > prev            # earliest occurrence of the extreme
+        arg = np.maximum.accumulate(np.where(isnew, idx, np.int64(-1)))
+        have = (run & np.int64(0xFFFFFFFF)) > 0
+        return fr.gather_col(ccols[spec.arg_idx],
+                             np.clip(arg[peer_end], 0, n - 1),
+                             have[peer_end])
+    # aggregate windows
+    from ..datastore import column_from_numpy
+    adef, fam = spec._adef, spec._fam
+    if adef is None:
+        return None
+    acol = None if (spec.star or spec.arg_idx is None) \
+        else ccols[spec.arg_idx]
+    gid_sorted = np.cumsum(fr.new_peer.astype(np.int64)) - 1
+    gid = np.empty(n, np.int64)
+    gid[order] = gid_sorted
+    slots = set(adef.slots)
+    if acol is not None and slots <= {"nrows", "count", "sum_i",
+                                      "sumsq_i"}:
+        # integer slots: prefix sums (associative => prefix-subtract is
+        # the exact value the sequential transition computes)
+        nn = acol.valid[order].astype(np.int64)
+        pre_n = np.cumsum(nn)
+        cnt = pre_n[peer_end] - pre_n[part_start] + nn[part_start]
+        if f == "sum" and fam in ("i2", "i4"):
+            # sum(int2/int4) -> bigint; <= 2^31 rows of int4 cannot
+            # overflow int64, so the final's range check cannot trip
+            iv64 = np.where(acol.valid, acol.data.astype(np.int64),
+                            np.int64(0))[order]
+            pre = np.cumsum(iv64)
+            tot = pre[peer_end] - pre[part_start] + iv64[part_start]
+            data = np.empty(n, np.int64)
+            data[order] = tot
+            valid = np.empty(n, np.bool_)
+            valid[order] = cnt > 0
+            return column_from_numpy(T.INT8, data, valid)
+        iv = acol.data[order].astype(object)        # exact bigints
+        iv = np.where(acol.valid[order], iv, 0)
+        nrows = peer_end - part_start + 1
+        pre_s = np.cumsum(iv)
+        tot = pre_s[peer_end] - pre_s[part_start] + iv[part_start]
+        totq = None
+        if "sumsq_i" in slots:
+            sq = iv * iv
+            pre_q = np.cumsum(sq)
+            totq = pre_q[peer_end] - pre_q[part_start] + sq[part_start]
+        starts = np.flatnonzero(fr.new_peer)
+        by_kind = {"nrows": nrows, "count": cnt, "sum_i": tot,
+                   "sumsq_i": totq}
+        lanes = [(kind, by_kind[kind][starts].tolist())
+                 for kind in adef.slots]
+        final = adef.final
+        fvals = [final({k: int(v) for (k, _), v
+                        in zip(lanes, vals)})
+                 for vals in zip(*(vs for _, vs in lanes))]
+        fcol = _fast_column(wtype, fvals, np)
+        return _gather_column(fcol, gid, np)
+    if acol is not None and f == "sum" and fam in ("f4", "f8") and \
+            slots <= {"nrows", "count", "sum_f"}:
+        # per-partition np.cumsum IS the sequential float add chain the
+        # host transition performs (ufunc.accumulate is strictly
+        # left-to-right), and cums[peer_end] already restarts at the
+        # partition — bit-exact, no prefix-subtract rounding drift.
+        # float4 accumulates stepwise in float32 like PG float4pl.
+        pstarts = np.flatnonzero(fr.new_part)
+        if len(pstarts) <= max(1024, n // 128):
+            dt = np.float32 if fam == "f4" else np.float64
+            av = np.where(acol.valid,
+                          acol.data.astype(dt), dt(0))[order]
+            cums = np.empty(n, dt)
+            bounds = pstarts.tolist() + [n]
+            for b0, b1 in zip(bounds, bounds[1:]):
+                cums[b0:b1] = np.cumsum(av[b0:b1], dtype=dt)
+            # the sequential state starts at +0.0, so its running sum is
+            # never -0.0; cumsum's first element is the raw value.  x+0.0
+            # only rewrites -0.0 -> +0.0 (bitwise identity otherwise)
+            cums += dt(0.0)
+            if not np.isinf(cums).any():   # CHECKFLOATVAL: exact path
+                nn = acol.valid[order].astype(np.int64)
+                pre_n = np.cumsum(nn)
+                cnt = (pre_n[peer_end] - pre_n[part_start]
+                       + nn[part_start])
+                data = np.empty(n, np.float64)
+                data[order] = cums[peer_end].astype(np.float64)
+                valid = np.empty(n, np.bool_)
+                valid[order] = cnt > 0
+                return column_from_numpy(wtype, data, valid)
+    # float/numeric transitions are not associative-exact: run the SAME
+    # sequential host transitions over the vectorized sort + boundaries
+    from .planner import _column_values_at
+    vals_sorted = (None if acol is None
+                   else _column_values_at(acol, order))
+    inst = AggInstance(aggname=f, family=fam, slots=adef.slots, args=())
+    fvals = []
+    state = None
+    for pos in range(n):
+        if fr.new_part[pos]:
+            state = new_state(inst)
+        update_state(inst, state,
+                     [] if vals_sorted is None else [vals_sorted[pos]])
+        if fr.next_new[pos]:
+            fvals.append(adef.final(state))
+    fcol = _fast_column(wtype, fvals, np)
+    return _gather_column(fcol, gid, np)
+
+
+def _merge_columns(a, b, take_a, np):
+    """Row-wise select between two same-typed, non-text Columns."""
+    from ..datastore import Column
+    valid = np.where(take_a, a.valid, b.valid)
+    data = np.where(take_a, a.data, b.data)
+    out = Column(type=a.type, data=data, valid=valid)
+    if a.num_exp is not None:
+        out.num_exp = np.where(take_a, a.num_exp, b.num_exp)
+        out.num_dscale = np.where(take_a, a.num_dscale, b.num_dscale)
+        out.recheck = np.where(take_a, a.recheck, b.recheck)
+        if out.recheck.any():
+            for i in np.flatnonzero(out.recheck):
+                src = a if take_a[int(i)] else b
+                out._exact[int(i)] = src._exact[int(i)]
+    return out
+
+
+def _inner_columns(stmt, comps, ctypes, db, perfmon, np):
+    """Component Columns of the inner stage for the plain-scan shape
+    (single table, no joins/group/having); None -> row path.  The WHERE
+    still rides the device scan pipeline (ScanExecutor, recheck replay
+    included)."""
+    from .planner import rename_table
+    from .binder import Scope, bind_expr
+    from ..expr.ir import bind_columns, ColumnRef, Const
+    from ..exec.scan_exec import ScanExecutor
+    if len(stmt.frm) != 1 or stmt.joins or stmt.group_by or \
+            stmt.having is not None or getattr(stmt, "ctes", None):
+        return None
+    tr = stmt.frm[0]
+    if tr.subquery is not None:
+        return None
+    try:
+        tbl = db.get(tr.name)
+    except KeyError:
+        return None
+    from ..datastore import Table
+    if not isinstance(tbl, Table):
+        return None
+    alias = tr.alias or tr.name
+    cur = rename_table(tbl, alias)
+    scope = Scope(rels=[(alias, tbl)], db=db)
+    layout = {n: i for i, n in enumerate(cur.column_names)}
+    cols = list(cur.columns.values())
+    try:
+        bcomps = [bind_columns(bind_expr(c, scope, allow_aggs=True), layout)
+                  for c in comps]
+        bpred = (bind_columns(bind_expr(stmt.where, scope), layout)
+                 if stmt.where is not None else None)
+    except Exception:
+        return None
+    if not all(isinstance(e, (ColumnRef, Const)) for e in bcomps):
+        return None
+    if bpred is not None and bpred.type is not T.BOOL:
+        return None
+    idxs = ScanExecutor(cur, bpred, perfmon).row_indexes()
+    ii = np.asarray(idxs, dtype=np.int64)
+    out = []
+    for e, t in zip(bcomps, ctypes):
+        if isinstance(e, ColumnRef):
+            out.append(_gather_column(cols[e.index], ii, np))
+        else:
+            out.append(_const_column(t, e.value, len(ii), np))
+    return out
+
+
+def _run_columnar(inner, comps, ctypes, specs, wtypes, db, perfmon,
+                  post_stmt, schema):
+    """Full plane-space execution of a windowed query; None -> row path."""
+    import numpy as np
+    from .planner import plan_query
+    from ..datastore import Table
+    from ..config import config
+    if not getattr(config, "vectorized_windows", True):
+        return None
+    ccols = _inner_columns(inner, comps, ctypes, db, perfmon, np)
+    if ccols is None:
+        return None
+    n = len(ccols[0].data) if ccols else 0
+    key_cache: dict = {}
+
+    def key_of(i):
+        if i not in key_cache:
+            from .planner import _order_plane_keys
+            col = ccols[i]
+            lanes = _order_plane_keys(col, np.arange(len(col.data),
+                                                    dtype=np.int64))
+            key_cache[i] = None if lanes is None else (lanes, ~col.valid)
+        return key_cache[i]
+
+    for spec in specs:
+        for i in spec.part_idx + [i for (i, _, _) in spec.order]:
+            if key_of(i) is None:
+                return None
+    wcols = []
+    for spec, wtype in zip(specs, wtypes):
+        fr = _Frame(np, n, key_of, spec)
+        wc = _window_column(spec, ccols, wtype, fr, key_of, np)
+        if wc is None:
+            return None
+        wcols.append(wc)
+    named = {f"__c{i}": c for i, c in enumerate(ccols)}
+    named.update({f"__w{j}": c for j, c in enumerate(wcols)})
+    tdb = _TempDb(Table.from_columns("__winsrc__", named))
+    return plan_query(post_stmt, tdb).execute()
 
 
 # ---------------------------------------------------------------------------
@@ -402,6 +1111,10 @@ def plan_windowed(stmt: "ast.SelectStmt", db):
     out_names, out_types = list(shell.out_names), list(shell.out_types)
 
     def run() -> list[tuple]:
+        got = _run_columnar(inner, comps, ctypes, specs, wtypes, db,
+                            ipq.perfmon, post_stmt, schema)
+        if got is not None:
+            return got
         rows = ipq.execute()
         data = {f"__c{i}": [r[i] for r in rows]
                 for i in range(len(ctypes))}

@@ -19,6 +19,28 @@ from pg_strom_tpu.sql import execute, explain
 from pg_strom_tpu.sql.parser import ParseError
 
 
+from pg_strom_tpu.plan import window as winmod
+
+
+from pg_strom_tpu.config import config as _cfg
+
+
+@pytest.fixture(params=["columnar", "rowfast", "rowslow"], autouse=True)
+def _both_paths(request, monkeypatch):
+    """Every assertion runs through all three window tiers (round-5: the
+    plane-space and row-numpy tiers must be indistinguishable from the
+    exact per-row path)."""
+    if request.param == "columnar":
+        monkeypatch.setattr(_cfg, "vectorized_windows", True)
+        monkeypatch.setattr(winmod, "_FAST_MIN_ROWS", 0)
+    elif request.param == "rowfast":
+        monkeypatch.setattr(_cfg, "vectorized_windows", False)
+        monkeypatch.setattr(winmod, "_FAST_MIN_ROWS", 0)
+    else:
+        monkeypatch.setattr(_cfg, "vectorized_windows", False)
+        monkeypatch.setattr(winmod, "_FAST_MIN_ROWS", 1 << 30)
+
+
 @pytest.fixture(scope="module")
 def db():
     d = Database()
@@ -203,3 +225,90 @@ class TestRejections:
     def test_distinct_window_agg_rejected(self, db):
         with pytest.raises(SqlError):
             execute("select sum(distinct sal) over () from emp", db)
+
+
+class TestLagLeadDefaultTyping:
+    def test_incompatible_default_plan_time_error(self, db):
+        # round-4 advisor: lag(int, 1, 'x') must be a plan-time SqlError,
+        # not an internal ValueError at execution
+        with pytest.raises(SqlError):
+            execute("select lag(sal, 1, 'x') over (order by id) "
+                    "from emp", db)
+
+    def test_numeric_chain_default_promotes(self, db):
+        # PG anyelement resolution: common type of int4 and numeric is
+        # numeric; the default value survives un-truncated
+        r = execute("select lag(sal, 1, 0.5) over (order by id) from emp "
+                    "order by 1 nulls last", db).rows
+        assert r[0][0] == pytest.approx(0.5)
+
+
+class TestFastSlowDifferential:
+    """The vectorized tier against the exact per-row path on random data
+    big enough to engage every fast branch (rankers, offsets, count,
+    min/max segmented argmax, int prefix-sum aggregates, sequential
+    float/numeric transitions)."""
+
+    QUERIES = [
+        "select id, row_number() over (partition by dept order by sal desc, id) from big order by id",
+        "select id, rank() over (partition by grp order by sal nulls first) from big order by id",
+        "select id, dense_rank() over (order by txt desc nulls last, sal) from big order by id",
+        "select id, lag(sal, 2) over (partition by grp order by id) from big order by id",
+        "select id, lead(txt, 1, 'zz') over (order by id) from big order by id",
+        "select id, first_value(f) over (partition by dept order by sal, id) from big order by id",
+        "select id, last_value(f) over (partition by grp order by sal) from big order by id",
+        "select id, count(*) over (partition by dept order by sal) from big order by id",
+        "select id, count(f) over (partition by grp order by sal) from big order by id",
+        "select id, min(sal) over (partition by dept order by id) from big order by id",
+        "select id, max(txt) over (partition by grp order by id) from big order by id",
+        "select id, min(f) over (partition by dept order by id) from big order by id",
+        "select id, sum(sal) over (partition by grp order by sal, id) from big order by id",
+        "select id, avg(sal) over (partition by dept order by id) from big order by id",
+        "select id, sum(f) over (partition by grp order by id) from big order by id",
+        "select id, avg(num) over (partition by dept order by id) from big order by id",
+        "select id, max(f) over (order by id) from big order by id",
+        "select id, rank() over (order by f desc) from big order by id",
+    ]
+
+    @pytest.fixture(scope="class")
+    def bigdb(self):
+        import numpy as np
+        from decimal import Decimal
+        rng = np.random.default_rng(7)
+        n = 1500
+        ids = list(range(1, n + 1))
+        depts = [None if rng.random() < 0.05 else
+                 f"d{int(rng.integers(0, 7))}" for _ in range(n)]
+        grps = [int(rng.integers(0, 40)) for _ in range(n)]
+        sals = [None if rng.random() < 0.1 else int(rng.integers(0, 50))
+                for _ in range(n)]
+        fs = [None if rng.random() < 0.1 else
+              (float("nan") if rng.random() < 0.05 else
+               (-0.0 if rng.random() < 0.05 else
+                float(np.float32(rng.normal())))) for _ in range(n)]
+        txts = [None if rng.random() < 0.1 else
+                f"t{int(rng.integers(0, 25)):02d}" for _ in range(n)]
+        nums = [None if rng.random() < 0.1 else
+                Decimal(int(rng.integers(-999, 999))) / Decimal(10)
+                for _ in range(n)]
+        d = Database()
+        d.create(Table.from_columns("big", {
+            "id": column_from_values(T.INT4, ids),
+            "dept": column_from_values(T.TEXT, depts),
+            "grp": column_from_values(T.INT4, grps),
+            "sal": column_from_values(T.INT4, sals),
+            "f": column_from_values(T.FLOAT8, fs),
+            "txt": column_from_values(T.TEXT, txts),
+            "num": column_from_values(T.NUMERIC, nums),
+        }))
+        return d
+
+    @pytest.mark.parametrize("q", QUERIES)
+    def test_fast_matches_slow(self, q, bigdb, monkeypatch, _both_paths):
+        fast = execute(q, bigdb).rows     # tier chosen by _both_paths
+        monkeypatch.setattr(_cfg, "vectorized_windows", False)
+        monkeypatch.setattr(winmod, "_FAST_MIN_ROWS", 1 << 30)
+        slow = execute(q, bigdb).rows
+        assert len(fast) == len(slow)
+        for a, b in zip(fast, slow):
+            assert repr(a) == repr(b), (a, b)
