@@ -156,6 +156,15 @@ class PreAggExecutor:
 
     def run(self) -> list[tuple]:
         """Returns rows: (key_values..., agg_values...) in no defined order."""
+        states, displays = self.run_states()
+        return self._finalize(states, displays)
+
+    def run_states(self) -> tuple[dict, dict]:
+        """Pre-finalize accumulators: states[canon_key] = per-agg state
+        dicts, displays[canon_key] = first-seen key values.  Exposed so
+        GROUPING SETS can roll coarser sets up from ONE finest-grain
+        device pass (merge_partials is the same operation chunk partials
+        already merge with)."""
         states: dict[tuple, list[dict]] = {}
         displays: dict[tuple, tuple] = {}
 
@@ -165,13 +174,13 @@ class PreAggExecutor:
         pm = self.perfmon
 
         if self.table.nrows == 0:
-            return self._finalize(states, displays)
+            return states, displays
 
         if not use_device:
             for chunk in self.table.chunks():
                 with pm.timer("cpu_fallback"):
                     self._replay(chunk, states, displays)
-            return self._finalize(states, displays)
+            return states, displays
 
         self._gskey = self._gstats_key()
         key_metas = self._key_metas()
@@ -269,7 +278,7 @@ class PreAggExecutor:
                     self._drain(pending, states, displays, key_metas)
                     streamed = 0
         self._drain(pending, states, displays, key_metas)
-        return self._finalize(states, displays)
+        return states, displays
 
     def _drain(self, pending, states, displays, key_metas) -> None:
         if not pending:

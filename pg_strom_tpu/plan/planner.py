@@ -1687,13 +1687,114 @@ def _expand_ctes(stmt, outer: dict | None = None):
     return dataclasses.replace(stmt, **fields)
 
 
+def _gs_single_pass(stmt, db, sets, all_keys, per_items, per_having,
+                    nulled):
+    """ONE finest-grain device aggregation for plain single-table
+    grouping sets: run GROUP BY <all keys> once, then roll every coarser
+    set up by merging the finest groups' STATES host-side (ROLLUP is a
+    prefix lattice; merge_partials is the same operation chunk partials
+    already merge with, so semantics are the engine's established
+    two-phase contract).  Returns (produce, out_names, out_types, root,
+    perfmon) or None -> the per-set subplan path (which also serves
+    pg_strom.distributed, where each set rides the mesh).  Reference
+    frame: gpupreagg.c:1988-2187 splices ONE node under the Agg
+    regardless of grouping shape."""
+    from ..exec.preagg_exec import PreAggExecutor, finalize_agg_states
+    from ..ops.preagg import merge_partials
+    if config.distributed:
+        return None
+    if len(stmt.frm) != 1 or stmt.joins or \
+            stmt.frm[0].subquery is not None or getattr(stmt, "ctes", None):
+        return None
+    try:
+        tbl = db.get(stmt.frm[0].name)
+    except KeyError:
+        return None
+    if not isinstance(tbl, Table):
+        return None
+    alias = stmt.frm[0].alias or stmt.frm[0].name
+    perfmon = Perfmon()
+    try:
+        scope = Scope(rels=[(alias, tbl)], db=db)
+        bound_keys = [bind_expr(k, scope, allow_aggs=False)
+                      for k in all_keys]
+        bitems = [[bind_expr(it.expr, scope, allow_aggs=True)
+                   for it in items_s] for items_s in per_items]
+        bhavs = [bind_expr(h, scope, allow_aggs=True)
+                 if h is not None else None for h in per_having]
+        bwhere = (bind_expr(stmt.where, scope, allow_aggs=False)
+                  if stmt.where is not None else None)
+    except Exception:
+        return None
+    aggrefs: list = []
+    for its, hv in zip(bitems, bhavs):
+        for ag in _collect_aggrefs([(None, e) for e in its], hv):
+            if ag not in aggrefs:
+                aggrefs.append(ag)
+    if any(ag.distinct for ag in aggrefs):
+        return None                       # __distinct_seen__ can't merge
+    projs = [[all_keys.index(e) for e in s] for s in sets]
+    cur = rename_table(tbl, alias)
+    layout = {n: i for i, n in enumerate(cur.column_names)}
+    insts = []
+    for ag in aggrefs:
+        d, fam = lookup_agg(ag.aggname, tuple(a.type for a in ag.args),
+                            star=ag.star)
+        insts.append(AggInstance(
+            aggname=ag.aggname, family=fam, slots=d.slots,
+            args=tuple(bind_columns(a, layout) for a in ag.args),
+            distinct=ag.distinct))
+    bgroups = [bind_columns(g, layout) for g in bound_keys]
+    bpred = bind_columns(bwhere, layout) if bwhere is not None else None
+    set_keys = [[bound_keys[i] for i in proj] for proj in projs]
+
+    out_names, out_types = [], []
+    for p, it in enumerate(per_items[0]):
+        j = next((j for j in range(len(sets)) if not nulled[j][p]), 0)
+        out_names.append(it.alias or _default_name(it.expr, bitems[0][p]))
+        out_types.append(bitems[j][p].type)
+
+    def produce() -> list[tuple]:
+        cur2 = rename_table(db.get(stmt.frm[0].name), alias)
+        ex = PreAggExecutor(cur2, bpred, bgroups, insts, perfmon=perfmon)
+        states, displays = ex.run_states()
+        rows: list[tuple] = []
+        for j in range(len(sets)):
+            proj = projs[j]
+            ms: dict = {}
+            md: dict = {}
+            for ck, st in states.items():
+                nk = tuple(ck[i] for i in proj)
+                if nk not in ms:
+                    ms[nk] = st
+                    md[nk] = tuple(displays[ck][i] for i in proj)
+                else:
+                    ms[nk] = [merge_partials(inst, a, b)
+                              for inst, a, b in zip(insts, ms[nk], st)]
+            raw = finalize_agg_states(set_keys[j], insts, ms, md)
+            rows.extend(_finish_agg(raw, set_keys[j], aggrefs,
+                                    [(None, e) for e in bitems[j]],
+                                    bhavs[j], []))
+        return rows
+
+    root = PlanNode(
+        "MixedAggregate",
+        {"grouping_sets": len(sets), "strategy": "single-pass rollup"},
+        [PlanNode("TpuPreAgg",
+                  {"keys": ", ".join(fmt_expr(g) for g in bound_keys),
+                   "finest": True}, [])])
+    return produce, out_names, out_types, root, perfmon
+
+
 def plan_grouping_sets(stmt: "ast.SelectStmt", db: Database) -> PlannedQuery:
-    """GROUP BY ROLLUP / CUBE / GROUPING SETS, desugared into one grouped
-    subplan per set (each riding the normal device pipeline) whose rows
-    append — PG's MixedAggregate result.  Per set, grouping keys absent
-    from the set render NULL in the select list, and GROUPING(e1..ek)
-    folds to its constant bitmask.  ORDER BY / LIMIT / DISTINCT apply to
-    the appended rows (output-column references only, like a set op)."""
+    """GROUP BY ROLLUP / CUBE / GROUPING SETS — PG's MixedAggregate.
+    Plain single-table shapes aggregate in ONE finest-grain device pass
+    with host-side state rollup (_gs_single_pass); other shapes (joins,
+    subqueries, distributed) desugar into one grouped subplan per set
+    whose rows append.  Per set, grouping keys absent from the set render
+    NULL in the select list, and GROUPING(e1..ek) folds to its constant
+    bitmask.  ORDER BY / LIMIT / DISTINCT apply to the appended rows
+    (output-column references only, like a set op)."""
     from .window import stmt_has_windows
     if stmt_has_windows(stmt):
         raise SqlError(
@@ -1753,37 +1854,60 @@ def plan_grouping_sets(stmt: "ast.SelectStmt", db: Database) -> PlannedQuery:
                        for f in dataclasses.fields(e))
         return False
 
-    subplans, nulled, strip_last = [], [], []
+    per_items, per_having, nulled = [], [], []
     for s in sets:
         items_s = [ast.SelectItem(gs_rewrite(it.expr, s), it.alias)
                    for it in stmt.items]
         nulled.append([i2.expr == ast.ALiteral(None)
                        for i2 in items_s])
-        having_s = gs_rewrite(stmt.having, s)
-        strip = False
-        if not s and not any(ast_has_agg(it.expr) for it in items_s) \
-                and not ast_has_agg(having_s):
-            # GROUP BY () with no aggregates anywhere: PG still makes
-            # exactly one group, but a plain projection would emit one
-            # row per input row.  Inject count(*) so the subplan plans
-            # as a one-row aggregate; strip the column at execution.
-            items_s = items_s + [ast.SelectItem(
-                ast.AFunc("count", [], star=True), "__gs_one__")]
-            strip = True
-        strip_last.append(strip)
-        sub = dataclasses.replace(
-            stmt, items=items_s, group_by=list(s), grouping_sets=None,
-            having=having_s, order_by=[], limit=None,
-            offset=None, distinct=False, ctes=[])
-        subplans.append(plan_query(sub, db))
+        per_items.append(items_s)
+        per_having.append(gs_rewrite(stmt.having, s))
 
-    out_names = list(subplans[0].out_names)
-    if strip_last[0]:
-        out_names = out_names[:-1]
-    out_types = []
-    for p in range(len(out_names)):
-        j = next((j for j in range(len(sets)) if not nulled[j][p]), 0)
-        out_types.append(subplans[j].out_types[p])
+    single = _gs_single_pass(stmt, db, sets, all_keys, per_items,
+                             per_having, nulled)
+    if single is not None:
+        produce, out_names, out_types, root, perfmon = single
+    else:
+        subplans, strip_last = [], []
+        for s, items_s, having_s in zip(sets, per_items, per_having):
+            strip = False
+            if not s and not any(ast_has_agg(it.expr) for it in items_s) \
+                    and not ast_has_agg(having_s):
+                # GROUP BY () with no aggregates anywhere: PG still makes
+                # exactly one group, but a plain projection would emit one
+                # row per input row.  Inject count(*) so the subplan plans
+                # as a one-row aggregate; strip the column at execution.
+                items_s = items_s + [ast.SelectItem(
+                    ast.AFunc("count", [], star=True), "__gs_one__")]
+                strip = True
+            strip_last.append(strip)
+            sub = dataclasses.replace(
+                stmt, items=items_s, group_by=list(s), grouping_sets=None,
+                having=having_s, order_by=[], limit=None,
+                offset=None, distinct=False, ctes=[])
+            subplans.append(plan_query(sub, db))
+
+        out_names = list(subplans[0].out_names)
+        if strip_last[0]:
+            out_names = out_names[:-1]
+        out_types = []
+        for p in range(len(out_names)):
+            j = next((j for j in range(len(sets)) if not nulled[j][p]), 0)
+            out_types.append(subplans[j].out_types[p])
+
+        def produce() -> list[tuple]:
+            rows: list[tuple] = []
+            for sp, strip in zip(subplans, strip_last):
+                got = sp.execute()
+                if strip:
+                    got = [r[:-1] for r in got]
+                rows.extend(got)
+            return rows
+
+        root = PlanNode("MixedAggregate",
+                        {"grouping_sets": len(sets)},
+                        [sp.root for sp in subplans])
+        perfmon = subplans[0].perfmon
 
     specs = []
     for oi in stmt.order_by:
@@ -1802,12 +1926,7 @@ def plan_grouping_sets(stmt: "ast.SelectStmt", db: Database) -> PlannedQuery:
         specs.append((pos, oi.descending, oi.nulls_first))
 
     def run() -> list[tuple]:
-        rows: list[tuple] = []
-        for sp, strip in zip(subplans, strip_last):
-            got = sp.execute()
-            if strip:
-                got = [r[:-1] for r in got]
-            rows.extend(got)
+        rows = produce()
         if stmt.distinct:
             rows = _dedupe_rows(rows)
         if specs:
@@ -1818,10 +1937,7 @@ def plan_grouping_sets(stmt: "ast.SelectStmt", db: Database) -> PlannedQuery:
             rows = rows[:stmt.limit]
         return rows
 
-    root = PlanNode("MixedAggregate", {"grouping_sets": len(sets)},
-                    [sp.root for sp in subplans])
-    return PlannedQuery(out_names, out_types, run, root,
-                        subplans[0].perfmon)
+    return PlannedQuery(out_names, out_types, run, root, perfmon)
 
 
 def plan_setop(stmt: "ast.SetOpStmt", db: Database) -> PlannedQuery:

@@ -127,3 +127,45 @@ class TestGroupingSets:
         r = execute("select a from s group by rollup (a) "
                     "having count(*) > 4 order by a nulls last", db).rows
         assert r == [(None,)]
+
+
+class TestSinglePassRollup:
+    """Round 5: plain single-table grouping sets aggregate in ONE
+    finest-grain device pass with host state rollup; joins/subqueries
+    keep the per-set subplan path.  Both must agree."""
+
+    def test_explain_shows_single_pass(self, db):
+        txt = explain("select a, sum(v) from s group by rollup (a)", db)
+        assert "single-pass rollup" in txt
+        assert txt.count("TpuPreAgg") == 1
+
+    def test_subquery_shape_keeps_per_set_path(self, db):
+        txt = explain("select a, sum(v) from (select * from s) q "
+                      "group by rollup (a)", db)
+        assert "single-pass" not in txt
+
+    def test_paths_agree(self, db):
+        q1 = ("select a, b, grouping(a, b), sum(v), count(*), min(v), "
+              "avg(v) from s group by cube (a, b) "
+              "order by 3, 1 nulls last, 2 nulls last")
+        # same query via a pass-through subquery forces the per-set path
+        q2 = q1.replace("from s ", "from (select * from s) s ")
+        assert execute(q1, db).rows == execute(q2, db).rows
+
+    def test_paths_agree_empty_set_no_aggs(self, db):
+        q1 = "select a from s group by rollup (a) order by a nulls last"
+        q2 = q1.replace("from s ", "from (select * from s) s ")
+        assert execute(q1, db).rows == execute(q2, db).rows
+
+    def test_having_over_rollup_single_pass(self, db):
+        r = execute("select a, sum(v) from s group by rollup (a) "
+                    "having sum(v) > 100 order by a nulls last", db).rows
+        assert r == [("y", 120), (None, 150)]
+
+    def test_distinct_agg_keeps_per_set_path(self, db):
+        txt = explain("select a, count(distinct b) from s "
+                      "group by rollup (a)", db)
+        assert "single-pass" not in txt
+        r = execute("select a, count(distinct b) from s group by "
+                    "rollup (a) order by a nulls last", db).rows
+        assert r == [("x", 2), ("y", 2), (None, 2)]
