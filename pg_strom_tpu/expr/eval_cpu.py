@@ -15,7 +15,7 @@ from __future__ import annotations
 from typing import Any, Callable, Sequence
 
 from .ir import (Expr, Const, ColumnRef, Param, FuncExpr, BoolExpr, NullTest,
-                 BooleanTest, CaseExpr, CoalesceExpr, Aggref)
+                 BooleanTest, CaseExpr, CoalesceExpr, Aggref, SubPlan)
 from .catalog import entry_for_funcexpr
 
 
@@ -85,6 +85,12 @@ def eval_expr_cpu(e: Expr, row: Callable[[int], Any],
             if v is not None:
                 return v
         return None
+    if isinstance(e, SubPlan):
+        # correlated subquery: outer args evaluate on THIS row, then the
+        # runner re-plans the carried template with the values (memoized
+        # on the canonical tuple — plan/correlated.py)
+        vals = [eval_expr_cpu(a, row, params) for a in e.outer_args]
+        return e.runner(e.kind, vals)
     if isinstance(e, Aggref):
         raise RuntimeError("Aggref must be rewritten by the preagg planner "
                            "before evaluation")

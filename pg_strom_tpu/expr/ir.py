@@ -128,6 +128,32 @@ class Aggref(Expr):
         return f"{self.aggname}({inner})::{self.type.name}"
 
 
+_SUBPLAN_UID = iter(range(1, 1 << 62))
+
+
+@dataclasses.dataclass(frozen=True)
+class SubPlan(Expr):
+    """A correlated subquery expression (PostgreSQL's SubPlan).  The
+    reference system leaves SubPlan nodes to the PostgreSQL CPU executor
+    — its planner hook only swaps scan/join/agg nodes below them
+    (grafter.c:24-149); this engine owns the executor, so the same host
+    tier lives here.  outer_args evaluate against the outer row; the
+    runner (plan/correlated.py) re-plans its carried query template with
+    those values substituted, memoized on the canonical value tuple.
+    Never device-lowered (device_expression_supported -> False)."""
+    kind: str                       # 'scalar' | 'exists' | 'in'
+    outer_args: tuple[Expr, ...]    # for 'in': probe expr first
+    uid: int = dataclasses.field(default_factory=lambda: next(_SUBPLAN_UID))
+    runner: Any = dataclasses.field(default=None, compare=False,
+                                    repr=False)
+
+    def children(self) -> tuple[Expr, ...]:
+        return self.outer_args
+
+    def __repr__(self) -> str:
+        return f"SubPlan({self.kind}#{self.uid})"
+
+
 # ---------------------------------------------------------------------------
 # Implicit casts and operator resolution (PG numeric promotion lattice)
 # ---------------------------------------------------------------------------
@@ -221,6 +247,9 @@ def bind_columns(e: Expr, layout: dict[str, int]) -> Expr:
         return dataclasses.replace(e, index=layout[e.name])
     if isinstance(e, FuncExpr):
         return dataclasses.replace(e, args=tuple(bind_columns(a, layout) for a in e.args))
+    if isinstance(e, SubPlan):
+        return dataclasses.replace(e, outer_args=tuple(
+            bind_columns(a, layout) for a in e.outer_args))
     if isinstance(e, BoolExpr):
         return dataclasses.replace(e, args=tuple(bind_columns(a, layout) for a in e.args))
     if isinstance(e, NullTest):

@@ -218,7 +218,11 @@ def bind_expr(a: Any, scope: Scope, allow_aggs: bool = False) -> Expr:
     if isinstance(a, ast.AIn):
         arg = bind_expr(a.arg, scope, allow_aggs)
         if isinstance(a.items, ast.ASubquery):
-            vals = _run_subquery(a.items.query, scope, ncols=1)
+            try:
+                vals = _run_subquery(a.items.query, scope, ncols=1)
+            except BindError as err:
+                from .correlated import bind_correlated
+                return bind_correlated(a, scope, allow_aggs, err)
             items = [Const(type=vals[1][0], value=r[0]) for r in vals[0]]
             if not items:
                 # IN (empty set) = FALSE, NOT IN (empty set) = TRUE — even
@@ -233,15 +237,25 @@ def bind_expr(a: Any, scope: Scope, allow_aggs: bool = False) -> Expr:
             e = BoolExpr(type=T.BOOL, op="not", args=(e,))
         return e
     if isinstance(a, ast.ASubquery):
-        rows, types = _run_subquery(a.query, scope, ncols=1)
+        try:
+            rows, types = _run_subquery(a.query, scope, ncols=1)
+        except BindError as err:
+            from .correlated import bind_correlated
+            return bind_correlated(a, scope, allow_aggs, err)
         if len(rows) > 1:
             raise BindError("more than one row returned by a subquery "
                             "used as an expression")
         v = rows[0][0] if rows else None
         return Const(type=types[0], value=v)
     if isinstance(a, ast.AExists):
-        rows, _ = _run_subquery(a.query, scope, ncols=None)
+        try:
+            rows, _ = _run_subquery(a.query, scope, ncols=None)
+        except BindError as err:
+            from .correlated import bind_correlated
+            return bind_correlated(a, scope, allow_aggs, err)
         return Const(type=T.BOOL, value=bool(rows) != a.negated)
+    if isinstance(a, ast.ABoundConst):
+        return Const(type=a.vtype, value=a.value)
     raise BindError(f"cannot bind {type(a).__name__}")
 
 

@@ -1635,6 +1635,8 @@ def plan_query(stmt, db: Database) -> PlannedQuery:
     entries desugared first."""
     if getattr(stmt, "ctes", None):
         stmt = _expand_ctes(stmt)
+    if isinstance(stmt, ast.ARecursive):
+        return plan_recursive(stmt, db)
     if isinstance(stmt, ast.SetOpStmt):
         return plan_setop(stmt, db)
     return plan_select(stmt, db)
@@ -1652,7 +1654,25 @@ def _expand_ctes(stmt, outer: dict | None = None):
     outer ones, and CTE names shadow real tables."""
     cmap = dict(outer or {})
     for c in getattr(stmt, "ctes", None) or []:
-        cmap[c.name] = (_expand_ctes(c.query, cmap), c.columns)
+        body = _expand_ctes(c.query, cmap)    # self name NOT yet visible
+        if getattr(c, "recursive", False) and _refs_table(body, c.name):
+            # WITH RECURSIVE: split base UNION [ALL] rec; references
+            # become ARecursive subqueries (worktable iteration,
+            # plan_recursive)
+            if not isinstance(body, ast.SetOpStmt) or body.op != "union" \
+                    or body.order_by or body.limit is not None:
+                raise SqlError(
+                    f'recursive query "{c.name}" does not have the form '
+                    "non-recursive-term UNION [ALL] recursive-term")
+            if _refs_table(body.left, c.name):
+                raise SqlError(
+                    f'recursive reference to query "{c.name}" must not '
+                    "appear within its non-recursive term")
+            cmap[c.name] = (ast.ARecursive(c.name, c.columns, body.left,
+                                           body.right, body.all),
+                            c.columns)
+        else:
+            cmap[c.name] = (body, c.columns)
     if not cmap:
         return stmt
 
@@ -1685,6 +1705,107 @@ def _expand_ctes(stmt, outer: dict | None = None):
               for f in dataclasses.fields(stmt) if f.name != "ctes"}
     fields["ctes"] = []
     return dataclasses.replace(stmt, **fields)
+
+
+def _refs_table(n, name: str) -> bool:
+    """Does this AST fragment reference table `name` (not shadowed
+    tracking — recursive CTE detection)?"""
+    if isinstance(n, ast.TableRef):
+        if n.name == name:
+            return True
+        return n.subquery is not None and _refs_table(n.subquery, name)
+    if isinstance(n, (list, tuple)):
+        return any(_refs_table(x, name) for x in n)
+    if dataclasses.is_dataclass(n) and not isinstance(n, type):
+        return any(_refs_table(getattr(n, f.name), name)
+                   for f in dataclasses.fields(n))
+    return False
+
+
+class _ChainDb:
+    """Database view binding one extra table name (the recursive CTE's
+    working table) in front of a parent database."""
+
+    def __init__(self, name: str, tbl, parent):
+        self._name = name
+        self._tbl = tbl
+        self._parent = parent
+
+    def get(self, name: str):
+        if name == self._name:
+            return self._tbl
+        return self._parent.get(name)
+
+    def __getattr__(self, item):
+        return getattr(self._parent, item)
+
+
+def plan_recursive(stmt: "ast.ARecursive", db: Database) -> PlannedQuery:
+    """WITH RECURSIVE worktable iteration (PostgreSQL RecursiveUnion):
+    result/work start as the non-recursive term; each step re-plans the
+    recursive term with the CTE name bound to the PREVIOUS step's rows
+    only; UNION dedupes against everything emitted (canon_group_key
+    equality), UNION ALL appends.  The reference leaves this node to the
+    PostgreSQL executor (grafter.c swaps only scan/join/agg); here each
+    term still plans through the full pipeline, so scans/joins/aggs
+    inside the recursion offload per iteration."""
+    from ..datastore import column_from_values
+    from ..exec.hostexec import canon_group_key
+    base_pq = plan_query(stmt.base, db)
+    out_names = list(base_pq.out_names)
+    if stmt.columns:
+        if len(stmt.columns) > len(out_names):
+            raise SqlError(
+                f'WITH query "{stmt.name}" has {len(out_names)} columns '
+                f"available but {len(stmt.columns)} columns specified")
+        out_names = list(stmt.columns) + out_names[len(stmt.columns):]
+    out_types = list(base_pq.out_types)
+
+    def run() -> list[tuple]:
+        rows = base_pq.execute()
+        if not stmt.union_all:
+            rows = _dedupe_rows(rows)
+        seen = (None if stmt.union_all else
+                {tuple(canon_group_key(v) for v in r) for r in rows})
+        result = list(rows)
+        work = rows
+        iters = 0
+        arity_checked = False
+        while work:
+            iters += 1
+            if iters > 20000:
+                raise SqlError("recursion depth limit exceeded in "
+                               f'recursive query "{stmt.name}"')
+            if len(result) > 50_000_000:
+                raise SqlError(
+                    f'recursive query "{stmt.name}" result too large')
+            wt = Table.from_columns(stmt.name, {
+                nm: column_from_values(t, [r[i] for r in work])
+                for i, (nm, t) in enumerate(zip(out_names, out_types))})
+            pq2 = plan_query(stmt.rec, _ChainDb(stmt.name, wt, db))
+            if not arity_checked:
+                if len(pq2.out_types) != len(out_types):
+                    raise SqlError("each UNION query must have the same "
+                                   "number of columns")
+                arity_checked = True
+            new = pq2.execute()
+            if not stmt.union_all:
+                fresh = []
+                for r in new:
+                    k = tuple(canon_group_key(v) for v in r)
+                    if k not in seen:
+                        seen.add(k)
+                        fresh.append(r)
+                new = fresh
+            result.extend(new)
+            work = new
+        return result
+
+    root = PlanNode("RecursiveUnion",
+                    {"cte": stmt.name,
+                     "union": "all" if stmt.union_all else "distinct"},
+                    [base_pq.root])
+    return PlannedQuery(out_names, out_types, run, root, base_pq.perfmon)
 
 
 def _gs_single_pass(stmt, db, sets, all_keys, per_items, per_having,

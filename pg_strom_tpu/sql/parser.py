@@ -170,6 +170,23 @@ class AIn:
 
 
 @dataclasses.dataclass
+class ACorrParam:
+    """Placeholder the correlated-subquery rewriter (plan/correlated.py)
+    puts where an outer column reference stood; never produced by
+    parsing."""
+    index: int
+
+
+@dataclasses.dataclass
+class ABoundConst:
+    """An already-typed constant value injected into a query template at
+    SubPlan execution time (the parameter substitution); never produced
+    by parsing."""
+    value: Any
+    vtype: Any          # sqltypes.T
+
+
+@dataclasses.dataclass
 class ASubquery:
     query: Any                  # SelectStmt | SetOpStmt (uncorrelated)
 
@@ -200,6 +217,19 @@ class CteDef:
     name: str
     columns: Optional[list]
     query: Any                      # SelectStmt | SetOpStmt
+    recursive: bool = False         # WITH RECURSIVE applies to the list
+
+
+@dataclasses.dataclass
+class ARecursive:
+    """A planner-internal recursive CTE reference: base UNION [ALL] rec,
+    where rec references `name` (bound to the working table per
+    iteration).  Built by plan/planner._expand_ctes; never parsed."""
+    name: str
+    columns: Optional[list]
+    base: Any
+    rec: Any
+    union_all: bool
 
 
 @dataclasses.dataclass
@@ -518,11 +548,10 @@ class Parser:
         FROM-subqueries (plan/planner._expand_ctes)."""
         ctes: list[CteDef] = []
         if self.accept_kw("with"):
-            if self.accept_kw("recursive"):
-                raise ParseError("WITH RECURSIVE is not supported")
-            ctes.append(self._cte_def())
+            recursive = bool(self.accept_kw("recursive"))
+            ctes.append(self._cte_def(recursive))
             while self.accept_op(","):
-                ctes.append(self._cte_def())
+                ctes.append(self._cte_def(recursive))
         node = self._intersect_chain()
         while True:
             op = self.accept_kw("union", "except")
@@ -573,7 +602,7 @@ class Parser:
         self.expect_op(")")
         return AWindow(fn, partition, order)
 
-    def _cte_def(self) -> CteDef:
+    def _cte_def(self, recursive: bool = False) -> CteDef:
         t = self.peek()
         if t.kind not in ("ident", "kw"):
             raise ParseError(f"expected CTE name near {t.value!r}")
@@ -588,7 +617,7 @@ class Parser:
         self.expect_op("(")
         q = self.parse_select()
         self.expect_op(")")
-        return CteDef(name, columns, q)
+        return CteDef(name, columns, q, recursive)
 
     def _intersect_chain(self):
         node = self._select_core()

@@ -370,10 +370,12 @@ class TestCtes:
                     "select k from t except select 3 order by k", db).rows
         assert r == [(2,), (5,)]
 
-    def test_recursive_rejected(self, db):
-        from pg_strom_tpu.sql.parser import ParseError
-        with pytest.raises(ParseError):
-            execute("with recursive t as (select 1) select * from t", db)
+    def test_recursive_non_self_referencing_inlines(self, db):
+        # WITH RECURSIVE whose body never references itself is an
+        # ordinary CTE (PG accepts it too)
+        r = execute("with recursive t as (select 1 x) select x from t",
+                    db).rows
+        assert r == [(1,)]
 
     def test_self_reference_is_unknown_relation(self, db):
         with pytest.raises(KeyError):
