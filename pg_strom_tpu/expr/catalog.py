@@ -209,10 +209,17 @@ def _pg_right(s: str, n: int) -> str:
     return "" if n == 0 else s[-n:]
 
 
-_reg("upper", (T.TEXT,), T.TEXT, ("text_upper",), lambda s: s.upper(),
-     device_ok=False)
-_reg("lower", (T.TEXT,), T.TEXT, ("text_lower",), lambda s: s.lower(),
-     device_ok=False)
+# C-locale case mapping: PostgreSQL in C collation uppercases ASCII only
+# (round-4 advisor: python str.upper is Unicode-aware and can even change
+# string length — 'ß'.upper() == 'SS' — diverging from the parity target)
+_ASCII_UPPER = str.maketrans("abcdefghijklmnopqrstuvwxyz",
+                             "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_ASCII_LOWER = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                             "abcdefghijklmnopqrstuvwxyz")
+_reg("upper", (T.TEXT,), T.TEXT, ("text_upper",),
+     lambda s: s.translate(_ASCII_UPPER), device_ok=False)
+_reg("lower", (T.TEXT,), T.TEXT, ("text_lower",),
+     lambda s: s.translate(_ASCII_LOWER), device_ok=False)
 for _nm, _how in (("btrim", str.strip), ("trim", str.strip),
                   ("ltrim", str.lstrip), ("rtrim", str.rstrip)):
     _reg(_nm, (T.TEXT,), T.TEXT, (f"text_{_nm}",),

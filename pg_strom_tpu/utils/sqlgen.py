@@ -161,9 +161,34 @@ class QueryGen:
         r = self.rng
         shape = r.choices(
             ["project", "grouped", "ungrouped", "join", "distinct",
-             "setop", "topk", "subquery_in", "window", "cte", "rollup"],
-            weights=[15, 17, 9, 15, 7, 7, 7, 4, 7, 6, 6])[0]
+             "setop", "topk", "subquery_in", "window", "cte", "rollup",
+             "starjoin", "snowflake", "correlated", "recursive"],
+            weights=[12, 14, 8, 12, 6, 6, 6, 4, 7, 5, 7, 7, 5, 7, 4])[0]
         return getattr(self, "_gen_" + shape)()
+
+    def gen_dml(self, tname: str) -> str:
+        """One UPDATE/DELETE over `tname` (the harness runs it under both
+        paths on separate database copies and diffs the table)."""
+        r = self.rng
+        t = self.tables[tname]
+        if r.random() < 0.4:
+            return f"delete from {tname} where {self._pred(t)}"
+        ints = t.of_kind("int")
+        col = r.choice(ints)
+        rhs = r.choice([str(r.randint(-20, 20)), self._int_expr(t, ""),
+                        "null"])
+        sets = [f"{col} = {rhs}"]
+        floats = t.of_kind("float")
+        if floats and r.random() < 0.4:
+            sets.append(f"{r.choice(floats)} = {r.uniform(-3, 3):.3f}")
+        texts = t.of_kind("text")
+        if texts and r.random() < 0.3:
+            sets.append(f"{r.choice(texts)} = "
+                        f"'u{r.randint(0, 9)}'")
+        sql = f"update {tname} set {', '.join(sets)}"
+        if r.random() < 0.85:
+            sql += f" where {self._pred(t)}"
+        return sql
 
     def _fact(self) -> TableSpec:
         # any table can anchor single-table shapes
@@ -301,11 +326,18 @@ class QueryGen:
             over = f"({part}order by {okey}{desc})" if r.random() < 0.7 \
                 else f"({part.rstrip()})" if part else "()"
         else:
-            if r.random() < 0.5:
+            pick = r.random()
+            if pick < 0.3:
                 fn = (f"lag({r.choice(ints)}, {r.randint(1, 3)}, "
                       f"{r.randint(-5, 5)})")
-            else:
+            elif pick < 0.55:
                 fn = f"lead({r.choice(ints + floats)})"
+            elif pick < 0.7:
+                fn = "row_number()"
+            elif pick < 0.85:
+                fn = f"first_value({r.choice(ints + floats)})"
+            else:
+                fn = f"last_value({r.choice(ints + floats)})"
             over = f"({part}order by {okey}{desc}, {u})"
         sql = f"select {u}, {fn} over {over} from {t.name}"
         if r.random() < 0.6:
@@ -332,19 +364,108 @@ class QueryGen:
 
     def _gen_rollup(self) -> tuple[str, bool]:
         r, t = self.rng, self._fact()
-        keys = r.sample(t.of_kind("int", "text"), r.randint(1, 2))
+        pool = t.of_kind("int", "text")
+        keys = r.sample(pool, min(len(pool), r.randint(1, 3)))
         aggs = [self._agg(t) for _ in range(r.randint(1, 2))]
-        kind = r.choice(["rollup", "cube", "sets"])
+        kind = r.choice(["rollup", "cube", "sets", "sets"])
         if kind == "sets":
-            gs = ", ".join(f"({k})" for k in keys) + ", ()"
-            grp = f"grouping sets ({gs})"
+            # random multi-key set list incl. the empty set sometimes
+            nsets = r.randint(2, 4)
+            sets = []
+            for _ in range(nsets):
+                k = r.randint(0, len(keys))
+                sets.append("(" + ", ".join(r.sample(keys, k)) + ")")
+            grp = f"grouping sets ({', '.join(sets)})"
         else:
             grp = f"{kind} ({', '.join(keys)})"
         items = keys + [f"grouping({keys[0]})"] + aggs
         sql = f"select {', '.join(items)} from {t.name}"
         if r.random() < 0.6:
             sql += f" where {self._pred(t)}"
-        return f"{sql} group by {grp}", False
+        sql += f" group by {grp}"
+        if r.random() < 0.25:
+            sql += f" having count(*) > {r.randint(0, 5)}"
+        return sql, False
+
+    def _gen_starjoin(self) -> tuple[str, bool]:
+        """Fact joined to TWO dims (the N-way star chain path)."""
+        r = self.rng
+        by_fact: dict[str, list] = {}
+        for p in self.join_pairs:
+            by_fact.setdefault(p[0], []).append(p)
+        cands = [(f, ps) for f, ps in by_fact.items()
+                 if len({p[2] for p in ps}) >= 2]
+        if not cands:
+            return self._gen_join()
+        f, ps = r.choice(cands)
+        p1 = r.choice(ps)
+        p2 = r.choice([p for p in ps if p[2] != p1[2]])
+        ft = self.tables[f]
+        d1 = self.tables[p1[2]]
+        key = f"{p1[2]}.{r.choice(list(d1.cols))}"
+        aggs = [self._agg(ft, f + ".") for _ in range(r.randint(1, 2))]
+        sql = (f"select {key}, {', '.join(aggs)} from {f} "
+               f"join {p1[2]} on {f}.{p1[1]} = {p1[2]}.{p1[3]} "
+               f"join {p2[2]} on {f}.{p2[1]} = {p2[2]}.{p2[3]}")
+        if r.random() < 0.5:
+            sql += f" where {self._pred(ft, f + '.')}"
+        return sql + f" group by {key}", False
+
+    def _gen_snowflake(self) -> tuple[str, bool]:
+        """Fact -> dim -> parent-dim chain (snowflake resolution order)."""
+        r = self.rng
+        chains = [(p1, p2) for p1 in self.join_pairs
+                  for p2 in self.join_pairs
+                  if p2[0] == p1[2] and p2[2] not in (p1[0], p1[2])]
+        if not chains:
+            return self._gen_join()
+        p1, p2 = r.choice(chains)
+        f, d, pp = p1[0], p1[2], p2[2]
+        ft, pt = self.tables[f], self.tables[pp]
+        key = f"{pp}.{r.choice(list(pt.cols))}"
+        aggs = [self._agg(ft, f + ".") for _ in range(r.randint(1, 2))]
+        sql = (f"select {key}, {', '.join(aggs)} from {f} "
+               f"join {d} on {f}.{p1[1]} = {d}.{p1[3]} "
+               f"join {pp} on {d}.{p2[1]} = {pp}.{p2[3]}")
+        if r.random() < 0.4:
+            sql += f" where {self._pred(ft, f + '.')}"
+        return sql + f" group by {key}", False
+
+    def _gen_correlated(self) -> tuple[str, bool]:
+        """Correlated EXISTS / IN / scalar-aggregate subqueries."""
+        r = self.rng
+        lt, lc, rt, rc = r.choice(self.join_pairs)
+        rr = self.tables[rt]
+        kind = r.choice(["exists", "in", "scalar"])
+        neg = "not " if r.random() < 0.3 else ""
+        inner_pred = f"{rt}.{rc} = {lt}.{lc}"
+        if r.random() < 0.5:
+            inner_pred += f" and {self._pred(rr, rt + '.')}"
+        if kind == "exists":
+            sql = (f"select count(*) from {lt} where {neg}exists "
+                   f"(select 1 from {rt} where {inner_pred})")
+        elif kind == "in":
+            c = r.choice(rr.of_kind("int"))
+            sql = (f"select count(*) from {lt} where {lt}.{lc} {neg}in "
+                   f"(select {rt}.{c} from {rt} where {inner_pred})")
+        else:
+            c = r.choice(rr.of_kind("int", "float"))
+            agg = r.choice(["min", "max", "count", "sum"])
+            sql = (f"select count(*) from {lt} where {lt}.{lc} > "
+                   f"(select {agg}({rt}.{c}) from {rt} "
+                   f"where {inner_pred})")
+        return sql, False
+
+    def _gen_recursive(self) -> tuple[str, bool]:
+        """WITH RECURSIVE series folded against a real aggregate."""
+        r, t = self.rng, self._fact()
+        hi = r.randint(3, 25)
+        step = r.choice(["n+1", "n+2"])
+        agg = self._agg(t)
+        return (f"with recursive s(n) as (select 1 union all select "
+                f"{step} from s where n < {hi}) "
+                f"select (select count(*) from s), {agg} from {t.name}",
+                False)
 
     def _gen_subquery_in(self) -> tuple[str, bool]:
         r = self.rng

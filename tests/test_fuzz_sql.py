@@ -36,9 +36,18 @@ def fuzz_schema():
             "bigint_x": "int", "real_x": "float", "float_x": "float",
             "nume_x": "numeric",
         }, unique_col="id"),
-        TableSpec("fuzz_dim", {"k": "int", "nm": "text", "w": "float"}),
+        TableSpec("fuzz_dim", {"k": "int", "pk": "int", "nm": "text",
+                               "w": "float"}),
+        TableSpec("fuzz_dim2", {"k2": "int", "nm2": "text"}),
+        TableSpec("fuzz_skew", {"sid": "int", "hk": "int", "v": "int",
+                                "f": "float"}, unique_col="sid"),
     ]
-    pairs = [("gpupreagg_test", "key", "fuzz_dim", "k")]
+    # star: gpupreagg_test anchors two dims; snowflake: fuzz_dim -> dim2;
+    # fuzz_skew's hk is 90% one key (the skew-routing trigger)
+    pairs = [("gpupreagg_test", "key", "fuzz_dim", "k"),
+             ("gpupreagg_test", "key", "fuzz_dim2", "k2"),
+             ("fuzz_dim", "pk", "fuzz_dim2", "k2"),
+             ("fuzz_skew", "hk", "fuzz_dim", "k")]
     return tables, pairs
 
 
@@ -50,19 +59,75 @@ def make_fuzz_dim() -> Table:
     nms = [f"n{k}" if k is not None else None for k in ks]
     ws = [float(k) / 2 if k is not None else None for k in ks]
     ws[3] = None           # a NULL float on a matched key
+    pks = [None if k is None else (k % 5) + 1 for k in ks]   # snowflake key
+    pks[5] = None          # a NULL parent on a matched key
     return Table.from_columns("fuzz_dim", {
         "k": column_from_values(T.INT4, ks),
+        "pk": column_from_values(T.INT4, pks),
         "nm": column_from_values(T.TEXT, nms),
         "w": column_from_values(T.FLOAT8, ws),
     })
 
 
-@pytest.fixture(scope="module")
-def db():
+def make_fuzz_dim2() -> Table:
+    # parent dim: covers pk range 1..5 with a gap (no 4), a dup (2), a
+    # NULL, and an unreferenced key (9)
+    k2 = [1, 2, 2, 3, 5, 9, None]
+    return Table.from_columns("fuzz_dim2", {
+        "k2": column_from_values(T.INT4, k2),
+        "nm2": column_from_values(T.TEXT,
+                                  [None if v is None else f"p{v}"
+                                   for v in k2]),
+    })
+
+
+def make_fuzz_skew(nrows: int = 400) -> Table:
+    # 90% of keys are 7 — the heavy-hitter shape dist_skew_routing exists
+    # for (round-4 engine integration; fuzzed here per round-4 verdict)
+    import random as _random
+    r = _random.Random(99)
+    hks = [7 if r.random() < 0.9 else r.choice(
+        [1, 3, 4, 11, 25, 40, None]) for _ in range(nrows)]
+    return Table.from_columns("fuzz_skew", {
+        "sid": column_from_values(T.INT4, list(range(1, nrows + 1))),
+        "hk": column_from_values(T.INT4, hks),
+        "v": column_from_values(T.INT4,
+                                [r.randint(-50, 50) for _ in range(nrows)]),
+        "f": column_from_values(T.FLOAT8,
+                                [None if r.random() < 0.1 else
+                                 round(r.uniform(-2, 2), 6)
+                                 for _ in range(nrows)]),
+    })
+
+
+def build_fuzz_db() -> Database:
     d = Database()
     d.create(make_preagg_test(nrows=600))
     d.create(make_fuzz_dim())
+    d.create(make_fuzz_dim2())
+    d.create(make_fuzz_skew())
     return d
+
+
+def rand_cfg(rng) -> dict:
+    """Randomized engine config — the round-4 verdict's widened axes:
+    distributed mesh execution (8 virtual devices in tests), 2D mesh
+    shape, skew routing, device DISTINCT, and the window tier choice all
+    fuzz alongside the original chunk/capacity knobs."""
+    return {
+        "chunk_rows": rng.choice([97, 256, 1024]),
+        "max_groups_device": rng.choice([8, 64, 512]),
+        "distributed": rng.random() < 0.35,
+        "dist_mesh_hosts": rng.choice([1, 1, 1, 2]),
+        "dist_skew_routing": rng.random() < 0.7,
+        "device_distinct": rng.random() < 0.7,
+        "vectorized_windows": rng.random() < 0.7,
+    }
+
+
+@pytest.fixture(scope="module")
+def db():
+    return build_fuzz_db()
 
 
 def run_one(db, sql, device, cfg):
@@ -80,10 +145,7 @@ def test_fuzz_differential(db, seed):
     rng = random.Random(seed)
     tables, pairs = fuzz_schema()
     gen = QueryGen(rng, tables, pairs)
-    cfg = {
-        "chunk_rows": rng.choice([97, 256, 1024]),
-        "max_groups_device": rng.choice([8, 64, 512]),
-    }
+    cfg = rand_cfg(rng)
     for i in range(N_PER_SEED):
         sql, ordered = gen.gen()
         dev = run_one(db, sql, True, cfg)
@@ -95,6 +157,31 @@ def test_fuzz_differential(db, seed):
             f"seed={seed} q#{i} cfg={cfg}\nSQL: {sql}\n"
             f"dev : {dev[:2]} {str(dev[2:])[:400]}\n"
             f"host: {host[:2]} {str(host[2:])[:400]}")
+
+
+@pytest.mark.parametrize("seed", list(range(6)))
+def test_fuzz_dml_differential(seed):
+    """UPDATE/DELETE under both paths on separate database copies, then
+    diff the whole table (round-4 verdict item 6: DML was never fuzzed)."""
+    rng = random.Random(1000 + seed)
+    tables, pairs = fuzz_schema()
+    gen = QueryGen(rng, tables, pairs)
+    for i in range(4):
+        tname = rng.choice(["fuzz_dim", "fuzz_skew"])
+        sql = gen.gen_dml(tname)
+        cfg = rand_cfg(rng)
+        outs = []
+        for dev in (True, False):
+            d = build_fuzz_db()
+            res = run_one(d, sql, dev, cfg)
+            if res[0] == "error":
+                outs.append(res)
+                continue
+            chk = run_one(d, f"select * from {tname}", dev, cfg)
+            outs.append((chk[0], chk[1], tuple(sorted(chk[2]))))
+        assert outs[0] == outs[1], (
+            f"seed={seed} q#{i} cfg={cfg}\nSQL: {sql}\n"
+            f"dev : {str(outs[0])[:400]}\nhost: {str(outs[1])[:400]}")
 
 
 class TestFuzzFoundRegressions:

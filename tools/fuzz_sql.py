@@ -27,7 +27,8 @@ from pg_strom_tpu.config import set_config  # noqa: E402
 from pg_strom_tpu.utils.sqlgen import QueryGen  # noqa: E402
 
 sys.path.insert(0, "tests")
-from test_fuzz_sql import fuzz_schema, make_fuzz_dim, run_one  # noqa: E402
+from test_fuzz_sql import (fuzz_schema, build_fuzz_db, rand_cfg,  # noqa: E402
+                           run_one)
 
 
 def main() -> int:
@@ -36,17 +37,14 @@ def main() -> int:
     nq = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
     set_config("debug_force_offload", True)
-    db = Database()
-    db.create(make_preagg_test(nrows=600))
-    db.create(make_fuzz_dim())
+    db = build_fuzz_db()
     tables, pairs = fuzz_schema()
 
     total = bad = 0
     for seed in range(first, first + nseeds):
         rng = random.Random(seed)
         gen = QueryGen(rng, tables, pairs)
-        cfg = {"chunk_rows": rng.choice([97, 256, 1024]),
-               "max_groups_device": rng.choice([8, 64, 512])}
+        cfg = rand_cfg(rng)
         for i in range(nq):
             sql, ordered = gen.gen()
             dev = run_one(db, sql, True, cfg)
