@@ -916,6 +916,17 @@ def _finish_agg(raw, group_exprs, aggrefs, items, having,
     orders = [(replace_subtrees(oe, mapping), d, nf)
               for oe, d, nf in order_specs]
 
+    # any ColumnRef surviving the substitution is an ungrouped reference:
+    # PG raises at plan time, and the round-5 fuzzer caught this escaping
+    # as an internal RuntimeError from the projection eval
+    for src in finals + ([hav] if hav is not None else []) \
+            + [o for o, _, _ in orders]:
+        for n2 in walk(src):
+            if isinstance(n2, ColumnRef):
+                raise SqlError(
+                    f'column "{n2.name}" must appear in the GROUP BY '
+                    "clause or be used in an aggregate function")
+
     out = []
     for row in raw:
         if hav is not None and eval_expr_cpu(hav, _norow, row) is not True:

@@ -369,12 +369,17 @@ class QueryGen:
         aggs = [self._agg(t) for _ in range(r.randint(1, 2))]
         kind = r.choice(["rollup", "cube", "sets", "sets"])
         if kind == "sets":
-            # random multi-key set list incl. the empty set sometimes
+            # random multi-key set list incl. the empty set sometimes;
+            # every selected key must land in >= 1 set (PG rejects a
+            # select-list key covered by no grouping set)
             nsets = r.randint(2, 4)
-            sets = []
-            for _ in range(nsets):
-                k = r.randint(0, len(keys))
-                sets.append("(" + ", ".join(r.sample(keys, k)) + ")")
+            picked = [r.sample(keys, r.randint(0, len(keys)))
+                      for _ in range(nsets)]
+            missing = [k for k in keys
+                       if not any(k in s for s in picked)]
+            if missing:
+                picked.append(missing)
+            sets = ["(" + ", ".join(s) + ")" for s in picked]
             grp = f"grouping sets ({', '.join(sets)})"
         else:
             grp = f"{kind} ({', '.join(keys)})"

@@ -918,3 +918,67 @@ def test_distributed_topk():
         pl._topk_rows_dist = orig
     assert ran.get("engaged"), "distributed top-k did not engage"
     assert host == dist, (host[:5], dist[:5])
+
+
+class TestDistNewSurface:
+    """Round-5 verdict item 8: the round-4 surface shapes under
+    pg_strom.distributed — grouping sets ride the distributed aggregate
+    per set (the single-pass rollup intentionally yields to the per-set
+    path when distributed, planner._gs_single_pass), and windowed
+    queries distribute their INNER stage (the window computation itself
+    stays host-side — measured reason in PARITY.md)."""
+
+    @pytest.fixture(scope="class")
+    def db(self):
+        rng = np.random.default_rng(11)
+        n = 4000
+        d = Database()
+        d.create(Table.from_columns("ds", {
+            "a": column_from_values(T.INT4,
+                                    [int(v) for v in rng.integers(0, 6, n)]),
+            "b": column_from_values(T.INT4,
+                                    [int(v) for v in rng.integers(0, 4, n)]),
+            "v": column_from_values(T.INT4,
+                                    [int(v) for v in
+                                     rng.integers(0, 100, n)]),
+        }))
+        return d
+
+    def test_rollup_engages_mesh(self, db):
+        from pg_strom_tpu.sql import parser
+        from pg_strom_tpu.plan.planner import plan_query
+        q = "select a, b, sum(v), count(*) from ds group by rollup(a, b)"
+        host = execute(q, db).rows
+        with override(distributed=True, debug_force_offload=True):
+            stmt = parser.parse(q)
+            pq = plan_query(stmt, db)
+            dist = pq.execute()
+            assert pq.perfmon.counts.get("dist_steps", 0) >= 1, \
+                "rollup subplan did not ride the mesh"
+        key = lambda r: tuple((x is None, x) for x in r)
+        assert sorted(host, key=key) == sorted(dist, key=key)
+
+    def test_window_inner_engages_mesh(self, db):
+        from pg_strom_tpu.sql import parser
+        from pg_strom_tpu.plan.planner import plan_query
+        # window over a grouped inner: the inner aggregation distributes
+        q = ("select a, rank() over (order by s desc) from "
+             "(select a, sum(v) s from ds group by a) q")
+        host = execute(q, db).rows
+        with override(distributed=True, debug_force_offload=True):
+            dist = execute(q, db).rows
+        assert sorted(host) == sorted(dist)
+        # mesh engagement assert on the inner aggregation itself
+        with override(distributed=True, debug_force_offload=True):
+            stmt = parser.parse("select a, sum(v) s from ds group by a")
+            pq = plan_query(stmt, db)
+            pq.execute()
+            assert pq.perfmon.counts.get("dist_steps", 0) >= 1
+
+    def test_windowed_plain_query_runs_distributed(self, db):
+        q = ("select a, sum(v) over (partition by a order by b, v) "
+             "from ds where v > 10")
+        host = execute(q, db).rows
+        with override(distributed=True, debug_force_offload=True):
+            dist = execute(q, db).rows
+        assert sorted(host) == sorted(dist)

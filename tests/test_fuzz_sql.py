@@ -261,3 +261,15 @@ def test_generator_is_deterministic():
     a = [QueryGen(random.Random(7), tables, pairs).gen() for _ in range(10)]
     b = [QueryGen(random.Random(7), tables, pairs).gen() for _ in range(10)]
     assert a == b
+
+    def test_ungrouped_column_is_sql_error(self, db):
+        # round 5: the widened fuzzer's first find — a select-list key in
+        # no grouping set escaped as an internal RuntimeError from the
+        # final projection; PG raises a plan-level error
+        for q in ("select hk, v, grouping(hk), min(f) from fuzz_skew "
+                  "group by grouping sets ((), (), (hk))",
+                  "select v from fuzz_skew group by hk",
+                  "select v, count(*) from fuzz_skew"):
+            for dev in (True, False):
+                out = run_one(db, q, dev, {})
+                assert out[0] == "error" and "GROUP BY" in out[1], (q, out)
