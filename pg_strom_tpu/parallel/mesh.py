@@ -58,11 +58,19 @@ def get_mesh2(n_hosts: int, n_chips: int | None = None) -> Mesh:
 
 
 def mesh_for_config(n_devices: int | None = None) -> Mesh:
-    """Mesh per the GUCs: dist_mesh_hosts > 1 -> 2D, else flat."""
+    """Mesh per the GUCs: dist_mesh_hosts > 1 -> 2D, else flat.
+
+    A hosts setting the device count can't honor (fewer devices than
+    hosts, or not divisible) degrades to the flat mesh instead of
+    crashing the query — the GUC is a layout HINT, and `SET
+    pg_strom.dist_mesh_hosts = 2` on a single-chip runtime must behave
+    like the reference's GUCs do on absent hardware (round-5 fuzzer
+    find: reshape(2, 0) ValueError)."""
     from ..config import config
     h = int(getattr(config, "dist_mesh_hosts", 1) or 1)
     if h > 1:
         devs = _devices(n_devices)
-        return Mesh(np.array(devs).reshape(h, len(devs) // h),
-                    ("hosts", "chips"))
+        if len(devs) >= h and len(devs) % h == 0:
+            return Mesh(np.array(devs).reshape(h, len(devs) // h),
+                        ("hosts", "chips"))
     return get_mesh(n_devices)

@@ -982,3 +982,20 @@ class TestDistNewSurface:
         with override(distributed=True, debug_force_offload=True):
             dist = execute(q, db).rows
         assert sorted(host) == sorted(dist)
+
+
+def test_mesh_hosts_gucs_degrade_on_too_few_devices(monkeypatch):
+    # round-5 fuzzer find: dist_mesh_hosts=2 with 1 visible device crashed
+    # mesh_for_config with reshape(2, 0); the GUC is a layout hint and must
+    # degrade to the flat mesh
+    import pg_strom_tpu.parallel.mesh as M
+    only = jax.devices()[:1]
+    monkeypatch.setattr(M, "_devices",
+                        lambda n=None: only if n in (None, 1) else only)
+    with override(dist_mesh_hosts=2):
+        m = M.mesh_for_config()
+        assert m.devices.size == 1
+    with override(dist_mesh_hosts=3):    # 8 % 3 != 0 also degrades
+        monkeypatch.setattr(M, "_devices", lambda n=None: jax.devices())
+        m = M.mesh_for_config()
+        assert m.devices.ndim == 1

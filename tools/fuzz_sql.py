@@ -11,10 +11,18 @@ with a random corpus.  Exit code 1 on the first mismatch, with a repro
 header (seed, query index, engine config, SQL).
 """
 
+import os
 import random
 import sys
 
 sys.path.insert(0, ".")          # run from the repo root, like bench.py
+
+# 8 virtual devices BEFORE jax import: the distributed config axis needs
+# a mesh to actually exercise (same trick as tests/conftest.py)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = \
+        (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
