@@ -172,7 +172,16 @@ class DeviceChunkCache:
             yield from self._stream(table, n, cap, pm)
             return
 
-        key = ("chunks", tuple(c.uid for c in cols), cap)
+        ids = tuple(c.uid for c in cols)
+        if not ids:
+            # count(*)-style empty layouts carry no referenced-column uid
+            # to key on — key on the table's own column uids (+nrows) so
+            # two different tables can never share an entry (round-5
+            # fuzzer find: a 12-row recursive worktable's cached chunks
+            # served count(*) over a 600-row table)
+            ids = ("norows", n) + tuple(
+                c.uid for c in table.columns.values())
+        key = ("chunks", ids, cap)
         with self._mu:
             self._sweep()
             ent = self._lru.get(key)

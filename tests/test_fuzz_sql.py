@@ -255,13 +255,6 @@ class TestFuzzFoundRegressions:
                 assert out == base, (mg, dev)
         assert "7|3.5|3.5" in base[2]          # was 7|2|2 on device
 
-
-def test_generator_is_deterministic():
-    tables, pairs = fuzz_schema()
-    a = [QueryGen(random.Random(7), tables, pairs).gen() for _ in range(10)]
-    b = [QueryGen(random.Random(7), tables, pairs).gen() for _ in range(10)]
-    assert a == b
-
     def test_ungrouped_column_is_sql_error(self, db):
         # round 5: the widened fuzzer's first find — a select-list key in
         # no grouping set escaped as an internal RuntimeError from the
@@ -273,3 +266,23 @@ def test_generator_is_deterministic():
             for dev in (True, False):
                 out = run_one(db, q, dev, {})
                 assert out[0] == "error" and "GROUP BY" in out[1], (q, out)
+
+    def test_count_star_chunk_cache_no_cross_table_collision(self, db):
+        # round-5 fuzzer find: count(*) layouts reference no columns, so
+        # the device chunk cache keyed them as ("chunks", (), cap) — a
+        # 12-row recursive worktable's cached chunks then served
+        # count(*) over the 600-row fact (12 instead of 600)
+        sql = ("with recursive s(n) as (select 1 union all select n+2 "
+               "from s where n < 23) select (select count(*) from s), "
+               "count(*) from gpupreagg_test")
+        cfg = {"chunk_rows": 97, "max_groups_device": 64}
+        dev = run_one(db, sql, True, cfg)
+        host = run_one(db, sql, False, cfg)
+        assert dev == host == ("rows", ("?column?", "count"), ("12|600",))
+
+
+def test_generator_is_deterministic():
+    tables, pairs = fuzz_schema()
+    a = [QueryGen(random.Random(7), tables, pairs).gen() for _ in range(10)]
+    b = [QueryGen(random.Random(7), tables, pairs).gen() for _ in range(10)]
+    assert a == b
