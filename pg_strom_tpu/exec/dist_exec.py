@@ -249,8 +249,21 @@ class DistJoinAggExecutor:
                     if t is not None and nm in t.columns:
                         cols.append(t.columns[nm])
                         break
-        key = ("dist_args", type(self).__name__,
-               tuple(sorted({c.uid for c in cols})),
+        ids: tuple = tuple(sorted({c.uid for c in cols}))
+        if not ids:
+            # count(*)-style plans reference no columns — key on the
+            # involved tables' own column uids + nrows so two tables
+            # never share resident lanes (round-5 fuzzer find, the same
+            # collision devcache.chunks_for had)
+            ident = []
+            for t in (getattr(self, "probe", None),
+                      getattr(self, "build", None),
+                      getattr(self, "table", None)):
+                if t is not None:
+                    ident.append((t.nrows,) + tuple(
+                        c.uid for c in t.columns.values()))
+            ids = ("norows", tuple(ident))
+        key = ("dist_args", type(self).__name__, ids,
                # the full expr set, not just the referenced columns: two
                # queries can reference the same columns in different lane
                # roles (sum(a),count(b) vs sum(b),count(a)) with identical

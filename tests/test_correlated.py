@@ -167,3 +167,39 @@ class TestWithRecursive:
                     "t.parent = s.id) select id from sub order by id",
                     d).rows
         assert r == [(2,), (4,), (5,)]
+
+
+class TestCorrelatedInDml:
+    """Correlated subqueries compose with the plane-level DML tier."""
+
+    @pytest.fixture()
+    def dmldb(self):
+        d = Database()
+        d.create(Table.from_columns("emp", {
+            "id": column_from_values(T.INT4, [1, 2, 3]),
+            "dept": column_from_values(T.TEXT, ["a", "a", "b"]),
+            "sal": column_from_values(T.INT4, [100, 200, 50]),
+        }))
+        d.create(Table.from_columns("lim", {
+            "name": column_from_values(T.TEXT, ["a", "b"]),
+            "cap": column_from_values(T.INT4, [150, 80]),
+        }))
+        return d
+
+    def test_update_where_correlated(self, dmldb):
+        execute("UPDATE emp SET sal = 0 WHERE sal > (select cap from lim "
+                "where name = emp.dept)", dmldb)
+        assert execute("select id, sal from emp order by id", dmldb).rows \
+            == [(1, 100), (2, 0), (3, 50)]
+
+    def test_update_set_correlated_scalar(self, dmldb):
+        execute("UPDATE emp SET sal = (select cap from lim where "
+                "name = emp.dept)", dmldb)
+        assert execute("select id, sal from emp order by id", dmldb).rows \
+            == [(1, 150), (2, 150), (3, 80)]
+
+    def test_delete_where_correlated_exists(self, dmldb):
+        execute("DELETE FROM emp WHERE exists (select 1 from lim where "
+                "name = emp.dept and cap < 100)", dmldb)
+        assert execute("select id from emp order by id", dmldb).rows \
+            == [(1,), (2,)]

@@ -279,6 +279,12 @@ class TestFuzzFoundRegressions:
         dev = run_one(db, sql, True, cfg)
         host = run_one(db, sql, False, cfg)
         assert dev == host == ("rows", ("?column?", "count"), ("12|600",))
+        # the distributed executor's resident-lane cache had the SAME
+        # empty-layout collision (dist_exec._resident_args)
+        dcfg = dict(cfg, distributed=True)
+        dev = run_one(db, sql, True, dcfg)
+        host = run_one(db, sql, False, dcfg)
+        assert dev == host == ("rows", ("?column?", "count"), ("12|600",))
 
 
 def test_generator_is_deterministic():
