@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = ("filter", "agg_nogrp", "agg_group", "join_agg", "star_group",
-           "star4way", "sort")
+           "star4way", "sort", "window_rank", "rollup")
 
 
 def run_one(name: str) -> dict:

@@ -102,4 +102,15 @@ BENCH_QUERIES = {
                 "where t0.aid = t1.aid and t0.bid = t2.bid "
                 "and t0.cid = t3.cid",
     "sort": "select id, x from t0 order by x desc limit 100",
+    # round-5 surface: the plane-space window tier (plan/window.py
+    # _run_columnar — device-filtered scan, numpy lexsort frame, fully
+    # vectorized ranker); the outer aggregate keeps the measured cost on
+    # the window computation, not on formatting fact_rows of output
+    "window_rank": "select count(*), max(r), min(r) from (select rank() "
+                   "over (partition by cat order by x desc) r from t0 "
+                   "where y > 5.0) q",
+    # round-5: single-pass grouping sets (one finest-grain device pass +
+    # host state rollup, planner._gs_single_pass)
+    "rollup": "select cat, cid % 8, count(*), sum(x) from t0 "
+              "group by rollup(cat, cid % 8)",
 }
