@@ -62,6 +62,22 @@ def run_one(name: str) -> dict:
 
 
 def main() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    if len(sys.argv) > 1 and sys.argv[1] == "--merge":
+        # merge one-query JSON lines (run under a driver with a per-call
+        # time budget) into the artifact, replacing rows by query name
+        with open(os.path.join(here, "BENCH_E2E.json")) as f:
+            cur = {r["query"]: r for r in json.load(f).get("results", [])}
+        for line in sys.stdin:
+            line = line.strip()
+            if line.startswith("{"):
+                r = json.loads(line)
+                cur[r["query"]] = r
+        results = [cur[q] for q in QUERIES if q in cur]
+        with open(os.path.join(here, "BENCH_E2E.json"), "w") as f:
+            json.dump({"results": results}, f, indent=1)
+        print(f"merged -> {len(results)} queries")
+        return
     if len(sys.argv) > 1:
         print(json.dumps(run_one(sys.argv[1])))
         return

@@ -25,7 +25,13 @@ OPS = ("filter", "join", "join_ident", "agg", "sort", "sort_wide")
 HBM_GBPS = 819e9
 
 
-def bench_call(call, nbuf, rounds=3, window=4):
+def bench_call(call, nbuf, rounds=5, window=8):
+    # window=8/rounds=5 matches bench.py's flagship convention: the
+    # executor's pending list is UNBOUNDED for device-resident chunks
+    # (max_async_chunks gates streamed H2D only), so the resident
+    # steady state amortizes the ~20-25ms block-sync over the full
+    # window.  The round-4 agg/flagship disagreement (12.5 vs 9.4 ms)
+    # was exactly this window mismatch plus a contended capture.
     import jax
     t0 = time.perf_counter()
     out = call(0)

@@ -312,3 +312,22 @@ class TestFastSlowDifferential:
         assert len(fast) == len(slow)
         for a, b in zip(fast, slow):
             assert repr(a) == repr(b), (a, b)
+
+
+class TestWindowEdges:
+    def test_empty_filter_result(self, db):
+        r = execute("select id, rank() over (order by sal) from emp "
+                    "where sal > 10000", db).rows
+        assert r == []
+
+    def test_window_in_from_subquery(self, db):
+        r = execute("select rn from (select id, row_number() over "
+                    "(order by sal desc, id) rn from emp) q "
+                    "where rn <= 2 order by rn", db).rows
+        assert r == [(1,), (2,)]
+
+    def test_two_specs_different_partitions(self, db):
+        r = execute("select id, rank() over (partition by dept order by "
+                    "sal), count(*) over (order by id) from emp "
+                    "order by id limit 3", db).rows
+        assert r == [(1, 1, 1), (2, 2, 2), (3, 2, 3)]
