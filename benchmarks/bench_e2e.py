@@ -98,7 +98,6 @@ def main() -> None:
               f"fact {r['fact_rows']})")
     # artifact consumed by bench.py's consolidated record (round-4 verdict
     # item 10: per-op + e2e + first-result split in ONE artifact)
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_E2E.json"), "w") as f:
         json.dump({"results": results}, f, indent=1)
 
