@@ -101,10 +101,18 @@ class _Rewriter:
         fields = {}
         for f in dataclasses.fields(q):
             v = getattr(q, f.name)
-            if f.name in ("frm", "joins"):
+            if f.name == "frm":
                 # FROM subqueries get the OUTER frames only (they cannot
                 # see this level's siblings, like non-LATERAL PG)
                 fields[f.name] = self._rw(v, frames)
+            elif f.name == "joins":
+                # join TABLES scope like FROM entries, but their ON
+                # conditions see this level's relations
+                fields[f.name] = [dataclasses.replace(
+                    jc, table=self._rw(jc.table, frames),
+                    on=(self._rw(jc.on, fr2)
+                        if jc.on is not None else None))
+                    for jc in v]
             else:
                 fields[f.name] = self._rw(v, fr2)
         return dataclasses.replace(q, **fields)

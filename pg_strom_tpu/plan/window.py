@@ -1001,8 +1001,12 @@ def _run_columnar(inner, comps, ctypes, specs, wtypes, db, perfmon,
             if key_of(i) is None:
                 return None
     wcols = []
+    frames: dict = {}          # the lexsort is shared across same-frame specs
     for spec, wtype in zip(specs, wtypes):
-        fr = _Frame(np, n, key_of, spec)
+        fkey = (tuple(spec.part_idx), tuple(spec.order))
+        fr = frames.get(fkey)
+        if fr is None:
+            fr = frames[fkey] = _Frame(np, n, key_of, spec)
         wc = _window_column(spec, ccols, wtype, fr, key_of, np)
         if wc is None:
             return None

@@ -203,3 +203,34 @@ class TestCorrelatedInDml:
                 "name = emp.dept and cap < 100)", dmldb)
         assert execute("select id from emp order by id", dmldb).rows \
             == [(1,), (2,)]
+
+
+class TestCorrelatedScoping:
+    def test_join_on_names_resolve_inner_first(self):
+        # an ON condition's bare column names belong to the subquery's
+        # own relations even when the outer row has same-named columns
+        # (round-5 self-review: ON clauses briefly scoped like FROM)
+        d = Database()
+        d.create(Table.from_columns("outer_t", {
+            "k": column_from_values(T.INT4, [1, 99]),
+            "tag": column_from_values(T.INT4, [1, 2]),
+        }))
+        d.create(Table.from_columns("a", {
+            "k": column_from_values(T.INT4, [1, 2]),
+            "v": column_from_values(T.INT4, [10, 20]),
+        }))
+        d.create(Table.from_columns("b", {
+            "j": column_from_values(T.INT4, [1, 3]),
+        }))
+        # `k = j` inside ON: k is a.k (inner), never outer_t.k; the
+        # correlation is only tag = outer_t.tag
+        r = execute("select k from outer_t o where exists ("
+                    "select 1 from a join b on k = j "
+                    "where a.v = 10 and o.tag = 1) order by k", d).rows
+        assert r == [(1,)]          # only the tag=1 outer row qualifies
+        r = execute("select k from outer_t o where exists ("
+                    "select 1 from a join b on k = j "
+                    "where a.v = 10 and o.tag = 2) order by k", d).rows
+        assert r == [(99,)]
+        # had ON's k resolved to outer_t.k, the tag=2 probe would find
+        # no a-row with k = 99 and return []
