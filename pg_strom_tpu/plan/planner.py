@@ -239,8 +239,8 @@ def plan_select(stmt: ast.SelectStmt, db: Database) -> PlannedQuery:
             rows = obj.execute()
             cols = {}
             for i, (nm, t) in enumerate(zip(obj.out_names, obj.out_types)):
-                from ..datastore import column_from_values
-                cols[nm] = column_from_values(t, [r[i] for r in rows])
+                from ..datastore import column_from_values_fast
+                cols[nm] = column_from_values_fast(t, [r[i] for r in rows])
             return Table.from_columns(alias, cols)
         return obj
 
@@ -1760,7 +1760,7 @@ def plan_recursive(stmt: "ast.ARecursive", db: Database) -> PlannedQuery:
     PostgreSQL executor (grafter.c swaps only scan/join/agg); here each
     term still plans through the full pipeline, so scans/joins/aggs
     inside the recursion offload per iteration."""
-    from ..datastore import column_from_values
+    from ..datastore import column_from_values_fast
     from ..exec.hostexec import canon_group_key
     base_pq = plan_query(stmt.base, db)
     out_names = list(base_pq.out_names)
@@ -1791,7 +1791,7 @@ def plan_recursive(stmt: "ast.ARecursive", db: Database) -> PlannedQuery:
                 raise SqlError(
                     f'recursive query "{stmt.name}" result too large')
             wt = Table.from_columns(stmt.name, {
-                nm: column_from_values(t, [r[i] for r in work])
+                nm: column_from_values_fast(t, [r[i] for r in work])
                 for i, (nm, t) in enumerate(zip(out_names, out_types))})
             pq2 = plan_query(stmt.rec, _ChainDb(stmt.name, wt, db))
             if not arity_checked:
@@ -1815,7 +1815,8 @@ def plan_recursive(stmt: "ast.ARecursive", db: Database) -> PlannedQuery:
     root = PlanNode("RecursiveUnion",
                     {"cte": stmt.name,
                      "union": "all" if stmt.union_all else "distinct"},
-                    [base_pq.root])
+                    [base_pq.root],
+                    cost=base_pq.root.cost)    # >= the base term's rows
     return PlannedQuery(out_names, out_types, run, root, base_pq.perfmon)
 
 

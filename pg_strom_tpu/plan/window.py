@@ -614,25 +614,8 @@ def _const_column(t: T, v, n: int, np):
 
 
 def _fast_column(t: T, vals: list, np):
-    """Column from python values with numpy bulk paths for the window
-    finals' common types (int8 counts/sums, float8 running sums)."""
-    from ..datastore import column_from_values, column_from_numpy
-    if t in (T.INT2, T.INT4, T.INT8):
-        try:
-            data = np.fromiter((0 if v is None else v for v in vals),
-                               np.int64, len(vals))
-        except (OverflowError, TypeError):
-            return column_from_values(t, vals)
-        valid = np.fromiter((v is not None for v in vals), np.bool_,
-                            len(vals))
-        return column_from_numpy(t, data, valid)
-    if t in (T.FLOAT4, T.FLOAT8):
-        data = np.fromiter((0.0 if v is None else v for v in vals),
-                           np.float64, len(vals))
-        valid = np.fromiter((v is not None for v in vals), np.bool_,
-                            len(vals))
-        return column_from_numpy(t, data, valid)
-    return column_from_values(t, vals)
+    from ..datastore import column_from_values_fast
+    return column_from_values_fast(t, vals)
 
 
 class _Frame:
@@ -1047,9 +1030,10 @@ class _TempDb:
 
 
 def _temp_table(schema: list, data: dict):
-    from ..datastore import Table, column_from_values
+    from ..datastore import Table, column_from_values_fast
     return Table.from_columns("__winsrc__", {
-        nm: column_from_values(t, data.get(nm, [])) for nm, t in schema})
+        nm: column_from_values_fast(t, data.get(nm, []))
+        for nm, t in schema})
 
 
 def plan_windowed(stmt: "ast.SelectStmt", db):
@@ -1133,5 +1117,10 @@ def plan_windowed(stmt: "ast.SelectStmt", db):
             s.fname + ("(*)" if s.star else "") +
             (" partition" if s.part_idx else "") +
             (" order" if s.order else "") for s in specs)},
-        [ipq.root])
+        [ipq.root],
+        # windows emit one row per input row: propagate the inner row
+        # estimate so an OUTER query over this subquery costs against
+        # the real cardinality (round 5: the 0-row shell default made a
+        # 4M-row outer aggregate plan host-side)
+        cost=ipq.root.cost)
     return PlannedQuery(out_names, out_types, run, root, ipq.perfmon)
