@@ -24,8 +24,8 @@ from ..datastore import Table, Database, Column
 from ..errors import SqlError
 from ..expr.ir import (
     Expr, Const, ColumnRef, FuncExpr, BoolExpr, NullTest, BooleanTest,
-    CaseExpr, CoalesceExpr, Aggref, Param, bind_columns, referenced_columns,
-    walk,
+    CaseExpr, CoalesceExpr, Aggref, Param, SubPlan, bind_columns,
+    referenced_columns, walk,
 )
 from ..expr.catalog import device_expression_supported
 from ..expr.eval_cpu import eval_expr_cpu
@@ -87,6 +87,14 @@ def replace_subtrees(e: Expr, mapping: dict[Expr, int]) -> Expr:
     """Replace mapped subtrees with Param(idx) (for final projection eval)."""
     if e in mapping:
         return Param(type=e.type, index=mapping[e])
+    if isinstance(e, SubPlan):
+        # a correlated subquery's outer args may reference grouped
+        # columns/aggregates of THIS query level; they evaluate against
+        # the projected row, so Param substitution is exactly right
+        # (round-5 review: the ungrouped-column check false-positived
+        # here because walk() descends but this function didn't)
+        return dataclasses.replace(e, outer_args=tuple(
+            replace_subtrees(a, mapping) for a in e.outer_args))
     if isinstance(e, (FuncExpr, BoolExpr, CoalesceExpr)):
         return dataclasses.replace(
             e, args=tuple(replace_subtrees(a, mapping) for a in e.args))
@@ -1772,6 +1780,29 @@ def plan_recursive(stmt: "ast.ARecursive", db: Database) -> PlannedQuery:
         out_names = list(stmt.columns) + out_names[len(stmt.columns):]
     out_types = list(base_pq.out_types)
 
+    # plan-time validation against an EMPTY worktable: arity and column
+    # types of the recursive term must match the non-recursive term
+    # (round-5 review: checking inside the loop missed both whenever the
+    # base term returned zero rows, and a type mismatch silently
+    # truncated values into the worktable each iteration)
+    from ..datastore import column_from_values
+    shell_wt = Table.from_columns(stmt.name, {
+        nm: column_from_values(t, [])
+        for nm, t in zip(out_names, out_types)})
+    val_pq = plan_query(stmt.rec, _ChainDb(stmt.name, shell_wt, db))
+    if len(val_pq.out_types) != len(out_types):
+        raise SqlError("each UNION query must have the same "
+                       "number of columns")
+    from .window import _common_type
+    for ci, (bt, rt) in enumerate(zip(out_types, val_pq.out_types)):
+        # PG: the recursive term may implicitly coerce UP to the
+        # non-recursive term's type, never change it (int8 base accepts
+        # an int4 rec term; int4 base rejects numeric/int8 rec terms)
+        if bt != rt and _common_type(bt, rt) != bt:
+            raise SqlError(
+                f'recursive query "{stmt.name}" column {ci + 1} has type '
+                f"{rt.value} in the recursive term but {bt.value} overall")
+
     def run() -> list[tuple]:
         rows = base_pq.execute()
         if not stmt.union_all:
@@ -1781,7 +1812,6 @@ def plan_recursive(stmt: "ast.ARecursive", db: Database) -> PlannedQuery:
         result = list(rows)
         work = rows
         iters = 0
-        arity_checked = False
         while work:
             iters += 1
             if iters > 20000:
@@ -1794,11 +1824,6 @@ def plan_recursive(stmt: "ast.ARecursive", db: Database) -> PlannedQuery:
                 nm: column_from_values_fast(t, [r[i] for r in work])
                 for i, (nm, t) in enumerate(zip(out_names, out_types))})
             pq2 = plan_query(stmt.rec, _ChainDb(stmt.name, wt, db))
-            if not arity_checked:
-                if len(pq2.out_types) != len(out_types):
-                    raise SqlError("each UNION query must have the same "
-                                   "number of columns")
-                arity_checked = True
             new = pq2.execute()
             if not stmt.union_all:
                 fresh = []

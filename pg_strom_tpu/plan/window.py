@@ -602,18 +602,19 @@ def _compute_partition(spec, rows, ordered, groups, out) -> None:
 # ORIGINAL Column objects (same uid), so the device chunk cache reuses
 # the table's resident device buffers.
 
-def _gather_column(col, ii, np, extra_valid=None):
+def _gather_column(col, ii, extra_valid=None):
     from ..datastore import column_gather
     return column_gather(col, ii, extra_valid)
 
 
-def _const_column(t: T, v, n: int, np):
+def _const_column(t: T, v, n: int):
+    import numpy as np
     from ..datastore import column_from_values
     one = column_from_values(t, [v])
-    return _gather_column(one, np.zeros(n, np.int64), np)
+    return _gather_column(one, np.zeros(n, np.int64))
 
 
-def _fast_column(t: T, vals: list, np):
+def _fast_column(t: T, vals: list):
     from ..datastore import column_from_values_fast
     return column_from_values_fast(t, vals)
 
@@ -627,8 +628,6 @@ class _Frame:
         self.np = np
         self.n = n
         arrays: list = []
-        okeys: list = []                # (lanes_sorted..., nulls_sorted)
-        pkeys: list = []
         for i, desc, nf in reversed(spec.order):
             lanes, nulls = key_of(i)
             nulls_first = desc if nf is None else nf
@@ -695,22 +694,27 @@ class _Frame:
         if valid_sorted is not None:
             ev = np.empty(self.n, np.bool_)
             ev[self.order] = valid_sorted
-        return _gather_column(col, fg, np, extra_valid=ev)
+        return _gather_column(col, fg, extra_valid=ev)
 
 
 def _dense_ranks(np, lanes, nulls, n):
     """1-based dense ranks of the non-null rows under the lane ordering
-    (0 for nulls); None when they might not fit the 31-bit pack."""
+    (0 for nulls); None when they might not fit the 31-bit pack.
+
+    NULL rows sort as a separate PRIMARY group (their data planes hold
+    0, which would otherwise interleave with real zero-valued rows and
+    split an equal run into distinct ranks — round-5 review: that broke
+    the keep-first-on-tie display for -0.0/0.0 and numeric dscale)."""
     if n >= (1 << 31):
         return None, 0
-    o2 = np.lexsort(tuple(reversed(lanes)))
+    masked = [np.where(nulls, np.int64(0), lane) for lane in lanes]
+    o2 = np.lexsort(tuple(reversed(masked)) + (nulls,))
     newv = np.zeros(n, np.bool_)
     if n:
         newv[0] = True
     ns = nulls[o2]
     newv[1:] |= ns[1:] != ns[:-1]
-    for lane in lanes:
-        ls = np.where(nulls, np.int64(0), lane)[o2]
+    for ls in (m[o2] for m in masked):
         newv[1:] |= ls[1:] != ls[:-1]
     ranks_sorted = np.cumsum(newv.astype(np.int64))
     rank = np.empty(n, np.int64)
@@ -838,8 +842,8 @@ def _window_column(spec, ccols, wtype, fr, key_of, np):
         fvals = [final({k: int(v) for (k, _), v
                         in zip(lanes, vals)})
                  for vals in zip(*(vs for _, vs in lanes))]
-        fcol = _fast_column(wtype, fvals, np)
-        return _gather_column(fcol, gid, np)
+        fcol = _fast_column(wtype, fvals)
+        return _gather_column(fcol, gid)
     if acol is not None and f == "sum" and fam in ("f4", "f8") and \
             slots <= {"nrows", "count", "sum_f"}:
         # per-partition np.cumsum IS the sequential float add chain the
@@ -885,8 +889,8 @@ def _window_column(spec, ccols, wtype, fr, key_of, np):
                      [] if vals_sorted is None else [vals_sorted[pos]])
         if fr.next_new[pos]:
             fvals.append(adef.final(state))
-    fcol = _fast_column(wtype, fvals, np)
-    return _gather_column(fcol, gid, np)
+    fcol = _fast_column(wtype, fvals)
+    return _gather_column(fcol, gid)
 
 
 def _merge_columns(a, b, take_a, np):
@@ -949,20 +953,44 @@ def _inner_columns(stmt, comps, ctypes, db, perfmon, np):
     out = []
     for e, t in zip(bcomps, ctypes):
         if isinstance(e, ColumnRef):
-            out.append(_gather_column(cols[e.index], ii, np))
+            out.append(_gather_column(cols[e.index], ii))
         else:
-            out.append(_const_column(t, e.value, len(ii), np))
+            out.append(_const_column(t, e.value, len(ii)))
     return out
 
 
+_COLUMNAR_KEY_TYPES = (T.BOOL, T.INT2, T.INT4, T.INT8, T.DATE, T.TIME,
+                       T.TIMESTAMP, T.FLOAT4, T.FLOAT8, T.TEXT, T.BPCHAR,
+                       T.NUMERIC)
+
+
+def _columnar_supported(specs, ctypes) -> bool:
+    """Static (type-only) per-spec guards, checked BEFORE the device
+    scan so an eventual row-path fallback doesn't pay the scan twice
+    (round-5 review finding)."""
+    for spec in specs:
+        for i in spec.part_idx + [i for (i, _, _) in spec.order]:
+            if ctypes[i] not in _COLUMNAR_KEY_TYPES:
+                return False
+        if spec.fname in ("lag", "lead") and spec.default_idx is not None:
+            at = ctypes[spec.arg_idx]
+            if ctypes[spec.default_idx] != at or at in (T.TEXT, T.BPCHAR):
+                return False
+        if spec.fname in ("min", "max") and                 ctypes[spec.arg_idx] not in _COLUMNAR_KEY_TYPES:
+            return False
+    return True
+
+
 def _run_columnar(inner, comps, ctypes, specs, wtypes, db, perfmon,
-                  post_stmt, schema):
+                  post_stmt):
     """Full plane-space execution of a windowed query; None -> row path."""
     import numpy as np
     from .planner import plan_query
     from ..datastore import Table
     from ..config import config
     if not getattr(config, "vectorized_windows", True):
+        return None
+    if not _columnar_supported(specs, ctypes):
         return None
     ccols = _inner_columns(inner, comps, ctypes, db, perfmon, np)
     if ccols is None:
@@ -1100,7 +1128,7 @@ def plan_windowed(stmt: "ast.SelectStmt", db):
 
     def run() -> list[tuple]:
         got = _run_columnar(inner, comps, ctypes, specs, wtypes, db,
-                            ipq.perfmon, post_stmt, schema)
+                            ipq.perfmon, post_stmt)
         if got is not None:
             return got
         rows = ipq.execute()

@@ -234,3 +234,39 @@ class TestCorrelatedScoping:
         assert r == [(99,)]
         # had ON's k resolved to outer_t.k, the tag=2 probe would find
         # no a-row with k = 99 and return []
+
+
+class TestReviewFindings:
+    """Distilled repros from the round-5 code review."""
+
+    def test_correlated_on_grouped_column(self, db):
+        # outer_args referencing grouped columns substitute to Params in
+        # the final projection (replace_subtrees now descends SubPlan)
+        r = execute("select dept, (select budget from dept d where "
+                    "d.name = emp.dept) from emp group by dept "
+                    "order by dept nulls last", db).rows
+        assert r == [("a", 1000), ("b", 100), (None, None)]
+
+    def test_correlated_exists_in_having(self, db):
+        r = execute("select dept from emp group by dept having exists "
+                    "(select 1 from dept d where d.name = emp.dept) "
+                    "order by dept", db).rows
+        assert r == [("a",), ("b",)]
+
+    def test_recursive_type_mismatch_plan_time(self, db):
+        with pytest.raises(SqlError, match="has type"):
+            execute("with recursive s(n) as (select 1 union all "
+                    "select n+0.5 from s where n < 3) select * from s", db)
+
+    def test_recursive_arity_mismatch_with_empty_base(self, db):
+        with pytest.raises(SqlError, match="same number of columns"):
+            execute("with recursive s(n) as (select id from emp where "
+                    "id > 100 union all select n+1, n from s where n < 3) "
+                    "select * from s", db)
+
+    def test_recursive_narrowing_coercion_accepted(self, db):
+        # int8 base accepts an int4-typed recursive term (coerces up)
+        r = execute("with recursive s(n) as (select count(*) from emp "
+                    "union all select 1 from s where n > 3) "
+                    "select count(*) from s", db).rows
+        assert r == [(2,)]      # base row (5), one rec row (1), stop

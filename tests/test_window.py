@@ -331,3 +331,23 @@ class TestWindowEdges:
                     "sal), count(*) over (order by id) from emp "
                     "order by id limit 3", db).rows
         assert r == [(1, 1, 1), (2, 2, 2), (3, 2, 3)]
+
+    def test_minmax_tie_display_with_interleaved_nulls(self):
+        # round-5 review: _dense_ranks sorted raw lanes without the null
+        # flag, so NULL rows (data plane 0) split a -0.0/0.0 equal run
+        # and max() displayed the wrong tie occurrence
+        import random
+        r = random.Random(5)
+        vals = [r.choice([-0.0, 0.0, None, 1.5]) for _ in range(400)]
+        d = Database()
+        d.create(Table.from_columns("t", {
+            "v": column_from_values(T.INT4, list(range(400))),
+            "f": column_from_values(T.FLOAT8, vals),
+        }))
+        fast = execute("select v, max(f) over (order by v) from t", d).rows
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(_cfg, "vectorized_windows", False)
+            mp.setattr(winmod, "_FAST_MIN_ROWS", 1 << 30)
+            slow = execute("select v, max(f) over (order by v) from t",
+                           d).rows
+        assert [repr(x) for x in fast] == [repr(x) for x in slow]
