@@ -294,6 +294,14 @@ class DistJoinAggExecutor:
         from .scan_exec import ScanExecutor
         if pred is None:
             return np.arange(table.nrows, dtype=np.int64)
+        # the planner hands per-rel quals scope-bound (index=-1); bind to
+        # THIS table's layout before lowering — an unbound ColumnRef's -1
+        # silently indexed the LAST column's planes (round-5 fuzzer find:
+        # wrong-column filters / numeric-plane crashes on the dist path).
+        # Rebinding an already layout-bound pred is idempotent.
+        from ..expr.ir import bind_columns
+        pred = bind_columns(
+            pred, {n: i for i, n in enumerate(table.column_names)})
         return np.asarray(
             ScanExecutor(table, pred, self.perfmon).row_indexes(),
             dtype=np.int64)

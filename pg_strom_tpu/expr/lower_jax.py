@@ -101,6 +101,11 @@ class Lowerer:
         if isinstance(e, Param):
             return self._lower_pyvalue(e.type, self.params[e.index], live)
         if isinstance(e, ColumnRef):
+            if e.index < 0:
+                # -1 would silently index the LAST column's planes
+                # (round-5 fuzzer find on the distributed filter path)
+                raise RuntimeError(
+                    f"unbound column ref {e.name} reached device lowering")
             planes = self.cols[e.index]
             meta = self.schema[e.index]
             if meta.type is T.NUMERIC:

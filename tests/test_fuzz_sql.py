@@ -286,6 +286,23 @@ class TestFuzzFoundRegressions:
         host = run_one(db, sql, False, dcfg)
         assert dev == host == ("rows", ("?column?", "count"), ("12|600",))
 
+    def test_distributed_join_filter_binds_to_probe_layout(self, db):
+        # round-5 fuzzer find #4: the dist join path lowered per-rel
+        # WHERE quals with unbound ColumnRefs (index -1), silently
+        # reading the LAST column's planes — numeric-plane crashes on
+        # some shapes, wrong-column filters on others
+        sql = ("select gpupreagg_test.smlint_x, sum(fuzz_dim.w) "
+               "from gpupreagg_test join fuzz_dim "
+               "on gpupreagg_test.key = fuzz_dim.k "
+               "where gpupreagg_test.float_x <= 0.790 "
+               "and gpupreagg_test.smlint_x > 0 "
+               "group by gpupreagg_test.smlint_x")
+        cfg = {"distributed": True, "chunk_rows": 97}
+        dev = run_one(db, sql, True, cfg)
+        host = run_one(db, sql, False, cfg)
+        assert dev[0] == host[0] == "rows"
+        assert sorted(dev[2]) == sorted(host[2])
+
 
 def test_generator_is_deterministic():
     tables, pairs = fuzz_schema()
