@@ -36,7 +36,7 @@ from pg_strom_tpu.utils.sqlgen import QueryGen  # noqa: E402
 
 sys.path.insert(0, "tests")
 from test_fuzz_sql import (fuzz_schema, build_fuzz_db, rand_cfg,  # noqa: E402
-                           run_one)
+                           run_one, outcomes_match)
 
 
 def main() -> int:
@@ -61,7 +61,7 @@ def main() -> int:
                 dev = (dev[0], dev[1], tuple(sorted(dev[2])))
                 host = (host[0], host[1], tuple(sorted(host[2])))
             total += 1
-            if dev != host:
+            if not outcomes_match(dev, host, cfg):
                 bad += 1
                 print(f"MISMATCH seed={seed} q#{i} cfg={cfg}\n  SQL: {sql}\n"
                       f"  dev : {str(dev)[:300]}\n"
