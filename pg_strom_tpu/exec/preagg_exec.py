@@ -87,6 +87,12 @@ _GROUP_STATS_CAP = 4096
 # the mxu_dense attempt on later queries instead of re-dispatching per chunk
 _DENSE_FAILED: set[tuple] = set()
 
+# winning retry-ladder rung per plan (strategy, G, salt): a collision-prone
+# key set otherwise re-runs the salted-bucket ladder — and re-FETCHES each
+# rung's full output (~350ms/rung through the tunnel) — on EVERY execution
+_LADDER_MEMO: dict[tuple, tuple] = {}
+_LADDER_MEMO_CAP = 4096
+
 
 def _pow2_at_least(x: int) -> int:
     p = 1
@@ -218,6 +224,21 @@ class PreAggExecutor:
                     # 2x headroom over the observed count for hash buckets
                     G = min(max(floor, _pow2_at_least(2 * max(obs, 1))),
                             config.max_groups_device)
+        # start at the remembered winning rung for this plan (round 5)
+        self._salt0 = 0
+        memo = (_LADDER_MEMO.get(self._gskey)
+                if self._gskey is not None else None)
+        if memo is not None:
+            self._strategy, G, self._salt0 = memo
+            if self._strategy == "sort":
+                # the final ladder rung ran at max_groups_cap; right-size
+                # from the observed group count — the G-slot output pytree
+                # is what the ~64MB/s tunnel fetches per chunk (ngroups > G
+                # raises CPU_RECHECK, so an undersized clamp degrades
+                # exactly, and data drift re-keys the memo via column uids)
+                st = _GROUP_STATS.get(self._gskey)
+                if st is not None:
+                    G = min(G, max(128, _pow2_at_least(2 * max(st[0], 1))))
         cap = chunk_capacity(self.table.nrows)
         self._schema = schema_from_chunk_columns(
             self.layout_names,
@@ -270,7 +291,8 @@ class PreAggExecutor:
                                          self._v2_scal(cc))
                 else:
                     out = pm.device_call("tpupreagg", fn, cc.planes,
-                                         np.int32(cc.nrows), np.uint64(0))
+                                         np.int32(cc.nrows),
+                                         np.uint64(self._salt0))
             pending.append((cc, out))
             if not planes_on_device(cc.planes):
                 streamed += 1
@@ -374,6 +396,13 @@ class PreAggExecutor:
         attempt = 0
         overflow = False
         cur_strategy = self._strategy
+        cur_g, cur_salt = self._G, int(getattr(self, "_salt0", 0))
+
+        def remember():
+            if attempt > 0 and self._gskey is not None:
+                if len(_LADDER_MEMO) >= _LADDER_MEMO_CAP:
+                    _LADDER_MEMO.clear()
+                _LADDER_MEMO[self._gskey] = (cur_strategy, cur_g, cur_salt)
         while True:
             err = int(out["err"])
             if err != 0 or overflow:
@@ -409,6 +438,7 @@ class PreAggExecutor:
                     continue
                 if not collided:
                     pm.bump("device_chunks")
+                    remember()
                     return
             else:
                 collided = (bool(out.get("collision", False))
@@ -417,10 +447,12 @@ class PreAggExecutor:
                     absorb_preagg_out(out, self.group_exprs, self.aggs,
                                       key_metas, states, displays, pm,
                                       getattr(self, "_agg_dicts", None))
+                    remember()
                     return
             if attempt < len(ladder):
                 pm.bump("salt_retries")
                 g, salt = ladder[attempt]
+                cur_g, cur_salt = g, salt
                 fn = _get_jitted(self._schema, tuple(self.group_exprs),
                                  tuple(self.aggs), self.pred, g,
                                  self._cap, strategy=cur_strategy)
@@ -431,6 +463,8 @@ class PreAggExecutor:
                 # more groups than buckets): sort is exact for any key
                 # distribution up to max_groups_cap groups
                 pm.bump("sort_fallbacks")
+                cur_strategy = "sort"
+                cur_g, cur_salt = config.max_groups_cap, 0
                 fn = _get_jitted(self._schema, tuple(self.group_exprs),
                                  tuple(self.aggs), self.pred,
                                  config.max_groups_cap, self._cap,

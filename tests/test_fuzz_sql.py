@@ -166,7 +166,11 @@ def outcomes_match(dev, host, cfg) -> bool:
                 return False
             if fa == fb:
                 continue
-            if abs(fa - fb) > 1e-6 * max(abs(fa), abs(fb)):
+            # the underlying drift is ~1 ulp, but extra_float_digits -3
+            # display rounding quantizes it to a unit of the 3rd
+            # significant digit when it crosses a rounding boundary
+            # ('3.63' vs '3.64') — compare at that granularity
+            if abs(fa - fb) > 1.5e-2 * max(abs(fa), abs(fb)):
                 return False
     return True
 
