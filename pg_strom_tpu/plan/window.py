@@ -982,19 +982,35 @@ def _columnar_supported(specs, ctypes) -> bool:
 
 
 def _run_columnar(inner, comps, ctypes, specs, wtypes, db, perfmon,
-                  post_stmt):
-    """Full plane-space execution of a windowed query; None -> row path."""
+                  post_stmt, ipq):
+    """Full plane-space execution of a windowed query.
+
+    Returns the finished rows, OR None (row path; nothing executed), OR
+    ("__rows__", rows) when the complex-shaped inner already executed —
+    the caller's row tier reuses those rows instead of re-running it."""
     import numpy as np
     from .planner import plan_query
-    from ..datastore import Table
+    from ..datastore import Table, column_from_values_fast
     from ..config import config
     if not getattr(config, "vectorized_windows", True):
         return None
     if not _columnar_supported(specs, ctypes):
         return None
+    rows = None
     ccols = _inner_columns(inner, comps, ctypes, db, perfmon, np)
     if ccols is None:
-        return None
+        # complex inner (joins / grouping / subqueries): run it through
+        # the planner once and convert the row output to columns — the
+        # same plane-space window compute then covers every inner shape
+        rows = ipq.execute()
+        if len(rows) <= _FAST_MIN_ROWS:
+            return ("__rows__", rows)
+        ccols = [column_from_values_fast(t, [r[i] for r in rows])
+                 for i, t in enumerate(ctypes)]
+
+    def fallback():
+        return ("__rows__", rows) if rows is not None else None
+
     n = len(ccols[0].data) if ccols else 0
     key_cache: dict = {}
 
@@ -1010,7 +1026,7 @@ def _run_columnar(inner, comps, ctypes, specs, wtypes, db, perfmon,
     for spec in specs:
         for i in spec.part_idx + [i for (i, _, _) in spec.order]:
             if key_of(i) is None:
-                return None
+                return fallback()
     wcols = []
     frames: dict = {}          # the lexsort is shared across same-frame specs
     for spec, wtype in zip(specs, wtypes):
@@ -1020,7 +1036,7 @@ def _run_columnar(inner, comps, ctypes, specs, wtypes, db, perfmon,
             fr = frames[fkey] = _Frame(np, n, key_of, spec)
         wc = _window_column(spec, ccols, wtype, fr, key_of, np)
         if wc is None:
-            return None
+            return fallback()
         wcols.append(wc)
     named = {f"__c{i}": c for i, c in enumerate(ccols)}
     named.update({f"__w{j}": c for j, c in enumerate(wcols)})
@@ -1128,10 +1144,14 @@ def plan_windowed(stmt: "ast.SelectStmt", db):
 
     def run() -> list[tuple]:
         got = _run_columnar(inner, comps, ctypes, specs, wtypes, db,
-                            ipq.perfmon, post_stmt)
-        if got is not None:
+                            ipq.perfmon, post_stmt, ipq)
+        if isinstance(got, tuple) and len(got) == 2 and \
+                got[0] == "__rows__":
+            rows = got[1]                  # inner already executed
+        elif got is not None:
             return got
-        rows = ipq.execute()
+        else:
+            rows = ipq.execute()
         data = {f"__c{i}": [r[i] for r in rows]
                 for i in range(len(ctypes))}
         for j, spec in enumerate(specs):
