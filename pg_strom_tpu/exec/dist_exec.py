@@ -300,8 +300,13 @@ class DistJoinAggExecutor:
         # wrong-column filters / numeric-plane crashes on the dist path).
         # Rebinding an already layout-bound pred is idempotent.
         from ..expr.ir import bind_columns
-        pred = bind_columns(
-            pred, {n: i for i, n in enumerate(table.column_names)})
+        try:
+            pred = bind_columns(
+                pred, {n: i for i, n in enumerate(table.column_names)})
+        except KeyError as e:
+            # a qual scoped to the wrong rel must fall back to the
+            # single-device plan, not crash the query (review finding)
+            raise DistFallback(f"filter binds outside {table.name}: {e}")
         return np.asarray(
             ScanExecutor(table, pred, self.perfmon).row_indexes(),
             dtype=np.int64)

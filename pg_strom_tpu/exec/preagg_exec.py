@@ -224,10 +224,18 @@ class PreAggExecutor:
                     # 2x headroom over the observed count for hash buckets
                     G = min(max(floor, _pow2_at_least(2 * max(obs, 1))),
                             config.max_groups_device)
-        # start at the remembered winning rung for this plan (round 5)
+        # start at the remembered winning rung for this plan (round 5).
+        # The memo key includes the PREDICATE: group stats under another
+        # filter can describe a different group population, and a
+        # memoized sort rung right-sized for it would push THIS plan
+        # straight to host replay (review finding) — drop-on-replay
+        # below guards the residual stats mismatch.
         self._salt0 = 0
-        memo = (_LADDER_MEMO.get(self._gskey)
-                if self._gskey is not None else None)
+        self._memo_key = ((self._gskey, repr(self.pred))
+                          if self._gskey is not None else None)
+        memo = (_LADDER_MEMO.get(self._memo_key)
+                if self._memo_key is not None else None)
+        self._memo_used = memo is not None
         if memo is not None:
             self._strategy, G, self._salt0 = memo
             if self._strategy == "sort":
@@ -399,10 +407,11 @@ class PreAggExecutor:
         cur_g, cur_salt = self._G, int(getattr(self, "_salt0", 0))
 
         def remember():
-            if attempt > 0 and self._gskey is not None:
+            if attempt > 0 and self._memo_key is not None:
                 if len(_LADDER_MEMO) >= _LADDER_MEMO_CAP:
                     _LADDER_MEMO.clear()
-                _LADDER_MEMO[self._gskey] = (cur_strategy, cur_g, cur_salt)
+                _LADDER_MEMO[self._memo_key] = (cur_strategy, cur_g,
+                                                cur_salt)
         while True:
             err = int(out["err"])
             if err != 0 or overflow:
@@ -475,6 +484,12 @@ class PreAggExecutor:
                 break
             attempt += 1
         pm.bump("recheck_chunks")
+        if getattr(self, "_memo_used", False) and \
+                self._memo_key is not None:
+            # a remembered rung that ends in host replay is stale (data
+            # or stats drift): drop it so the next run retries the full
+            # ladder instead of replaying forever
+            _LADDER_MEMO.pop(self._memo_key, None)
         with pm.timer("cpu_fallback"):
             self._replay(cc.host_chunk(self.table), states, displays)
 

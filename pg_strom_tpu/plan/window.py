@@ -981,12 +981,15 @@ def _columnar_supported(specs, ctypes) -> bool:
     return True
 
 
+_INNER_ROWS = object()     # sentinel: (_INNER_ROWS, rows) = inner already ran
+
+
 def _run_columnar(inner, comps, ctypes, specs, wtypes, db, perfmon,
                   post_stmt, ipq):
     """Full plane-space execution of a windowed query.
 
     Returns the finished rows, OR None (row path; nothing executed), OR
-    ("__rows__", rows) when the complex-shaped inner already executed —
+    (_INNER_ROWS, rows) when the complex-shaped inner already executed —
     the caller's row tier reuses those rows instead of re-running it."""
     import numpy as np
     from .planner import plan_query
@@ -1001,15 +1004,32 @@ def _run_columnar(inner, comps, ctypes, specs, wtypes, db, perfmon,
     if ccols is None:
         # complex inner (joins / grouping / subqueries): run it through
         # the planner once and convert the row output to columns — the
-        # same plane-space window compute then covers every inner shape
+        # same plane-space window compute then covers every inner shape.
+        # Partition/order key columns convert and probe FIRST, so a
+        # query that always falls back (unencodable key) doesn't pay the
+        # full O(rows x cols) conversion every execution.
         rows = ipq.execute()
         if len(rows) <= _FAST_MIN_ROWS:
-            return ("__rows__", rows)
-        ccols = [column_from_values_fast(t, [r[i] for r in rows])
-                 for i, t in enumerate(ctypes)]
+            return (_INNER_ROWS, rows)
+        from .planner import _order_plane_keys
+        conv: dict = {}
+
+        def conv_col(i):
+            if i not in conv:
+                conv[i] = column_from_values_fast(
+                    ctypes[i], [r[i] for r in rows])
+            return conv[i]
+
+        for i in sorted({i for spec in specs for i in
+                         spec.part_idx + [i2 for (i2, _, _) in spec.order]}):
+            c = conv_col(i)
+            if _order_plane_keys(
+                    c, np.arange(len(c.data), dtype=np.int64)) is None:
+                return (_INNER_ROWS, rows)
+        ccols = [conv_col(i) for i in range(len(ctypes))]
 
     def fallback():
-        return ("__rows__", rows) if rows is not None else None
+        return (_INNER_ROWS, rows) if rows is not None else None
 
     n = len(ccols[0].data) if ccols else 0
     key_cache: dict = {}
@@ -1146,7 +1166,7 @@ def plan_windowed(stmt: "ast.SelectStmt", db):
         got = _run_columnar(inner, comps, ctypes, specs, wtypes, db,
                             ipq.perfmon, post_stmt, ipq)
         if isinstance(got, tuple) and len(got) == 2 and \
-                got[0] == "__rows__":
+                got[0] is _INNER_ROWS:
             rows = got[1]                  # inner already executed
         elif got is not None:
             return got
